@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator: the Spark query plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB as the correctness oracle.
+  * Column names and row order must match the oracle exactly — every query
+  * ends in an explicit ORDER BY over a unique key, doubles are rounded, and
+  * money sums are decimal so results are stable under any partition order.
+  */
+final case class RegisteredQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  import graft.operators._
+
+  private def q(name: String, oracle: String)(run: (SparkSession, String) => DataFrame) =
+    RegisteredQuery(name, run, Some(oracle))
+  private def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame) =
+    RegisteredQuery(name, run, None)
+
+  val all: Vector[RegisteredQuery] = Vector(
+    // ---- ETL suite (reference: analysis/etl_spark.py:119-259) ----
+    q("etl_quality_stats",
+      """SELECT count(*) AS total_rows,
+        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        | CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        | CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_value,
+        | round(avg(value), 4) AS avg_value,
+        | round(max(value), 2) AS max_value,
+        | round(min(value), 2) AS min_value
+        |FROM events""".stripMargin)(EtlOps.qualityStats),
+
+    q("etl_bucketize",
+      """SELECT doc_id,
+        | CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 350 THEN 'medium' ELSE 'long' END AS length_category,
+        | CASE WHEN lang = 'en' THEN 'english' WHEN lang IN ('es','fr','de') THEN 'european' ELSE 'other' END AS lang_group,
+        | CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'head' ELSE 'tail' END AS source_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin)(EtlOps.bucketize),
+
+    q("etl_sentiment_agg",
+      """SELECT event_type, count(*) AS cnt, round(avg(value), 4) AS avg_value,
+        | round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin)(
+      EtlOps.eventTypeAgg),
+
+    q("etl_readability_agg",
+      """SELECT lang,
+        | CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 350 THEN 'medium' ELSE 'long' END AS length_category,
+        | count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, cnt DESC, length_category""".stripMargin)(
+      EtlOps.langLengthAgg),
+
+    q("etl_clean_count",
+      """SELECT
+        | CAST(sum(CASE WHEN value BETWEEN 0 AND 10000 AND user_id >= 0 AND props IS NOT NULL AND ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS clean_rows,
+        | CAST(sum(CASE WHEN value BETWEEN 0 AND 10000 AND user_id >= 0 AND props IS NOT NULL AND ts IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS removed_rows
+        |FROM events""".stripMargin)(EtlOps.cleanCount),
+
+    q("etl_composite_scores",
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+        | round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged_price,
+        | CAST(floor(l_extendedprice / (l_quantity + 1) * 1000 + 0.5) AS BIGINT) AS value_density_milli
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)(EtlOps.compositeScores),
+
+    q("etl_summary_stats",
+      """SELECT event_type,
+        | CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid' ELSE 'high' END AS value_band,
+        | count(*) AS cnt, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, value_band""".stripMargin)(
+      EtlOps.summaryStats),
+
+    // ---- Window functions / sessionization ----
+    q("window_funcs",
+      """SELECT event_id, user_id,
+        | CAST(row_number() OVER w AS BIGINT) AS seq,
+        | CAST(floor((epoch_us(ts) - lag(epoch_us(ts), 1) OVER w) / 1000000) AS BIGINT) AS gap_s,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS cum_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin)(WindowOps.windowFuncs),
+
+    q("sessionize",
+      """WITH g AS (
+        | SELECT user_id, ts, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        | FROM events),
+        |s AS (
+        | SELECT user_id,
+        |  sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM g)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS sessions, count(*) AS events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)(
+      (s, d) => WindowOps.sessionize(s, d))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(r => r.name -> r.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(r => r.oracle.map(r.name -> _)).toMap
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ETL pipeline operators, re-expressed Spark-first.
+  *
+  * Semantics mirror the reference ETL workload
+  * (reference: analysis/etl_spark.py:119-259): data-quality assessment,
+  * `when/otherwise` categorical bucketing, single- and multi-key groupBy
+  * aggregation, range-validation cleansing, composite feature scores and the
+  * summary export aggregate — mapped onto the driver's synthetic tables
+  * (`events`, `documents`, `lineitem`).
+  *
+  * Scale notes (100 TB): every operator here is a single declarative plan —
+  * scans push filters/projections into parquet, aggregations are hash
+  * aggregates with partial (map-side) combine, and nothing ever collects to
+  * the driver. Doubles that cross the oracle boundary are rounded; money
+  * sums use decimals so results are bit-stable under any partition order.
+  */
+object EtlOps {
+
+  /** Data-quality assessment (reference: analysis/etl_spark.py:119-129):
+    * row count, null counts, invalid-range count, avg/max/min. One-row
+    * output; a single partial-aggregate pass over the table.
+    */
+  def qualityStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(col("value").isNull, 1).otherwise(0)).cast("long").as("null_value"),
+      sum(when(col("props").isNull, 1).otherwise(0)).cast("long").as("null_props"),
+      sum(when(col("value") < 0, 1).otherwise(0)).cast("long").as("invalid_value"),
+      round(avg("value"), 4).as("avg_value"),
+      round(max("value"), 2).as("max_value"),
+      round(min("value"), 2).as("min_value"))
+
+  /** Categorical bucketing columns for `documents`
+    * (reference: analysis/etl_spark.py:143-159 word_length_category /
+    * readability_level / sentiment_category buckets). Pure `when/otherwise`
+    * column expressions — fully codegen'd, no shuffle.
+    */
+  def docBuckets(df: DataFrame): DataFrame =
+    df.withColumn("length_category",
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 350, "medium")
+          .otherwise("long"))
+      .withColumn("lang_group",
+        when(col("lang") === "en", "english")
+          .when(col("lang").isin("es", "fr", "de"), "european")
+          .otherwise("other"))
+      .withColumn("source_bucket",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), "head")
+          .otherwise("tail"))
+
+  /** Per-document bucketized projection, deterministic order. */
+  def bucketize(s: SparkSession, dir: String): DataFrame =
+    docBuckets(Tables.documents(s, dir))
+      .select("doc_id", "length_category", "lang_group", "source_bucket")
+      .orderBy("doc_id")
+
+  /** Single-key groupBy aggregation ordered by count desc
+    * (reference: analysis/etl_spark.py:163-168 sentiment aggregation).
+    * Also exercises regex field extraction from the JSON props payload —
+    * a native `regexp_extract`, not a UDF, so it stays in codegen.
+    */
+  def eventTypeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg("value"), 4).as("avg_value"),
+        round(avg("k"), 4).as("avg_k"))
+      .orderBy(desc("cnt"), col("event_type"))
+
+  /** Multi-key groupBy aggregation
+    * (reference: analysis/etl_spark.py:179-183 readability × word-length).
+    */
+  def langLengthAgg(s: SparkSession, dir: String): DataFrame =
+    docBuckets(Tables.documents(s, dir))
+      .groupBy("lang", "length_category")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy(col("lang"), desc("cnt"), col("length_category"))
+
+  /** Validation filter for events
+    * (reference: analysis/etl_spark.py:194-199 cleansing ranges). */
+  def cleanFilter: Column =
+    col("value").between(0, 10000) && col("user_id") >= 0 &&
+      col("props").isNotNull && col("ts").isNotNull
+
+  /** Cleansing summary: rows kept vs removed
+    * (reference: analysis/etl_spark.py:201-203). One aggregate pass —
+    * counts both sides in a single scan instead of the reference's two
+    * `count()` actions.
+    */
+  def cleanCount(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).agg(
+      sum(when(cleanFilter, 1).otherwise(0)).cast("long").as("clean_rows"),
+      sum(when(cleanFilter, 0).otherwise(1)).cast("long").as("removed_rows"))
+
+  /** Composite arithmetic feature scores on lineitem
+    * (reference: analysis/etl_spark.py:207-212 engagement/complexity/quality
+    * scores). Rounding happens at each value's natural decimal grid (price
+    * and rates carry 2 decimals, so products live on 1e-4 / 1e-6 grids) —
+    * coarser rounding would sit on exact half-boundaries where engines'
+    * double-rounding rules diverge. The division has no decimal grid, so it
+    * is fixed-pointed with pure IEEE ops (`floor(x*1000 + 0.5)`) that every
+    * engine computes bit-identically.
+    */
+  def compositeScores(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
+          .as("charged_price"),
+        floor(col("l_extendedprice") / (col("l_quantity") + lit(1)) * 1000 + 0.5)
+          .cast("long").as("value_density_milli"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Summary-export aggregate (reference: analysis/etl_spark.py:253-259
+    * summary_stats groupBy two categoricals + avg scores): events bucketed
+    * by type × value band.
+    */
+  def summaryStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("value_band",
+        when(col("value") < 25, "low")
+          .when(col("value") < 75, "mid")
+          .otherwise("high"))
+      .groupBy("event_type", "value_band")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("event_type", "value_band")
+}

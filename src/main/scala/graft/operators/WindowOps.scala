@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function operators over the `events` stream table
+  * (reference: analysis/etl_spark.py:52 claims "Complex joins and window
+  * functions" in its pipeline op list; the rebuild makes them concrete).
+  *
+  * Scale notes: both windows partition by `user_id`, so the single shuffle
+  * is an exchange on the natural key; all per-user work then happens inside
+  * one partition with no further shuffles. Timestamps are compared in
+  * integral microseconds (`unix_micros`) so batch, streaming and the DuckDB
+  * oracle agree bit-for-bit (no float time arithmetic).
+  */
+object WindowOps {
+
+  private val byUserTime = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+
+  /** Per-event sequence number, gap to previous event (whole seconds) and
+    * running value sum within each user's timeline.
+    */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("seq", row_number().over(byUserTime).cast("long"))
+      .withColumn("gap_s",
+        floor((col("ts_us") - lag(col("ts_us"), 1).over(byUserTime)) / 1000000L))
+      .withColumn("cum_value",
+        round(sum("value").over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 3))
+      .select("event_id", "user_id", "seq", "gap_s", "cum_value")
+      .orderBy("event_id")
+
+  /** Gap-based sessionization: a new session starts after >= `gapSeconds`
+    * of inactivity; emits per-user session and event counts. The same
+    * session semantics are reused by the Structured Streaming path
+    * (graft.streaming.StreamingSessionize) with `session_window`.
+    */
+  def sessionize(s: SparkSession, dir: String, gapSeconds: Long = 1800L): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUserTime))
+      .withColumn("new_session",
+        when(col("gap_us").isNull || col("gap_us") >= gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id")
+      .agg(
+        max("session_id").cast("long").as("sessions"),
+        count(lit(1)).as("events"))
+      .orderBy("user_id")
+}
