@@ -1,24 +1,65 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness: times every registered query end-to-end against
+  * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
+  *
+  * Methodology: each query is executed with a **sort-preserving action** —
+  * a write to the `noop` datasource — so plans that end in a global orderBy
+  * pay for it (a bare `.count()` lets Catalyst's EliminateSorts drop the
+  * final sort and under-measures the real plan). Each query gets one
+  * warm-up run, then the median of 3 timed runs; queries whose warm-up
+  * exceeds [[Bench.slowCutoffSec]] get a single timed run instead to bound
+  * total wall time. A query that throws is reported with `-1` time and its
+  * error class in the `errors` map — never silently folded into the total.
+  */
 object Bench {
+  private val slowCutoffSec = 8.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark: SparkSession = GraftSession.build(cpus, "graft-bench")
+
+    def runOnce(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable =>
+          ((System.nanoTime() - t0) / 1e9, Some(e.getClass.getSimpleName))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toVector.sorted
+    val results: Vector[(String, Double, Option[String])] = names.map { n =>
+      val (warmSec, warmErr) = runOnce(n)
+      warmErr match {
+        case Some(err) => (n, -1.0, Some(err))
+        case None =>
+          val reps = if (warmSec > slowCutoffSec) 1 else 3
+          val timed = Vector.fill(reps)(runOnce(n))
+          timed.collectFirst { case (_, Some(err)) => err } match {
+            case Some(err) => (n, -1.0, Some(err))
+            case None =>
+              val sorted = timed.map(_._1).sorted
+              (n, sorted(sorted.size / 2), None)
+          }
+      }
+    }
+
+    val qs = results
+      .map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results
+      .collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration. Every harness
+  * entry point (Verify, Bench, tests) builds its session here so conf is set
+  * once, up front — never mutated mid-query (the one exception is
+  * [[Tables.events]], which defensively re-asserts `nanosAsLong` because the
+  * driver's own session reaches us through `SparkEntry.entry`).
+  *
+  * Scale notes: `shuffle.partitions` tracks the local core count here; on a
+  * real cluster it would be sized to ~2-3× total executor cores (or left to
+  * AQE coalescing, which is enabled). AQE also handles skew-join splitting
+  * at runtime, which matters for the power-law keys (`user_id`, graph hubs).
+  */
+object GraftSession {
+  def build(cpus: String, appName: String = "graft"): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

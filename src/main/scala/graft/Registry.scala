@@ -28,7 +28,7 @@ object Registry {
         | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
         | CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
         | CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_value,
-        | round(avg(value), 4) AS avg_value,
+        | round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / count(value), 4) AS avg_value,
         | round(max(value), 2) AS max_value,
         | round(min(value), 2) AS min_value
         |FROM events""".stripMargin)(EtlOps.qualityStats),
@@ -41,15 +41,20 @@ object Registry {
         |FROM documents ORDER BY doc_id""".stripMargin)(EtlOps.bucketize),
 
     q("etl_sentiment_agg",
-      """SELECT event_type, count(*) AS cnt, round(avg(value), 4) AS avg_value,
-        | round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 4) AS avg_k
-        |FROM events GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin)(
+      """WITH e AS (
+        | SELECT event_type, value,
+        |  CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+        | FROM events)
+        |SELECT event_type, count(*) AS cnt,
+        | round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / count(value), 4) AS avg_value,
+        | round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k
+        |FROM e GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin)(
       EtlOps.eventTypeAgg),
 
     q("etl_readability_agg",
       """SELECT lang,
         | CASE WHEN n_chars < 200 THEN 'short' WHEN n_chars < 350 THEN 'medium' ELSE 'long' END AS length_category,
-        | count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+        | count(*) AS cnt, round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY 1, 2 ORDER BY lang, cnt DESC, length_category""".stripMargin)(
       EtlOps.langLengthAgg),
 
@@ -69,7 +74,8 @@ object Registry {
     q("etl_summary_stats",
       """SELECT event_type,
         | CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid' ELSE 'high' END AS value_band,
-        | count(*) AS cnt, round(avg(value), 4) AS avg_value
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / count(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, value_band""".stripMargin)(
       EtlOps.summaryStats),
 
@@ -78,19 +84,19 @@ object Registry {
       """SELECT event_id, user_id,
         | CAST(row_number() OVER w AS BIGINT) AS seq,
         | CAST(floor((epoch_us(ts) - lag(epoch_us(ts), 1) OVER w) / 1000000) AS BIGINT) AS gap_s,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS cum_value
-        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS cum_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |ORDER BY event_id""".stripMargin)(WindowOps.windowFuncs),
 
     q("sessionize",
       """WITH g AS (
-        | SELECT user_id, ts, event_id,
-        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
         | FROM events),
         |s AS (
         | SELECT user_id,
         |  sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
-        |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |   OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         | FROM g)
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS sessions, count(*) AS events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)(

@@ -21,6 +21,19 @@ import graft.Tables
   */
 object EtlOps {
 
+  /** Partition-order-stable rounded mean of a double column: sum on an
+    * exact decimal basis (order-independent), one double division, one
+    * round. A straight `round(avg(double))` can flip its last digit with
+    * partition count because IEEE summation is order-dependent — this form
+    * hash-matches the oracle at any parallelism.
+    */
+  private[operators] def stableAvg(c: Column, scale: Int): Column =
+    round(sum(c.cast("decimal(25,10)")).cast("double") / count(c), scale)
+
+  /** Same for integral columns, where `sum` is already exact. */
+  private[operators] def stableAvgLong(c: Column, scale: Int): Column =
+    round(sum(c).cast("double") / count(c), scale)
+
   /** Data-quality assessment (reference: analysis/etl_spark.py:119-129):
     * row count, null counts, invalid-range count, avg/max/min. One-row
     * output; a single partial-aggregate pass over the table.
@@ -31,7 +44,7 @@ object EtlOps {
       sum(when(col("value").isNull, 1).otherwise(0)).cast("long").as("null_value"),
       sum(when(col("props").isNull, 1).otherwise(0)).cast("long").as("null_props"),
       sum(when(col("value") < 0, 1).otherwise(0)).cast("long").as("invalid_value"),
-      round(avg("value"), 4).as("avg_value"),
+      stableAvg(col("value"), 4).as("avg_value"),
       round(max("value"), 2).as("max_value"),
       round(min("value"), 2).as("min_value"))
 
@@ -70,8 +83,8 @@ object EtlOps {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("cnt"),
-        round(avg("value"), 4).as("avg_value"),
-        round(avg("k"), 4).as("avg_k"))
+        stableAvg(col("value"), 4).as("avg_value"),
+        stableAvgLong(col("k"), 4).as("avg_k"))
       .orderBy(desc("cnt"), col("event_type"))
 
   /** Multi-key groupBy aggregation
@@ -82,7 +95,7 @@ object EtlOps {
       .groupBy("lang", "length_category")
       .agg(
         count(lit(1)).as("cnt"),
-        round(avg("n_chars"), 4).as("avg_chars"))
+        stableAvgLong(col("n_chars"), 4).as("avg_chars"))
       .orderBy(col("lang"), desc("cnt"), col("length_category"))
 
   /** Validation filter for events
@@ -134,6 +147,6 @@ object EtlOps {
       .groupBy("event_type", "value_band")
       .agg(
         count(lit(1)).as("cnt"),
-        round(avg("value"), 4).as("avg_value"))
+        stableAvg(col("value"), 4).as("avg_value"))
       .orderBy("event_type", "value_band")
 }

@@ -33,9 +33,7 @@ object WindowOps {
       .orderBy("event_id")
 
   /** Gap-based sessionization: a new session starts after >= `gapSeconds`
-    * of inactivity; emits per-user session and event counts. The same
-    * session semantics are reused by the Structured Streaming path
-    * (graft.streaming.StreamingSessionize) with `session_window`.
+    * of inactivity; emits per-user session and event counts.
     */
   def sessionize(s: SparkSession, dir: String, gapSeconds: Long = 1800L): DataFrame =
     Tables.events(s, dir)
