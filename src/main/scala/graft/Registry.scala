@@ -100,7 +100,29 @@ object Registry {
         | FROM g)
         |SELECT user_id, CAST(max(session_id) AS BIGINT) AS sessions, count(*) AS events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)(
-      (s, d) => WindowOps.sessionize(s, d))
+      (s, d) => WindowOps.sessionize(s, d)),
+
+    // ---- Graph suite (reference: analysis/pagerank_spark.py, triangles_spark.py) ----
+    q("graph_degrees",
+      """WITH und AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und)
+        |SELECT src AS node, count(*) AS out_degree
+        |FROM edges GROUP BY src ORDER BY node""".stripMargin)(GraphOps.degrees),
+
+    q("pagerank", GraphOps.pagerankOracleSql(10))((s, d) => GraphOps.pagerank(s, d, 10)),
+
+    q("triangle_count",
+      """WITH e AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT count(*) AS triangles
+        |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        | JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin)(
+      GraphOps.triangleCount)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

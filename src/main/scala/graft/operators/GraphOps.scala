@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Graph workloads re-expressed Spark-first over the synthetic star schema.
+  *
+  * The reference analyses a subreddit hyperlink graph; here the declared
+  * graph is **part co-purchase**: two parts are connected when they appear
+  * in the same order (`lineitem` self-join on `l_orderkey`). The graph is
+  * sparse (avg degree ~120 at sf0.1) and scales linearly with orders.
+  *
+  * Scale notes (100 TB):
+  *  - The edge build self-joins lineitem on its natural key; per-order line
+  *    counts are bounded (~7), so pair fan-out is O(orders), never
+  *    quadratic in the table.
+  *  - PageRank (reference: analysis/pagerank_spark.py:108-208) keeps every
+  *    step declarative: edges×scores join (score side is broadcast-size
+  *    here; at billions of nodes it degrades gracefully to a shuffle hash
+  *    join on `src`), map-side partial aggregation of contributions, and a
+  *    left join for nodes with no in-edges
+  *    (reference: analysis/pagerank_spark.py:155-163). `localCheckpoint`
+  *    every 3 iterations truncates lineage so Catalyst analysis cost stays
+  *    flat across iterations.
+  *  - Triangle counting (reference: analysis/triangles_spark.py:83-106)
+  *    deliberately does NOT replicate the reference's
+  *    `dict(adjacency.collect())` driver-side broadcast — a scale-killer.
+  *    Instead: canonicalized (`src < dst`) edges, wedge self-join, then a
+  *    join against the closing edge; all distributed shuffle joins that AQE
+  *    can re-plan or skew-split at runtime.
+  *
+  * Numerical design: PageRank runs in **fixed-point integer arithmetic**
+  * (scores scaled by 1e12, floor division). Integer sums are associative
+  * and commutative, so results are bit-identical under any partition
+  * count, task order or engine — unlike IEEE double summation, which
+  * would make a 10-iteration hash-checked result flaky.
+  */
+object GraphOps {
+
+  /** Fixed-point scale for PageRank scores (1.0 == 1e12). */
+  val Scale: Long = 1000000000000L
+
+  /** Canonical undirected co-purchase edges (`src < dst`, distinct).
+    * Reference: analysis/pagerank_spark.py:86-99 builds (source, target)
+    * distinct edges from the raw table; same shape here.
+    */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(
+        li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+  }
+
+  /** Symmetrized directed edge list (both directions of every undirected
+    * edge) — the PageRank propagation graph.
+    */
+  def directedEdges(s: SparkSession, dir: String): DataFrame = {
+    val und = edges(s, dir)
+    und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Graph-build summary: per-node out-degree, ordered by node
+    * (reference: analysis/pagerank_spark.py:99 out-degree computation).
+    */
+  def degrees(s: SparkSession, dir: String): DataFrame =
+    directedEdges(s, dir)
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+      .select(col("node"), col("out_degree"))
+      .orderBy("node")
+
+  /** Fixed-iteration PageRank over the co-purchase graph
+    * (reference: analysis/pagerank_spark.py:108-208; damping 0.85 as
+    * reference default, fixed `iters` instead of sampled convergence so
+    * the result is deterministic and oracle-checkable).
+    *
+    * Emits `(node, score_fp)` where `score_fp` is the fixed-point score
+    * (true score × 1e12, floor-rounded). The symmetric graph has no
+    * dangling nodes, but the left join + coalesce keeps the reference's
+    * isolated-node handling intact.
+    */
+  def pagerank(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val dirEdges = directedEdges(s, dir)
+    val deg = dirEdges.groupBy("src").agg(count(lit(1)).as("out_degree"))
+    // Pre-join degree onto edges once; reused every iteration from cache.
+    val edgesDeg = dirEdges
+      .join(deg, "src")
+      .select(col("src"), col("dst"), col("out_degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar aggregate to the driver, not a collect
+    val teleport = (15L * Scale) / (100L * n) // Long division == SQL div
+
+    var scores = nodes.withColumn("score", lit(Scale / n))
+    for (i <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .select(
+          col("dst").as("node"),
+          expr(s"(85 * score) div (100 * out_degree)").as("contrib"))
+        .groupBy("node")
+        .agg(sum("contrib").as("contrib"))
+      scores = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score"))
+      if (i % 3 == 0 && i < iters) scores = scores.localCheckpoint()
+    }
+    scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
+  }
+
+  /** Total triangle count via canonical edge joins: wedges
+    * (a<b)⋈(b<c) closed by (a<c). One row out
+    * (reference: analysis/triangles_spark.py:103-106 total count).
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(
+        e.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** DuckDB oracle for [[pagerank]]: the same fixed-point iteration
+    * unrolled into a WITH chain. Integer ops make it bit-exact vs Spark.
+    */
+  def pagerankOracleSql(iters: Int = 10): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH und AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+        |deg AS (SELECT src, count(*) AS out_degree FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS score FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |r$i AS (
+        | SELECT nd.node,
+        |  (15::BIGINT * 1000000000000) // (100::BIGINT * (SELECT n FROM nn))
+        |   + coalesce(c.contrib, 0) AS score
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT e.dst AS node,
+        |   CAST(sum((85::BIGINT * r.score) // (100::BIGINT * d.out_degree)) AS BIGINT) AS contrib
+        |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, CAST(score AS BIGINT) AS score_fp FROM r$iters ORDER BY node""".stripMargin)
+    sb.toString
+  }
+}
