@@ -122,7 +122,65 @@ object Registry {
         |SELECT count(*) AS triangles
         |FROM e e1 JOIN e e2 ON e1.dst = e2.src
         | JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin)(
-      GraphOps.triangleCount)
+      GraphOps.triangleCount),
+
+    // ---- LLM-pipeline: exact dedup + text analysis over documents.text ----
+    q("dedup_exact",
+      """SELECT sha256(text) AS text_hash, count(*) AS copies,
+        | min(doc_id) AS survivor_id
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)(TextOps.dedupExact),
+
+    q("dedup_stats",
+      """WITH h AS (SELECT sha256(text) AS text_hash, count(*) AS c
+        | FROM documents GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS total_docs, count(*) AS distinct_texts,
+        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+        | CAST(sum(c - 1) AS BIGINT) AS dup_rows
+        |FROM h""".stripMargin)(TextOps.dedupStats),
+
+    q("text_stats",
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '\b(the|and|is|of|to|in|it|a)\b')) AS BIGINT) AS n_stopwords
+        | FROM documents)
+        |SELECT doc_id, n_tokens, n_chars_nows, n_punct, n_stopwords,
+        | (1000 * n_chars_nows) // greatest(n_tokens, 1) AS avg_token_len_milli,
+        | (1000 * n_stopwords) // greatest(n_tokens, 1) AS stopword_ratio_milli
+        |FROM t ORDER BY doc_id""".stripMargin)(TextOps.textStats),
+
+    q("lang_id",
+      """WITH s AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '\b(the|and|is|of)\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) AS BIGINT) AS s_es,
+        |  CAST(len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS BIGINT) AS s_fr,
+        |  CAST(len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS BIGINT) AS s_de
+        | FROM documents)
+        |SELECT doc_id, lang, s_en, s_es, s_fr, s_de,
+        | CASE
+        |  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |  WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+        |  WHEN s_de > 0 THEN 'de'
+        |  ELSE 'und' END AS predicted_lang,
+        | CAST(CASE
+        |  WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |  WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |  WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+        |  WHEN s_de > 0 THEN 'de'
+        |  ELSE 'und' END = lang AS BIGINT) AS is_correct
+        |FROM s ORDER BY doc_id""".stripMargin)(TextOps.langId),
+
+    q("doc_fingerprint",
+      """SELECT doc_id,
+        | list_reduce(
+        |  list_prepend(0::BIGINT,
+        |   list_transform(regexp_extract_all(text, '.'), c -> unicode(c)::BIGINT)),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)(TextOps.fingerprints)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

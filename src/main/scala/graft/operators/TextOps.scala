@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis + exact-dedup operators over `documents.text` — the
+  * LLM-training-pipeline surface (tokenize/quality/language-ID/fingerprint;
+  * reference: analysis/etl_spark.py:119-159 computes the same class of
+  * per-document text features: word counts, readability, special-char
+  * fractions).
+  *
+  * Every operator is a native Column expression (regexp_count /
+  * regexp_extract_all / sha2 / aggregate lambdas) — no UDFs, so the whole
+  * row pipeline stays inside whole-stage codegen and scales linearly with
+  * a 100 TB corpus: one parquet scan, narrow projections, and (for dedup)
+  * a single hash-partitioned shuffle on the text digest.
+  *
+  * Numerical design: ratio features are fixed-point integers
+  * (`(1000*x) div y`) instead of rounded doubles, so hash-checked results
+  * are bit-identical in any engine at any parallelism.
+  */
+object TextOps {
+
+  /** Non-whitespace token runs; no empty-string artifacts at either end. */
+  private val tokens: Column = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+
+  /** Longest-alternative-first so Java regex and RE2 agree on every match. */
+  private val stopwordsRe = "\\b(the|and|is|of|to|in|it|a)\\b"
+  private val punctRe = "[.,!?;:]"
+
+  /** Exact duplicate groups, keep-first semantics: text digest, group size,
+    * surviving doc_id. The groupBy key is `sha2(text)` — at 100 TB the
+    * shuffle carries 64-byte digests + ids, never the document bodies.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(sha2(col("text"), 256).as("text_hash"), col("doc_id"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("copies"), min("doc_id").as("survivor_id"))
+      .orderBy("text_hash")
+
+  /** Corpus-level dedup summary: one row (total docs, distinct texts,
+    * duplicate groups, rows a keep-first dedup would drop).
+    */
+  def dedupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(sha2(col("text"), 256).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).cast("long").as("total_docs"),
+        count(lit(1)).as("distinct_texts"),
+        sum(when(col("c") > 1, 1).otherwise(0)).cast("long").as("dup_groups"),
+        sum(col("c") - 1).cast("long").as("dup_rows"))
+
+  /** Per-document token/quality statistics, all integral:
+    * token count, non-whitespace chars, punctuation count, stopword count,
+    * mean token length and stopword ratio in fixed-point milli units.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(tokens).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars_nows"),
+        regexp_count(col("text"), lit(punctRe)).cast("long").as("n_punct"),
+        regexp_count(col("text"), lit(stopwordsRe)).cast("long").as("n_stopwords"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_chars_nows"), col("n_punct"),
+        col("n_stopwords"),
+        expr("(1000 * n_chars_nows) div greatest(n_tokens, 1)").as("avg_token_len_milli"),
+        expr("(1000 * n_stopwords) div greatest(n_tokens, 1)").as("stopword_ratio_milli"))
+      .orderBy("doc_id")
+
+  /** Marker-word language identification (n-gram heuristic): per-language
+    * marker counts, argmax with a fixed priority tie-break, compared to
+    * the labeled `lang`. Emits the scores so the decision is auditable.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"),
+      col("lang"),
+      regexp_count(col("text"), lit("\\b(the|and|is|of)\\b")).cast("long").as("s_en"),
+      regexp_count(col("text"), lit("\\b(el|la|de|que|y)\\b")).cast("long").as("s_es"),
+      regexp_count(col("text"), lit("\\b(le|les|et|est|une)\\b")).cast("long").as("s_fr"),
+      regexp_count(col("text"), lit("\\b(der|die|und|das|ist)\\b")).cast("long").as("s_de"))
+    scored
+      .withColumn(
+        "predicted_lang",
+        when(col("s_en") > 0 && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") > 0 && col("s_es") >= col("s_fr") &&
+            col("s_es") >= col("s_de"), "es")
+          .when(col("s_fr") > 0 && col("s_fr") >= col("s_de"), "fr")
+          .when(col("s_de") > 0, "de")
+          .otherwise("und"))
+      .withColumn("is_correct",
+        (col("predicted_lang") === col("lang")).cast("int").cast("long"))
+      .select("doc_id", "lang", "s_en", "s_es", "s_fr", "s_de",
+        "predicted_lang", "is_correct")
+      .orderBy("doc_id")
+  }
+
+  /** Per-document polynomial rolling-hash fingerprint over code points
+    * (base 31, mod 1e9+7) — order-sensitive, so near-identical docs with
+    * swapped words fingerprint differently. A pure codegen'd higher-order
+    * `aggregate` over `regexp_extract_all`, no UDF.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          regexp_extract_all(col("text"), lit("."), lit(0)),
+          lit(0L),
+          (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("fingerprint"))
+      .orderBy("doc_id")
+}
