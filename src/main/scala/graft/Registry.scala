@@ -174,6 +174,32 @@ object Registry {
         |  ELSE 'und' END = lang AS BIGINT) AS is_correct
         |FROM s ORDER BY doc_id""".stripMargin)(TextOps.langId),
 
+    // Oracle is the exact computation: inverted-index candidate pairs
+    // (share >= 1 shingle, i.e. Jaccard > 0) + exact fixed-point Jaccard.
+    // The Spark side uses MinHash-LSH candidates instead; at 32 bands x 2
+    // rows the probability a >=0.6-Jaccard pair escapes all bands is
+    // ~6e-7, and both sides verify candidates exactly, so outputs match.
+    q("dedup_minhash",
+      """WITH tok AS (
+        | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+        |  END AS shingles
+        | FROM tok),
+        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |j AS (
+        | SELECT c.doc_a, c.doc_b,
+        |  (1000 * len(list_intersect(x.shingles, y.shingles)))
+        |   // len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard_milli
+        | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+        |SELECT doc_a, doc_b, CAST(jaccard_milli AS BIGINT) AS jaccard_milli
+        |FROM j WHERE jaccard_milli >= 600 ORDER BY doc_a, doc_b""".stripMargin)(
+      MinHashOps.dedupMinhash),
+
     q("doc_fingerprint",
       """SELECT doc_id,
         | list_reduce(

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** MinHash + banded-LSH near-duplicate detection over `documents.text`.
+  *
+  * Pipeline (every step a native Column expression or a key-equi join —
+  * no UDFs, no driver-side state, never an all-pairs product):
+  *
+  *  1. word 3-gram shingles per document (distinct, space-joined);
+  *  2. 64-element MinHash signature per document — each element is
+  *     `min(xxhash64(seed_i, shingle))`, computed as a per-row `transform`
+  *     + `array_min`, so signatures cost zero shuffles;
+  *  3. banded LSH: 32 bands × 2 signature rows hashed to a bucket key;
+  *     documents sharing any band bucket become candidate pairs (an
+  *     equi-join on the bucket key — candidate volume scales with real
+  *     collisions, not with N²);
+  *  4. exact verification: candidates' shingle sets are re-joined and the
+  *     true Jaccard computed in fixed-point (`(1000*|∩|) div |∪|`), so
+  *     the emitted pairs are exact, engine-stable, and threshold-filtered.
+  *
+  * Recall: with 32 bands of 2 rows, a pair at the 0.6 Jaccard threshold
+  * is missed with probability (1-0.6²)³² ≈ 6e-7; at the ~0.9+ Jaccard of
+  * real near-dup corpora the miss rate is ~0. Precision is exact (step 4).
+  *
+  * Scale notes (100 TB): the shuffle keys are 8-byte band hashes and the
+  * verify join carries only candidate ids + shingle arrays. Degenerate
+  * buckets (boilerplate shingles) are the one skew risk — AQE skew-join
+  * splitting is on, and a production run would additionally drop buckets
+  * above a size cap, trading recall on pathological templates for bounded
+  * work.
+  */
+object MinHashOps {
+
+  val NumHashes = 64
+  val Bands = 32
+  val RowsPerBand = 2
+  require(Bands * RowsPerBand == NumHashes)
+
+  /** Distinct word-3-gram shingles; documents shorter than 3 tokens
+    * collapse to a single whole-text shingle.
+    */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .select(
+        col("doc_id"),
+        array_distinct(
+          when(size(col("toks")) < 3, array(concat_ws(" ", col("toks"))))
+            .otherwise(transform(
+              sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("shingles"))
+
+  /** 64-element MinHash signature column over a `shingles` array. */
+  private def signature: Column = {
+    val mins = (0 until NumHashes).map { i =>
+      array_min(transform(col("shingles"), sh => xxhash64(lit(i), sh)))
+    }
+    array(mins: _*)
+  }
+
+  /** Near-duplicate pairs with exact fixed-point Jaccard >= `thresholdMilli`,
+    * found via banded LSH over MinHash signatures.
+    */
+  def nearDupPairs(docs: DataFrame, thresholdMilli: Int = 600): DataFrame = {
+    val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val bandKeys = transform(
+      sequence(lit(0), lit(Bands - 1)),
+      b =>
+        xxhash64(
+          b,
+          element_at(col("sig"), b * RowsPerBand + 1),
+          element_at(col("sig"), b * RowsPerBand + 2)))
+
+    val buckets = sh
+      .select(col("doc_id"), signature.as("sig"))
+      .select(col("doc_id"), explode(bandKeys).as("bucket"))
+
+    val candidates = buckets.as("x")
+      .join(
+        buckets.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        expr("(1000 * size(array_intersect(sh_a, sh_b))) div size(array_union(sh_a, sh_b))")
+          .as("jaccard_milli"))
+      .filter(col("jaccard_milli") >= thresholdMilli)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Registered-query entry over the `documents` table. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Tables.documents(s, dir))
+}
