@@ -200,6 +200,25 @@ object Registry {
         |FROM j WHERE jaccard_milli >= 600 ORDER BY doc_a, doc_b""".stripMargin)(
       MinHashOps.dedupMinhash),
 
+    // ---- LLM-pipeline: similarity search over embeddings ----
+    q("ann_topk",
+      """WITH q AS (
+        | SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        |p AS (
+        | SELECT q_id, c_id,
+        |  round(
+        |   list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(qv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(cv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS cosine_r6
+        | FROM q, c WHERE q_id <> c_id),
+        |r AS (
+        | SELECT q_id, c_id, cosine_r6,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+        | FROM p)
+        |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin)((s, d) => AnnOps.annTopK(s, d)),
+
     q("doc_fingerprint",
       """SELECT doc_id,
         | list_reduce(

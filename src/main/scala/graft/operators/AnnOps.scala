@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`embedding`:
+  * Array[Float], 64-dim).
+  *
+  * Two paths:
+  *  - [[annTopK]]: exact brute-force cosine top-k for a small, broadcast
+  *    query set — the correctness baseline. The scan side streams once
+  *    through a broadcast nested-loop join; per-pair math is a codegen'd
+  *    `zip_with`/`aggregate` fold in doubles (no UDF, no collect).
+  *  - [[annLshTopK]]: the 100 TB path — SimHash (random-hyperplane) bucket
+  *    codes built from seeded `xxhash64` pseudo-hyperplanes, candidates
+  *    drawn only from the query's bucket and its Hamming-1 neighbors
+  *    (multi-probe), exact cosine re-rank within candidates. Work scales
+  *    with bucket occupancy (~N/2^bits per probe), not with N×Q.
+  *
+  * Scores are rounded to 6 decimals before ranking so both engines rank
+  * identical keys (ties broken by candidate id).
+  */
+object AnnOps {
+
+  /** Sum of element products in doubles: sequential fold in array order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x))
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Exact top-k nearest neighbors (cosine) of the first `nQueries`
+    * vectors against the whole table, self-matches excluded.
+    */
+  def annTopK(s: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    cand
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
+      .withColumn("rank",
+        row_number()
+          .over(Window.partitionBy("q_id").orderBy(desc("cosine_r6"), col("c_id")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cosine_r6")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Deterministic pseudo-hyperplane component h[d] in [-1, 1): seeded
+    * integer hash scaled — reproducible on any cluster, no RNG state.
+    */
+  private def hyperplaneAt(h: Int, d: Column): Column =
+    (pmod(xxhash64(lit(h), d), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** SimHash bucket code (`bits` sign bits) for an embedding column. */
+  def simhashCode(vec: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { h =>
+      val proj = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), lit(63)),
+          (x, d) => x.cast("double") * hyperplaneAt(h, d)),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj >= 0, lit(1L) * (1L << h)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's SimHash
+    * bucket or differ in exactly one bit (multi-probe), then exact cosine
+    * re-rank. Returns the same schema as [[annTopK]].
+    */
+  def annLshTopK(
+      s: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nQueries: Int = 5,
+      bits: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        simhashCode(col("embedding"), bits).as("code"))
+
+    // Each query probes its own code plus every Hamming-1 neighbor code.
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        explode(concat(
+          array(col("code")),
+          transform(
+            sequence(lit(0), lit(bits - 1)),
+            b => col("code").bitwiseXOR(pow(lit(2.0), b).cast("long"))))).as("probe"))
+
+    probes
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("code").as("c_code")), col("probe") === col("c_code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
+      .distinct()
+      .withColumn("rank",
+        row_number()
+          .over(Window.partitionBy("q_id").orderBy(desc("cosine_r6"), col("c_id")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cosine_r6")
+      .orderBy("q_id", "rank")
+  }
+}
