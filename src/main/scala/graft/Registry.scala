@@ -225,7 +225,12 @@ object Registry {
         |  list_prepend(0::BIGINT,
         |   list_transform(regexp_extract_all(text, '.'), c -> unicode(c)::BIGINT)),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin)(TextOps.fingerprints)
+        |FROM documents ORDER BY doc_id""".stripMargin)(TextOps.fingerprints),
+
+    // ---- ML: KMeans (reference: analysis/kmeans_spark.py:104-162) ----
+    // Iterative MLlib fit is not oracle-SQL-expressible; the driver records
+    // a rows-only check and the scalatest suite pins determinism at sf0.001.
+    rowsOnly("kmeans_sizes")(KMeansOps.kmeansSizes)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** K-Means clustering over the 64-dim `embeddings` vectors
+  * (reference: analysis/kmeans_spark.py:104-162: VectorAssembler + MLlib
+  * KMeans, seed 42, k-means|| init, tolerance 1e-4 — the same
+  * configuration, with `array_to_vector` replacing VectorAssembler since
+  * the features already arrive as one array column).
+  *
+  * Scale notes: MLlib KMeans is the distributed Lloyd's implementation —
+  * centroids broadcast each iteration, assignments computed map-side,
+  * centroid updates via treeAggregate. No driver-side data movement
+  * beyond the k×64 centroid matrix. Cluster ids are arbitrary, so the
+  * registered query emits the size distribution (rank × size), which is
+  * stable across label permutations.
+  */
+object KMeansOps {
+
+  def fitPredictions(
+      s: SparkSession,
+      dir: String,
+      k: Int = 10,
+      maxIter: Int = 20,
+      seed: Long = 42L): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        array_to_vector(col("embedding")).as("features"))
+    val km = new KMeans()
+      .setK(k)
+      .setMaxIter(maxIter)
+      .setSeed(seed)
+      .setInitMode("k-means||")
+      .setTol(1e-4)
+      .setFeaturesCol("features")
+      .setPredictionCol("cluster")
+    km.fit(emb).transform(emb)
+  }
+
+  /** Cluster-size distribution: (rank, size), largest first
+    * (reference: analysis/kmeans_spark.py:162 cluster distribution).
+    */
+  def kmeansSizes(s: SparkSession, dir: String): DataFrame =
+    fitPredictions(s, dir)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("size"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("size"), col("cluster"))).cast("long"))
+      .select("rank", "size")
+      .orderBy("rank")
+}
