@@ -227,6 +227,15 @@ object Registry {
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin)(TextOps.fingerprints),
 
+    // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
+    q("multimodal_meta",
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | n_chars % 640 + 16 AS width,
+        | n_chars % 480 + 16 AS height,
+        | octet_length(encode(text)) // 64 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)(MultimodalOps.multimodalMeta),
+
     // ---- ML: KMeans (reference: analysis/kmeans_spark.py:104-162) ----
     // Iterative MLlib fit is not oracle-SQL-expressible; the driver records
     // a rows-only check and the scalatest suite pins determinism at sf0.001.

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Per-media extracted features (deterministic stub of a real decoder). */
+final case class MediaFeature(
+    doc_id: Long,
+    byte_len: Long,
+    head_hash: String,
+    bytes_mean_milli: Long)
+
+/** Multimodal-column handling: media (image/audio/video) carried as opaque
+  * `binary` payloads next to a typed metadata struct, with decode /
+  * feature-extraction / frame-sampling operators.
+  *
+  * The container has no media codecs, so the decode step is a STUB — a
+  * deterministic byte-level computation stands in for "decode then
+  * featurize". Everything around it is the real 100 TB contract:
+  *  - payloads live in a `binary` column (never strings — no charset
+  *    re-encode on shuffle), metadata in a narrow struct column that
+  *    filters/prunes independently of the blob;
+  *  - feature extraction is `mapPartitions` over the typed Dataset — the
+  *    same batch shape a vectorized decoder (or `mapInPandas` in PySpark)
+  *    would use, one library init per partition, streaming iterator, no
+  *    whole-partition materialization;
+  *  - frame sampling is pure Column algebra (`substring` on binary), so it
+  *    stays in codegen and prunes to the sampled frames before any wide op.
+  */
+object MultimodalOps {
+
+  val FrameBytes = 64
+
+  /** Attach the synthetic binary payload + typed metadata to each document
+    * — stands in for blobs ingested from object storage. Metadata is
+    * derived deterministically from document properties.
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (col("n_chars") % 640 + 16).cast("int").as("width"),
+        (col("n_chars") % 480 + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (octet_length(encode(col("text"), "UTF-8")) / FrameBytes + 1).cast("int")
+          .as("n_frames")).as("meta"))
+
+  /** Frame sampling: split the payload into fixed-size frames and emit
+    * every `stride`-th frame with its digest — pure binary `substring`
+    * algebra, no decode required.
+    */
+  def sampleFrames(payloads: DataFrame, stride: Int = 4): DataFrame =
+    payloads
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), expr(s"(octet_length(payload) - 1) div $FrameBytes")),
+            i => col("payload").substr(i * FrameBytes + 1, lit(FrameBytes)))))
+      .select(col("doc_id"), col("pos").as("frame_idx"), col("col").as("frame"))
+      .filter(col("frame_idx") % stride === 0)
+      .withColumn("frame_hash", md5(col("frame")))
+
+  /** STUB decode + featurize: a real deployment decodes media bytes with a
+    * native library inside this exact `mapPartitions` shape. The stand-in
+    * is deterministic byte statistics, so tests pin the plumbing.
+    */
+  def extractFeatures(s: SparkSession, payloads: DataFrame): Dataset[MediaFeature] = {
+    import s.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // One decoder init per partition would go here.
+        it.map { case (id, bytes) =>
+          val mean =
+            if (bytes.isEmpty) 0L
+            else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)) * 1000L / bytes.length
+          val head = bytes.take(FrameBytes)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(head)
+          MediaFeature(id, bytes.length.toLong, md.map("%02x".format(_)).mkString, mean)
+        }
+      }
+  }
+
+  /** Registered query: the SQL-checkable slice of the multimodal pipeline
+    * (payload sizes + metadata arithmetic; decode outputs are covered by
+    * the scalatest suite since DuckDB has no equivalent).
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    withPayload(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.n_frames").cast("long").as("n_frames"))
+      .orderBy("doc_id")
+}

@@ -33,7 +33,10 @@ object WindowOps {
       .orderBy("event_id")
 
   /** Gap-based sessionization: a new session starts after >= `gapSeconds`
-    * of inactivity; emits per-user session and event counts.
+    * of inactivity; emits per-user session and event counts. The streaming
+    * twin with the same gap semantics is
+    * [[graft.streaming.StreamingSessionize.sessions]] (session_window +
+    * watermark).
     */
   def sessionize(s: SparkSession, dir: String, gapSeconds: Long = 1800L): DataFrame =
     Tables.events(s, dir)

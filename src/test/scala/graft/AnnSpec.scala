@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AnnOps
+
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private lazy val exact = AnnOps.annTopK(spark, sf).collect()
+  private lazy val lsh = AnnOps.annLshTopK(spark, sf).collect()
+
+  test("LSH scores agree with exact scores for every returned pair") {
+    val exactScores = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // LSH re-ranks exactly, so any pair also present in the exact top-k
+    // must carry an identical rounded cosine.
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach(s => assert(s == r.getDouble(3), s"pair $key"))
+    }
+  }
+
+  test("LSH candidates recall a nontrivial share of the exact top-10") {
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshSet = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet & lshSet).size.toDouble / exactSet.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
+  test("LSH output is deterministic and rank-consistent") {
+    val again = AnnOps.annLshTopK(spark, sf).collect()
+    assert(lsh.toSeq == again.toSeq)
+    lsh.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val ranks = g.map(_.getLong(2)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+  }
+}

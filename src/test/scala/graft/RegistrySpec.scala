@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query runs at sf0.001, returns rows, and matches the
+  * structural invariants we know about the synthetic data. This is the
+  * cheap local tier below the driver's DuckDB oracle gate.
+  */
+class RegistrySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private lazy val results: Map[String, Array[org.apache.spark.sql.Row]] =
+    Registry.queries.map { case (name, fn) => name -> fn(spark, sf).collect() }
+
+  test("every registered query returns rows at sf0.001") {
+    results.foreach { case (name, rows) =>
+      assert(rows.nonEmpty, s"$name returned no rows")
+    }
+  }
+
+  test("every registered query has an oracle or a documented omission") {
+    val noOracle = Registry.queries.keySet -- Registry.oracleSql.keySet
+    assert(noOracle == Set("kmeans_sizes"), s"missing oracles: $noOracle")
+  }
+
+  test("graph_degrees covers all 200 parts with total degree = 2x edges") {
+    val rows = results("graph_degrees")
+    assert(rows.length == 200)
+    assert(rows.map(_.getLong(1)).sum == 2L * 8899) // edges counted both ways
+  }
+
+  test("pagerank conserves fixed-point probability mass") {
+    val rows = results("pagerank")
+    assert(rows.length == 200)
+    val mass = rows.map(_.getLong(1)).sum
+    // floor-division rounding only ever loses mass, never creates it
+    assert(mass <= GraphOpsScaleTotal && mass > (GraphOpsScaleTotal * 97) / 100,
+      s"mass=$mass")
+  }
+  private val GraphOpsScaleTotal = graft.operators.GraphOps.Scale
+
+  test("triangle_count matches the independently computed value") {
+    assert(results("triangle_count").head.getLong(0) == 125968L)
+  }
+
+  test("dedup_stats accounts for every document") {
+    val r = results("dedup_stats").head
+    assert(r.getLong(0) == 500L) // total_docs
+    assert(r.getLong(0) == r.getLong(1) + r.getLong(3)) // distinct + dups
+  }
+
+  test("dedup_minhash finds the planted near-duplicates with high Jaccard") {
+    val rows = results("dedup_minhash")
+    assert(rows.length == 28) // verified against exact all-pairs Jaccard
+    assert(rows.forall(_.getLong(2) >= 600))
+  }
+
+  test("ann_topk emits a full top-10 per query vector, ranks descending") {
+    val rows = results("ann_topk")
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("text_stats token counts are positive and ratios bounded") {
+    val rows = results("text_stats")
+    assert(rows.forall(_.getLong(1) > 0))
+    assert(rows.forall(r => r.getLong(6) >= 0 && r.getLong(6) <= 1000))
+  }
+
+  test("window_funcs emits one row per event") {
+    assert(results("window_funcs").length == 1000)
+  }
+
+  test("kmeans_sizes partitions all 500 vectors into 10 clusters") {
+    val rows = results("kmeans_sizes")
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).sum == 500L)
+  }
+
+  test("kmeans_sizes is deterministic across runs") {
+    val again = Registry.queries("kmeans_sizes")(spark, sf).collect()
+    assert(results("kmeans_sizes").toSeq == again.toSeq)
+  }
+}
