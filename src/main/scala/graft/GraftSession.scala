@@ -25,6 +25,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE convert shuffle joins to broadcast from RUNTIME sizes (not
+      // planner guesses): derived sides like the co-purchase edge list
+      // (~20 MB at sf0.1) broadcast here, while at 100x the same side
+      // exceeds the cap and AQE keeps the shuffle join — a decision that
+      // scales with the data instead of being hard-coded per query.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
