@@ -219,6 +219,47 @@ object Registry {
         |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin)((s, d) => AnnOps.annTopK(s, d)),
 
+    // Exact inverted-index n-gram Jaccard: same output contract as
+    // dedup_minhash (and the same oracle), but with no probabilistic stage.
+    q("dedup_ngram",
+      """WITH tok AS (
+        | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |sh AS (
+        | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+        |  END AS shingles
+        | FROM tok),
+        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |j AS (
+        | SELECT c.doc_a, c.doc_b,
+        |  (1000 * len(list_intersect(x.shingles, y.shingles)))
+        |   // len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard_milli
+        | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+        |SELECT doc_a, doc_b, CAST(jaccard_milli AS BIGINT) AS jaccard_milli
+        |FROM j WHERE jaccard_milli >= 600 ORDER BY doc_a, doc_b""".stripMargin)(
+      MinHashOps.dedupNgram),
+
+    q("dedup_simhash", SimHashOps.oracleSql)(SimHashOps.dedupSimhash),
+
+    // Oracle is brute force; the Spark side uses Hamming<=1-probed SimHash
+    // buckets + exact verify. This corpus has no embedding near-dups (max
+    // pair cosine 0.60), so both sides count zero deterministically.
+    q("dedup_embed",
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id, b.vec_id AS v2,
+        |  round(
+        |   list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS c
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT (SELECT count(*) FROM e) AS total_vecs,
+        | (SELECT count(*) FROM p WHERE c >= 0.95) AS dup_pairs""".stripMargin)(
+      (s, d) => AnnOps.embedNearDupStats(s, d)),
+
     q("doc_fingerprint",
       """SELECT doc_id,
         | list_reduce(

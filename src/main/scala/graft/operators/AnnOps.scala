@@ -62,6 +62,39 @@ object AnnOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate summary: total vectors + count of
+    * pairs with rounded cosine >= `tauMilli`/1000. Candidates come from
+    * SimHash buckets probed to Hamming<=1 per vector (covering all pairs
+    * within code distance 2 — P≈0.96 for a true 0.95-cosine pair at 8
+    * bits), then exact verification; never an N² product. One summary
+    * row so the result is meaningful even on corpora with no embedding
+    * near-dups (like this one — max pair cosine is 0.60 at sf0.1).
+    */
+  def embedNearDupStats(
+      s: SparkSession,
+      dir: String,
+      tauMilli: Int = 950,
+      bits: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        simhashCode(col("embedding"), bits).as("code"))
+    val masks: Seq[Long] = Seq(0L) ++ (0 until bits).map(1L << _)
+    val buckets = emb.select(col("vec_id"), col("embedding"),
+      explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val pairs = buckets.as("x")
+      .join(
+        buckets.as("y"),
+        col("x.probe") === col("y.probe") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.embedding").as("va"), col("y.embedding").as("vb"))
+      .distinct()
+      .filter(cosine(col("va"), col("vb")) >= tauMilli / 1000.0)
+      .select(col("a"), col("b"))
+    val total = Tables.embeddings(s, dir).select(col("vec_id"))
+    total.agg(count(lit(1)).as("total_vecs"))
+      .crossJoin(pairs.agg(count(lit(1)).as("dup_pairs")))
+  }
+
   /** Deterministic pseudo-hyperplane component h[d] in [-1, 1): seeded
     * integer hash scaled — reproducible on any cluster, no RNG state.
     */

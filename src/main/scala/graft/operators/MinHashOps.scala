@@ -105,4 +105,35 @@ object MinHashOps {
   /** Registered-query entry over the `documents` table. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(s, dir))
+
+  /** Exact n-gram-Jaccard near-dup pairs via an inverted shingle index:
+    * candidates are pairs sharing at least one shingle (exactly the
+    * Jaccard > 0 pairs), verified with the same fixed-point Jaccard.
+    * Unlike [[nearDupPairs]] there is no probabilistic stage at all.
+    *
+    * Scale notes: candidate volume is sum over shingles of C(df, 2) — at
+    * 100 TB a production run first drops stop-shingles above a document-
+    * frequency cap (they are boilerplate and only add non-dup candidates);
+    * the exact semantics here keep the oracle comparable.
+    */
+  def ngramJaccardPairs(docs: DataFrame, thresholdMilli: Int = 600): DataFrame = {
+    val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        expr("(1000 * size(array_intersect(sh_a, sh_b))) div size(array_union(sh_a, sh_b))")
+          .as("jaccard_milli"))
+      .filter(col("jaccard_milli") >= thresholdMilli)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, dir))
 }

@@ -56,6 +56,21 @@ class RegistrySpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) >= 600))
   }
 
+  test("dedup_ngram (exact) and dedup_minhash (LSH) produce identical pairs") {
+    assert(results("dedup_ngram").toSeq == results("dedup_minhash").toSeq)
+  }
+
+  test("dedup_simhash finds the near-dup cluster at low Hamming distance") {
+    val rows = results("dedup_simhash")
+    assert(rows.length == 24) // verified against the DuckDB prototype
+    assert(rows.forall(_.getLong(2) <= 3))
+  }
+
+  test("dedup_embed counts all vectors and no false dup pairs") {
+    val r = results("dedup_embed").head
+    assert(r.getLong(0) == 500L && r.getLong(1) == 0L)
+  }
+
   test("ann_topk emits a full top-10 per query vector, ranks descending") {
     val rows = results("ann_topk")
     assert(rows.length == 50)
