@@ -24,18 +24,15 @@ import graft.Tables
   */
 object AnnOps {
 
-  /** Sum of element products in doubles: sequential fold in array order. */
+  /** Sum of element products in doubles, index order — the native
+    * [[graft.functions.FloatVecDot]] expression (fused codegen loop; same
+    * accumulation sequence as a `zip_with`+`aggregate` fold, so results
+    * are bit-identical to the declarative form).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vec_dot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
