@@ -36,4 +36,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(u2.length == 1 && u2.head.getLong(3) == 1L)
     } finally query.stop()
   }
+
+  test("tumbling-window aggregation groups events into fixed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("event_type", "ts", "value")
+
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    input.addData(
+      ("click", ts(0), 1.0),
+      ("click", ts(30), 2.0),   // same 10-min window
+      ("click", ts(700), 4.0),  // next window
+      ("view", ts(10), 8.0))
+
+    val query = graft.streaming.StreamingAggregates.windowedTypeCounts(events)
+      .writeStream.format("memory").queryName("winagg_test")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("winagg_test").collect()
+      val clicks = rows.filter(_.getString(0) == "click")
+        .sortBy(_.getTimestamp(1).getTime)
+      assert(clicks.length == 2)
+      assert(clicks(0).getLong(2) == 2L && clicks(0).getDouble(3) == 3.0)
+      assert(clicks(1).getLong(2) == 1L && clicks(1).getDouble(3) == 4.0)
+      assert(rows.count(_.getString(0) == "view") == 1)
+    } finally query.stop()
+  }
 }
