@@ -118,18 +118,22 @@ object MinHashOps {
     */
   def ngramJaccardPairs(docs: DataFrame, thresholdMilli: Int = 600): DataFrame = {
     val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // Shingles are distinct per document, so the co-occurrence count IS
+    // |A∩B|, and |A∪B| = |A|+|B|-|A∩B| — the verify stage is pure
+    // aggregation over the inverted-index join; no shingle arrays are
+    // ever carried through a shuffle.
     inv.as("a")
       .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
-        expr("(1000 * size(array_intersect(sh_a, sh_b))) div size(array_union(sh_a, sh_b))")
-          .as("jaccard_milli"))
+        expr("(1000 * inter) div (na + nb - inter)").as("jaccard_milli"))
       .filter(col("jaccard_milli") >= thresholdMilli)
       .orderBy("doc_a", "doc_b")
   }
