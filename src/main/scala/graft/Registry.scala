@@ -277,6 +277,14 @@ object Registry {
         | octet_length(encode(text)) // 64 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)(MultimodalOps.multimodalMeta),
 
+    // Salted two-phase aggregation: the oracle is the PLAIN aggregate —
+    // the salt must be semantically invisible.
+    q("salted_user_stats",
+      """SELECT user_id, count(*) AS events,
+        | round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 4) AS value_sum
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)(
+      (s, d) => SkewOps.saltedUserStats(s, d)),
+
     // ---- ML: KMeans (reference: analysis/kmeans_spark.py:104-162) ----
     // Iterative MLlib fit is not oracle-SQL-expressible; the driver records
     // a rows-only check and the scalatest suite pins determinism at sf0.001.
