@@ -92,6 +92,58 @@ object AnnOps {
       .crossJoin(pairs.agg(count(lit(1)).as("dup_pairs")))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * assigns every vector to a cell; each query probes only its `nProbe`
+    * closest cells and re-ranks exactly within them. The centroid table
+    * is k×64 floats — broadcast-size at any corpus scale — and per-query
+    * work is ~nProbe/k of brute force. The IVF twin of [[annLshTopK]];
+    * pick IVF when the corpus clusters well, LSH when it doesn't.
+    */
+  def annIvfTopK(
+      s: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nQueries: Int = 5,
+      nProbe: Int = 3,
+      cells: Int = 10): DataFrame = {
+    import s.implicits._
+    val (model, preds) = KMeansOps.fit(s, dir, k = cells)
+    val assignments = preds.select(col("vec_id"), col("cluster"))
+    val emb = Tables.embeddings(s, dir).join(assignments, "vec_id")
+
+    // k x 64 floats from the fitted model: legitimately driver-side tiny.
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("cluster", "centroid")
+
+    val probed = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      // cosine to the centroid; rounded ranking + cluster-id tie-break
+      .withColumn("cell_score", cosine(col("q_vec"), col("centroid")))
+      .withColumn("cell_rank",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cell_score"), col("cluster")))
+          .cast("long"))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cluster"))
+
+    probed
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("cluster")), "cluster")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
+      .distinct()
+      .withColumn("rank",
+        row_number()
+          .over(Window.partitionBy("q_id").orderBy(desc("cosine_r6"), col("c_id")))
+          .cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cosine_r6")
+      .orderBy("q_id", "rank")
+  }
+
   /** Deterministic pseudo-hyperplane component h[d] in [-1, 1): seeded
     * integer hash scaled — reproducible on any cluster, no RNG state.
     */

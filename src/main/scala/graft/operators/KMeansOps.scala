@@ -22,12 +22,12 @@ import graft.Tables
   */
 object KMeansOps {
 
-  def fitPredictions(
+  def fit(
       s: SparkSession,
       dir: String,
       k: Int = 10,
       maxIter: Int = 20,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         array_to_vector(col("embedding")).as("features"))
@@ -39,8 +39,16 @@ object KMeansOps {
       .setTol(1e-4)
       .setFeaturesCol("features")
       .setPredictionCol("cluster")
-    km.fit(emb).transform(emb)
+    val model = km.fit(emb)
+    (model, model.transform(emb))
   }
+
+  def fitPredictions(
+      s: SparkSession,
+      dir: String,
+      k: Int = 10,
+      maxIter: Int = 20,
+      seed: Long = 42L): DataFrame = fit(s, dir, k, maxIter, seed)._2
 
   /** Cluster-size distribution: (rank, size), largest first
     * (reference: analysis/kmeans_spark.py:162 cluster distribution).

@@ -27,6 +27,25 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("IVF probes return exact scores and bounded per-query results") {
+    val ivf = AnnOps.annIvfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val exactScores = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(1)))
+        .foreach(s => assert(s == r.getDouble(3)))
+    }
+    ivf.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.length <= 10)
+      val ranks = g.map(_.getLong(2)).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+    // clustered embeddings: probing 3/10 cells should recall well
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet & ivf.map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / exactSet.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
   test("LSH output is deterministic and rank-consistent") {
     val again = AnnOps.annLshTopK(spark, sf).collect()
     assert(lsh.toSeq == again.toSeq)
