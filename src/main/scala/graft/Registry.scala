@@ -102,6 +102,37 @@ object Registry {
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)(
       (s, d) => WindowOps.sessionize(s, d)),
 
+    // ---- Complex joins (reference: analysis/etl_spark.py:52 op list) ----
+    q("join_nation_revenue",
+      """SELECT n.n_name, count(*) AS line_items,
+        | round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,10))
+        |   * (CAST(1 AS DECIMAL(25,10)) - CAST(l.l_discount AS DECIMAL(25,10)))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)(JoinOps.nationRevenue),
+
+    q("join_orders_rollup",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE), 2) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)(
+      JoinOps.ordersRollup),
+
+    q("join_customer_census",
+      """WITH w AS (
+        | SELECT c_mktsegment, count(*) AS with_orders FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1),
+        |wo AS (
+        | SELECT c_mktsegment, count(*) AS without_orders FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1)
+        |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+        | coalesce(w.with_orders, 0) AS with_orders,
+        | coalesce(wo.without_orders, 0) AS without_orders
+        |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)(JoinOps.customerOrderCensus),
+
     // ---- Graph suite (reference: analysis/pagerank_spark.py, triangles_spark.py) ----
     q("graph_degrees",
       """WITH und AS (
