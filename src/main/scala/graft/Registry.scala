@@ -316,6 +316,17 @@ object Registry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)(
       (s, d) => SkewOps.saltedUserStats(s, d)),
 
+    // Typed Aggregator top-k (bounded buffers + partial agg) vs the
+    // window-function formulation as oracle — same rows either way.
+    q("topk_events_per_type",
+      """WITH r AS (
+        | SELECT event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+        | FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin)(
+      (s, d) => TopKOps.topEventsPerType(s, d)),
+
     // ---- ML: KMeans (reference: analysis/kmeans_spark.py:104-162) ----
     // Iterative MLlib fit is not oracle-SQL-expressible; the driver records
     // a rows-only check and the scalatest suite pins determinism at sf0.001.

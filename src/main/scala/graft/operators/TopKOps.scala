@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Typed-Dataset aggregation: bounded top-k per group via a custom
+  * [[Aggregator]] used as a `TypedColumn` — the `Dataset[T]` tier of the
+  * API surface.
+  *
+  * Scale notes: because it runs through `KeyValueGroupedDataset.agg`,
+  * Spark applies it with partial aggregation — each map task reduces its
+  * rows into a k-element buffer BEFORE the shuffle, so the exchange
+  * carries at most k entries per (task, key). A window-function top-k
+  * shuffles every row to sort whole partitions; for "top 3 of millions
+  * per key" this moves orders of magnitude less data.
+  */
+object TopKOps {
+
+  type Entry = (Double, Long) // (value, event_id) — id breaks ties
+
+  final case class TopKBuffer(items: List[Entry])
+  final case class TopKOutput(items: Seq[Entry])
+
+  /** Keeps the k largest entries (value desc, id asc), associatively.
+    * Input rows are (event_type, value, event_id); the type key is
+    * handled by groupByKey, the aggregator only buffers (value, id).
+    */
+  final class TopKAggregator(k: Int)
+      extends Aggregator[(String, Double, Long), TopKBuffer, TopKOutput] {
+    private def desc(e: Entry): (Double, Long) = (-e._1, e._2)
+    override def zero: TopKBuffer = TopKBuffer(Nil)
+    override def reduce(buf: TopKBuffer, row: (String, Double, Long)): TopKBuffer =
+      TopKBuffer(((row._2, row._3) :: buf.items).sortBy(desc).take(k))
+    override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer =
+      TopKBuffer((a.items ++ b.items).sortBy(desc).take(k))
+    override def finish(r: TopKBuffer): TopKOutput = TopKOutput(r.items)
+    override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
+    override def outputEncoder: Encoder[TopKOutput] = Encoders.product[TopKOutput]
+  }
+
+  /** Top `k` events by value per event type, exploded back to rows:
+    * (event_type, rank, event_id, value) ordered by type then rank.
+    */
+  def topEventsPerType(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .filter(col("value").isNotNull)
+      .as[(String, Double, Long)]
+    val topCol = new TopKAggregator(k).toColumn
+    events
+      .groupByKey(_._1)
+      .agg(topCol.name("top"))
+      .toDF("event_type", "top")
+      .select(col("event_type"), posexplode(col("top.items")))
+      .select(
+        col("event_type"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("event_id"),
+        col("col._1").as("value"))
+      .orderBy("event_type", "rank")
+  }
+}
