@@ -79,6 +79,21 @@ object Registry {
         |FROM events GROUP BY 1, 2 ORDER BY event_type, value_band""".stripMargin)(
       EtlOps.summaryStats),
 
+    q("etl_final_metrics",
+      """WITH cs AS (
+        | SELECT round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged_price,
+        |  CAST(floor(l_extendedprice / (l_quantity + 1) * 1000 + 0.5) AS BIGINT) AS value_density_milli
+        | FROM lineitem)
+        |SELECT count(*) AS final_row_count,
+        | round(CAST(sum(CAST(net_price AS DECIMAL(25,10))) AS DOUBLE) / count(net_price), 4) AS avg_net_price,
+        | round(CAST(sum(CAST(charged_price AS DECIMAL(25,10))) AS DOUBLE) / count(charged_price), 4) AS avg_charged_price,
+        | round(CAST(sum(value_density_milli) AS DOUBLE) / count(value_density_milli), 4) AS avg_value_density_milli,
+        | max(net_price) AS max_net_price,
+        | max(charged_price) AS max_charged_price,
+        | max(value_density_milli) AS max_value_density_milli
+        |FROM cs""".stripMargin)(EtlOps.finalMetrics),
+
     // ---- Window functions / sessionization ----
     q("window_funcs",
       """SELECT event_id, user_id,

@@ -134,6 +134,21 @@ object EtlOps {
           .cast("long").as("value_density_milli"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Global final metrics over the scored rows
+    * (reference: analysis/etl_spark.py:216-224: one-row count/avg/max
+    * aggregate of the composite scores). Averages are decimal-basis so
+    * the one-row output is partition-order stable; maxima are exact.
+    */
+  def finalMetrics(s: SparkSession, dir: String): DataFrame =
+    compositeScores(s, dir).agg(
+      count(lit(1)).as("final_row_count"),
+      stableAvg(col("net_price"), 4).as("avg_net_price"),
+      stableAvg(col("charged_price"), 4).as("avg_charged_price"),
+      stableAvgLong(col("value_density_milli"), 4).as("avg_value_density_milli"),
+      max("net_price").as("max_net_price"),
+      max("charged_price").as("max_charged_price"),
+      max("value_density_milli").as("max_value_density_milli"))
+
   /** Summary-export aggregate (reference: analysis/etl_spark.py:253-259
     * summary_stats groupBy two categoricals + avg scores): events bucketed
     * by type × value band.
