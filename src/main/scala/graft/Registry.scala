@@ -94,6 +94,12 @@ object Registry {
         | max(value_density_milli) AS max_value_density_milli
         |FROM cs""".stripMargin)(EtlOps.finalMetrics),
 
+    q("etl_daily_stats",
+      """SELECT epoch_us(ts) // 86400000000 AS epoch_day, count(*) AS events,
+        | count(DISTINCT user_id) AS active_users,
+        | round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / count(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY epoch_day""".stripMargin)(WindowOps.dailyStats),
+
     // ---- Window functions / sessionization ----
     q("window_funcs",
       """SELECT event_id, user_id,

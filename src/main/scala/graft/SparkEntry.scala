@@ -2,9 +2,12 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The star join exercises the scan→broadcast-join→agg spine and needs
+    * no session-specific conf (no nanos timestamps involved).
+    */
   def entry(spark: SparkSession): DataFrame =
-    operators.EtlOps.summaryStats(spark, "/root/testdata/sf0.001")
+    operators.JoinOps.nationRevenue(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Registry.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

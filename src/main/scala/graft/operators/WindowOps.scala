@@ -19,6 +19,22 @@ object WindowOps {
 
   private val byUserTime = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
 
+  /** Calendar-time aggregation (reference: analysis/etl_spark.py:51
+    * "Time-based data aggregations"): daily event volume and value
+    * stats. Days are integral epoch-day numbers (`ts_us div 86.4e9`) so
+    * the bucketing is bit-identical in any engine and timezone-free.
+    */
+  def dailyStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("epoch_day", expr("ts_us div 86400000000"))
+      .groupBy("epoch_day")
+      .agg(
+        count(lit(1)).as("events"),
+        countDistinct(col("user_id")).as("active_users"),
+        round(sum(col("value").cast("decimal(25,10)")).cast("double") / count(col("value")), 4)
+          .as("avg_value"))
+      .orderBy("epoch_day")
+
   /** Per-event sequence number, gap to previous event (whole seconds) and
     * running value sum within each user's timeline.
     */
