@@ -34,7 +34,10 @@ object Bench {
       }
     }
 
+    // Optional comma-separated filter for quick single-query iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.keys.toVector.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results: Vector[(String, Double, Option[String])] = names.map { n =>
       val (warmSec, warmErr) = runOnce(n)
       warmErr match {

