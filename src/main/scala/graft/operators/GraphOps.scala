@@ -121,6 +121,66 @@ object GraphOps {
     scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
   }
 
+  /** Convergence-mode PageRank (reference: analysis/pagerank_spark.py:
+    * 166-191 samples an L2 norm of score deltas per iteration; here the
+    * delta is computed EXACTLY over all nodes in fixed-point, so the
+    * stopping decision is deterministic — no sampling, no float drift).
+    * Returns (iterations actually run, final scores). One scalar
+    * aggregate reaches the driver per iteration, mirroring the
+    * reference's per-iteration convergence action.
+    *
+    * `thresholdFp2` compares against the sum of squared fixed-point
+    * deltas (units of 1e-24 in true-score squared terms).
+    */
+  def pagerankConverged(
+      s: SparkSession,
+      dir: String,
+      maxIters: Int = 20,
+      thresholdFp2: Long = 1000000L): (Int, DataFrame) = {
+    val dirEdges = directedEdges(s, dir)
+    val deg = dirEdges.groupBy("src").agg(count(lit(1)).as("out_degree"))
+    val edgesDeg = dirEdges
+      .join(deg, "src")
+      .select(col("src"), col("dst"), col("out_degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val teleport = (15L * Scale) / (100L * n)
+
+    var scores = nodes.withColumn("score", lit(Scale / n)).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val contribs = edgesDeg
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .select(
+          col("dst").as("node"),
+          expr(s"(85 * score) div (100 * out_degree)").as("contrib"))
+        .groupBy("node")
+        .agg(sum("contrib").as("contrib"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score"))
+        .localCheckpoint()
+      // decimal(38,0): squared fp deltas can exceed Long range at small n
+      val delta = next.as("n")
+        .join(scores.as("o"), "node")
+        .select(
+          sum(
+            (col("n.score") - col("o.score")).cast("decimal(38,0)") *
+              (col("n.score") - col("o.score")).cast("decimal(38,0)"))
+            .as("d2"))
+        .head().getDecimal(0)
+      converged = delta.compareTo(new java.math.BigDecimal(thresholdFp2)) < 0
+      scores = next
+    }
+    (iter, scores.select(col("node"), col("score").as("score_fp")).orderBy("node"))
+  }
+
   /** Total triangle count via canonical edge joins: wedges
     * (a<b)⋈(b<c) closed by (a<c). One row out
     * (reference: analysis/triangles_spark.py:103-106 total count).

@@ -40,6 +40,16 @@ class RegistrySpec extends AnyFunSuite {
   }
   private val GraphOpsScaleTotal = graft.operators.GraphOps.Scale
 
+  test("convergence-mode pagerank stops early and conserves mass") {
+    val (iters, scoresDf) =
+      graft.operators.GraphOps.pagerankConverged(spark, sf, maxIters = 30)
+    val rows = scoresDf.collect()
+    assert(iters > 1 && iters < 30, s"iters=$iters") // converged, not capped
+    assert(rows.length == 200)
+    val mass = rows.map(_.getLong(1)).sum
+    assert(mass <= GraphOpsScaleTotal && mass > (GraphOpsScaleTotal * 97) / 100)
+  }
+
   test("triangle_count matches the independently computed value") {
     assert(results("triangle_count").head.getLong(0) == 125968L)
   }
