@@ -94,6 +94,15 @@ object Registry {
         | max(value_density_milli) AS max_value_density_milli
         |FROM cs""".stripMargin)(EtlOps.finalMetrics),
 
+    q("etl_json_props",
+      """WITH e AS (
+        | SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events)
+        |SELECT event_type, count(k) AS k_count, CAST(sum(k) AS BIGINT) AS k_sum,
+        | min(k) AS k_min, max(k) AS k_max
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)(
+      EtlOps.jsonPropsStats),
+
     q("etl_daily_stats",
       """SELECT epoch_us(ts) // 86400000000 AS epoch_day, count(*) AS events,
         | count(DISTINCT user_id) AS active_users,

@@ -134,6 +134,24 @@ object EtlOps {
           .cast("long").as("value_density_milli"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Schema'd JSON payload parsing (the production path for the `props`
+    * column — `from_json` with a declared schema stays in codegen and
+    * yields typed fields; the regexp extraction in [[eventTypeAgg]] is
+    * the schemaless fallback). Integer aggregates keep it engine-exact.
+    */
+  def jsonPropsStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("k_count"),
+        sum(col("k")).cast("long").as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
   /** Global final metrics over the scored rows
     * (reference: analysis/etl_spark.py:216-224: one-row count/avg/max
     * aggregate of the composite scores). Averages are decimal-basis so
