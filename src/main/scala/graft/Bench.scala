@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * error class in the `errors` map — never silently folded into the total.
   */
 object Bench {
-  private val slowCutoffSec = 8.0
+  private val slowCutoffSec = 4.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
