@@ -109,6 +109,22 @@ object Registry {
         | round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / count(value), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY epoch_day""".stripMargin)(WindowOps.dailyStats),
 
+    q("median_density_by_flag",
+      """WITH d AS (
+        | SELECT l_returnflag,
+        |  CAST(floor(l_extendedprice / (l_quantity + 1) * 1000 + 0.5) AS BIGINT) AS density_milli
+        | FROM lineitem),
+        |r AS (
+        | SELECT l_returnflag, density_milli,
+        |  CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY density_milli) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        | FROM d)
+        |SELECT l_returnflag,
+        | CAST(sum(density_milli) // count(*) AS BIGINT) AS median_density_milli
+        |FROM r WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(
+      WindowOps.medianDensityByFlag),
+
     // ---- Window functions / sessionization ----
     q("window_funcs",
       """SELECT event_id, user_id,

@@ -35,6 +35,29 @@ object WindowOps {
           .as("avg_value"))
       .orderBy("epoch_day")
 
+  /** Exact median (and quartile-free percentile machinery) over an
+    * integral measure, per group: rank rows, select the middle one or
+    * two, average them in integer arithmetic. No float interpolation —
+    * `percentile`/`quantile_cont` interpolate in engine-specific ways,
+    * but rank selection + `(a+b) div 2` is bit-identical everywhere.
+    * One window pass + one aggregate; both shuffle only on the group key.
+    */
+  def medianDensityByFlag(s: SparkSession, dir: String): DataFrame = {
+    val density = Tables.lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        floor(col("l_extendedprice") / (col("l_quantity") + lit(1)) * 1000 + 0.5)
+          .cast("long").as("density_milli"))
+    val w = Window.partitionBy("l_returnflag").orderBy("density_milli")
+    density
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .filter(expr("rn = (cnt + 1) div 2 OR rn = cnt div 2 + 1"))
+      .groupBy("l_returnflag")
+      .agg(expr("sum(density_milli) div count(1)").as("median_density_milli"))
+      .orderBy("l_returnflag")
+  }
+
   /** Per-event sequence number, gap to previous event (whole seconds) and
     * running value sum within each user's timeline.
     */

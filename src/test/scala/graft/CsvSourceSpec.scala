@@ -27,6 +27,22 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(back.agg(sum("event_id")).head.getLong(0) == sumOrig)
   }
 
+  test("PERMISSIVE mode keeps malformed rows observable, not fatal") {
+    val dir = Files.createTempDirectory("graft-csv3").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "id,value\n1,10.5\nnot_a_number,oops\n3,30.0\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("value", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val back = CsvSource.read(spark, s"$dir/data.csv", schema).cache()
+    assert(back.count() == 3) // bad row present, not dropped
+    val bad = back.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getString(2).startsWith("not_a_number"))
+    assert(back.filter(col("id").isNotNull).count() == 2)
+  }
+
   test("inferred-schema path matches the reference's convenience read") {
     val dir = Files.createTempDirectory("graft-csv2").toString
     Tables.documents(spark, TestSession.sf)

@@ -37,6 +37,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream join matches follow-up events inside the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+
+    val joined = graft.streaming.StreamJoins.followedWithin(
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      buys.toDF().toDF("user_id", "ts", "value"))
+    val query = joined.writeStream.format("memory")
+      .queryName("stream_join_test").outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), 1.0), (2L, ts(0), 2.0))
+      buys.addData(
+        (1L, ts(300), 10.0),  // within 600s -> match
+        (2L, ts(700), 20.0))  // outside -> no match
+      query.processAllAvailable()
+      val rows = spark.table("stream_join_test").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 1L && rows.head.getDouble(4) == 10.0)
+    } finally query.stop()
+  }
+
   test("tumbling-window aggregation groups events into fixed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
