@@ -191,6 +191,9 @@ object Registry {
 
     q("pagerank", GraphOps.pagerankOracleSql(10))((s, d) => GraphOps.pagerank(s, d, 10)),
 
+    q("connected_components", GraphOps.connectedComponentsOracleSql(8))(
+      (s, d) => GraphOps.connectedComponents(s, d, 8)),
+
     q("triangle_count",
       """WITH e AS (
         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

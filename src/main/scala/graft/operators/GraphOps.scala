@@ -181,6 +181,60 @@ object GraphOps {
     (iter, scores.select(col("node"), col("score").as("score_fp")).orderBy("node"))
   }
 
+  /** Connected components by min-label propagation: every node starts
+    * labeled with its own id and repeatedly takes the minimum label among
+    * itself and its neighbors. All-integer, so each iteration is exact;
+    * after `iters` rounds labels are correct for any component of
+    * diameter <= iters (the co-purchase graph's diameter is ~3). The
+    * oracle runs the identical unrolled algorithm, so outputs match even
+    * for hypothetical not-yet-converged nodes.
+    */
+  def connectedComponents(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val neighborMin = dirEdges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("label").as("nbr_label"))
+      labels = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
+    }
+    labels.orderBy("node")
+  }
+
+  /** DuckDB oracle for [[connectedComponents]]: identical unrolled
+    * min-label propagation.
+    */
+  def connectedComponentsOracleSql(iters: Int = 8): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH und AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |l$i AS (
+        | SELECT n.node, least(n.label, coalesce(m.nbr_label, n.label)) AS label
+        | FROM l${i - 1} n LEFT JOIN (
+        |  SELECT e.dst AS node, min(p.label) AS nbr_label
+        |  FROM edges e JOIN l${i - 1} p ON e.src = p.node
+        |  GROUP BY e.dst) m ON n.node = m.node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, label FROM l$iters ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   /** Total triangle count via canonical edge joins: wedges
     * (a<b)⋈(b<c) closed by (a<c). One row out
     * (reference: analysis/triangles_spark.py:103-106 total count).
