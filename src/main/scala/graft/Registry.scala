@@ -195,7 +195,7 @@ object Registry {
       (s, d) => GraphOps.connectedComponents(s, d, 8)),
 
     q("triangle_count",
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         | FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)

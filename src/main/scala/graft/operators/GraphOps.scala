@@ -209,21 +209,23 @@ object GraphOps {
   }
 
   /** DuckDB oracle for [[connectedComponents]]: identical unrolled
-    * min-label propagation.
+    * min-label propagation. Every chained CTE is MATERIALIZED — each
+    * level references the previous one twice, and DuckDB inlines plain
+    * CTEs, which would re-expand the whole chain 2^iters times.
     */
   def connectedComponentsOracleSql(iters: Int = 8): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH und AS (
+      """WITH und AS MATERIALIZED (
         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         | FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-        |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin)
+        |edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(s""",
-        |l$i AS (
+        |l$i AS MATERIALIZED (
         | SELECT n.node, least(n.label, coalesce(m.nbr_label, n.label)) AS label
         | FROM l${i - 1} n LEFT JOIN (
         |  SELECT e.dst AS node, min(p.label) AS nbr_label
@@ -255,18 +257,18 @@ object GraphOps {
   def pagerankOracleSql(iters: Int = 10): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH und AS (
+      """WITH und AS MATERIALIZED (
         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         | FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
-        |deg AS (SELECT src, count(*) AS out_degree FROM edges GROUP BY src),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS score FROM nodes)""".stripMargin)
+        |edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS out_degree FROM edges GROUP BY src),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        |r0 AS MATERIALIZED (SELECT node, 1000000000000 // (SELECT n FROM nn) AS score FROM nodes)""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(s""",
-        |r$i AS (
+        |r$i AS MATERIALIZED (
         | SELECT nd.node,
         |  (15::BIGINT * 1000000000000) // (100::BIGINT * (SELECT n FROM nn))
         |   + coalesce(c.contrib, 0) AS score
