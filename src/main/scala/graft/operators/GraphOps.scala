@@ -189,7 +189,7 @@ object GraphOps {
     * oracle runs the identical unrolled algorithm, so outputs match even
     * for hypothetical not-yet-converged nodes.
     */
-  def connectedComponents(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+  def connectedComponents(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -213,7 +213,7 @@ object GraphOps {
     * level references the previous one twice, and DuckDB inlines plain
     * CTEs, which would re-expand the whole chain 2^iters times.
     */
-  def connectedComponentsOracleSql(iters: Int = 8): String = {
+  def connectedComponentsOracleSql(iters: Int = 5): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH und AS MATERIALIZED (
