@@ -203,7 +203,12 @@ object GraphOps {
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      if (i % 4 == 0 && i < iters) labels = labels.localCheckpoint()
+      // Each level references the previous labels twice and Spark does
+      // not share common subplans across joins, so an unchecked chain
+      // re-expands 2^iters times (same blowup the DuckDB oracle hit
+      // before MATERIALIZED). Checkpointing the tiny per-node frame
+      // every round keeps the plan linear.
+      if (i < iters) labels = labels.localCheckpoint()
     }
     labels.orderBy("node")
   }
