@@ -19,7 +19,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the real core count: an unset env var must mean "use the
+    // box", not a silent local[4] that quarters shuffle parallelism and
+    // invalidates every number printed below.
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark: SparkSession = GraftSession.build(cpus, "graft-bench")
 
     def runOnce(name: String): (Double, Option[String]) = {
@@ -31,6 +35,11 @@ object Bench {
       } catch {
         case e: Throwable =>
           ((System.nanoTime() - t0) / 1e9, Some(e.getClass.getSimpleName))
+      } finally {
+        // Iterative queries persist intermediate frames; dropping them
+        // between runs keeps the 34-query session from accumulating caches
+        // (and silences "Asked to cache already cached data" on reruns).
+        spark.sharedState.cacheManager.clearCache()
       }
     }
 

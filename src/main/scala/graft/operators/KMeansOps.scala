@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -53,12 +52,26 @@ object KMeansOps {
   /** Cluster-size distribution: (rank, size), largest first
     * (reference: analysis/kmeans_spark.py:162 cluster distribution).
     */
-  def kmeansSizes(s: SparkSession, dir: String): DataFrame =
-    fitPredictions(s, dir)
+  def kmeansSizes(s: SparkSession, dir: String): DataFrame = {
+    val sizes = fitPredictions(s, dir)
       .groupBy("cluster")
       .agg(count(lit(1)).as("size"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(desc("size"), col("cluster"))).cast("long"))
+    // Rank the k-row frame by counting strictly-ahead rows in a k×k self
+    // join instead of an unpartitioned window: same deterministic
+    // (size desc, cluster) order, but no single-partition WindowExec (the
+    // global-window warning fires even when the frame is k=10 rows, and a
+    // constant partition key gets folded away).
+    val other = sizes.select(
+      col("cluster").as("o_cluster"), col("size").as("o_size"))
+    sizes
+      .crossJoin(other)
+      .groupBy("cluster", "size")
+      .agg((sum(
+        when(
+          col("o_size") > col("size") ||
+            (col("o_size") === col("size") && col("o_cluster") < col("cluster")),
+          1L).otherwise(0L)) + 1L).cast("long").as("rank"))
       .select("rank", "size")
       .orderBy("rank")
+  }
 }

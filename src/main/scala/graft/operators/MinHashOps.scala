@@ -18,20 +18,23 @@ import graft.Tables
   *     documents sharing any band bucket become candidate pairs (an
   *     equi-join on the bucket key — candidate volume scales with real
   *     collisions, not with N²);
-  *  4. exact verification: candidates' shingle sets are re-joined and the
-  *     true Jaccard computed in fixed-point (`(1000*|∩|) div |∪|`), so
-  *     the emitted pairs are exact, engine-stable, and threshold-filtered.
+  *  4. exact verification: |A∩B| per candidate pair is computed by joining
+  *     an inverted index of 8-byte shingle hashes onto the pairs and
+  *     counting co-occurrences, then the true Jaccard in fixed-point
+  *     (`(1000*|∩|) div (|A|+|B|-|∩|)`) — exact, engine-stable,
+  *     threshold-filtered.
   *
   * Recall: with 32 bands of 2 rows, a pair at the 0.6 Jaccard threshold
   * is missed with probability (1-0.6²)³² ≈ 6e-7; at the ~0.9+ Jaccard of
   * real near-dup corpora the miss rate is ~0. Precision is exact (step 4).
   *
-  * Scale notes (100 TB): the shuffle keys are 8-byte band hashes and the
-  * verify join carries only candidate ids + shingle arrays. Degenerate
-  * buckets (boilerplate shingles) are the one skew risk — AQE skew-join
-  * splitting is on, and a production run would additionally drop buckets
-  * above a size cap, trading recall on pathological templates for bounded
-  * work.
+  * Scale notes (100 TB): nothing wider than an id or an 8-byte hash moves
+  * through any shuffle — band keys for candidates, (doc_id, shingle-hash)
+  * pairs for the verify — never document text or shingle arrays.
+  * Degenerate buckets (boilerplate shingles) are the one skew risk — AQE
+  * skew-join splitting is on, and a production run would additionally drop
+  * buckets above a size cap, trading recall on pathological templates for
+  * bounded work.
   */
 object MinHashOps {
 
@@ -102,14 +105,29 @@ object MinHashOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
+    // Verify stage: shingles are distinct per document, so counting the
+    // (doc_a, doc_b, hash) co-occurrences of an inverted hash index IS
+    // |A∩B|, and |A∪B| = |A|+|B|-|A∩B|. Seed -1 keeps this hash family
+    // disjoint from the 64 signature seeds; a 64-bit cross-shingle
+    // collision inside one pair's union (~|A||B|/2^64) is far below the
+    // banding miss rate, so exactness vs the string-based oracle holds.
+    // LSH false-positive candidates sharing zero shingles drop out of the
+    // inner join — correct, their Jaccard is 0.
+    val inv = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(lit(-1), col("s")).as("h"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
     candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(inv.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(inv.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
-        expr("(1000 * size(array_intersect(sh_a, sh_b))) div size(array_union(sh_a, sh_b))")
-          .as("jaccard_milli"))
+        expr("(1000 * inter) div (na + nb - inter)").as("jaccard_milli"))
       .filter(col("jaccard_milli") >= thresholdMilli)
       .orderBy("doc_a", "doc_b")
   }
