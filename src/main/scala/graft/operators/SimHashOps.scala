@@ -8,61 +8,84 @@ import graft.Tables
   *
   * Every document gets a `Bits`-bit signature: bit j is the sign of
   * Σ over its shingles of ±1 according to bit j of a polynomial shingle
-  * hash (base 31, mod 1e9+7 — the same hash family as
-  * [[TextOps.fingerprints]], so the whole computation is expressible in
-  * the DuckDB oracle and bit-exact across engines). Near-dup candidates
-  * come from banded code equality (5 bands × 6 bits — by pigeonhole any
-  * pair within Hamming distance 4 shares at least one intact band, so
-  * recall at the ≤3 threshold is exact, not probabilistic); candidates
-  * are verified with `bit_count(xor)`.
+  * hash. Two independent hash families supply the bits — base 31 mod
+  * 1e9+7 for bits 0-29 and base 131 mod 1e9+9 for bits 30-59 — the same
+  * hash construction as [[TextOps.fingerprints]], so the whole
+  * computation is expressible in the DuckDB oracle and bit-exact across
+  * engines. Near-dup candidates come from banded code equality
+  * ([[Bands]] bands × [[BandBits]] bits — by pigeonhole any pair within
+  * Hamming distance [[Bands]]-1 shares at least one intact band, so
+  * recall at the ≤[[MaxHamming]] threshold is exact, not probabilistic);
+  * candidates are verified with `bit_count(xor)`.
   *
   * Scale notes: signatures are per-row Column algebra (zero shuffle);
-  * the only shuffle is the 8-byte band-key equi-join, whose volume
-  * scales with real signature collisions. Unlike MinHash-LSH the
-  * verification needs only the two 30-bit codes, not the shingle sets —
-  * the cheapest of the near-dup families at 100 TB.
+  * the only shuffle is the 8-byte band-key equi-join, and verification
+  * needs only the two 60-bit codes, never the shingle sets — the
+  * cheapest of the near-dup families at 100 TB. Candidate volume is
+  * Σ over buckets of C(occupancy, 2) with 2^[[BandBits]] = 4096 bucket
+  * values per band, suited to ~1e6-1e7 docs per partition of the corpus;
+  * at larger N the (Bits, Bands, BandBits) triple is the dial — widen
+  * BandBits (and Bits = Bands × BandBits) with log2(N) to hold bucket
+  * occupancy flat while keeping the pigeonhole recall bound at
+  * Hamming ≤ Bands-1.
   */
 object SimHashOps {
 
-  val Bits = 30
+  val Bits = 60
   val Bands = 5
-  val BandBits = 6
-  val MaxHamming = 3
-  private val Mod = 1000000007L
+  val BandBits = 12
+  val MaxHamming = 4
+  require(Bands * BandBits == Bits && MaxHamming <= Bands - 1)
+
+  /** Low/high bit halves come from independent polynomial hash families. */
+  private val HalfBits = 30
+  private val Mod1 = 1000000007L
+  private val Mod2 = 1000000009L
+  private val Base1 = 31
+  private val Base2 = 131
 
   /** Polynomial hash per shingle (matches the oracle's list_reduce). */
-  private def shingleHashes: Column =
+  private def shingleHashes(base: Int, mod: Long): Column =
     transform(
       col("shingles"),
       t =>
         aggregate(
           regexp_extract_all(t, lit("."), lit(0)),
           lit(0L),
-          (acc, c) => (acc * 31 + ascii(c)) % Mod))
+          (acc, c) => (acc * base + ascii(c)) % mod))
 
-  /** The SimHash code: sign bit per position over the hash multiset. */
+  /** One signature bit: sign of the ±1 sum over bit `srcBit` of `hsCol`. */
+  private def bitTerm(hsCol: String, srcBit: Int, outBit: Int): Column = {
+    val bitSum = aggregate(
+      col(hsCol),
+      lit(0L),
+      (acc, h) => acc + (shiftright(h, srcBit).bitwiseAND(lit(1L)) * 2 - 1))
+    when(bitSum >= 0, lit(1L << outBit)).otherwise(lit(0L))
+  }
+
+  /** The 60-bit SimHash code over the two hash multisets. */
   private def simhashCode: Column =
-    (0 until Bits).map { j =>
-      val bitSum = aggregate(
-        col("hs"),
-        lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(bitSum >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    ((0 until HalfBits).map(j => bitTerm("hs1", j, j)) ++
+      (HalfBits until Bits).map(j => bitTerm("hs2", j - HalfBits, j)))
+      .reduce(_ + _)
 
-  /** Near-dup pairs with Hamming distance <= [[MaxHamming]]. */
-  def nearDupPairs(docs: DataFrame): DataFrame = {
-    val codes = MinHashOps.shingleSets(docs)
-      .select(col("doc_id"), shingleHashes.as("hs"))
+  private def codes(docs: DataFrame): DataFrame =
+    MinHashOps.shingleSets(docs)
+      .select(
+        col("doc_id"),
+        shingleHashes(Base1, Mod1).as("hs1"),
+        shingleHashes(Base2, Mod2).as("hs2"))
       .select(col("doc_id"), simhashCode.cast("long").as("code"))
 
+  /** Candidate pairs (sharing ≥1 band) with both codes attached. */
+  private def candidatesWithCodes(docs: DataFrame): DataFrame = {
     // One 8-byte key per band: band index folded into the band value.
     val bandKeys = array((0 until Bands).map { b =>
       shiftright(col("code"), BandBits * b)
         .bitwiseAND(lit((1L << BandBits) - 1)) + lit(b.toLong * (1L << BandBits))
     }: _*)
-
-    val buckets = codes.select(col("doc_id"), col("code"), explode(bandKeys).as("band"))
+    val buckets = codes(docs)
+      .select(col("doc_id"), col("code"), explode(bandKeys).as("band"))
     buckets.as("x")
       .join(
         buckets.as("y"),
@@ -73,27 +96,41 @@ object SimHashOps {
         col("x.code").as("ca"),
         col("y.code").as("cb"))
       .distinct()
+  }
+
+  /** Distinct band-collision candidate pairs — exposed so tests can pin
+    * candidate volume ≪ C(N,2) (the whole point of the banded key space).
+    */
+  def bandCandidates(docs: DataFrame): DataFrame =
+    candidatesWithCodes(docs).select(col("doc_a"), col("doc_b"))
+
+  /** Near-dup pairs with Hamming distance <= [[MaxHamming]]. */
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    candidatesWithCodes(docs)
       .select(
         col("doc_a"),
         col("doc_b"),
         bit_count(col("ca").bitwiseXOR(col("cb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= MaxHamming)
       .orderBy("doc_a", "doc_b")
-  }
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(s, dir))
 
   /** DuckDB oracle: the identical algorithm, unrolled. */
   def oracleSql: String = {
-    val bitSum = (0 until Bits).map { j =>
-      s"(CASE WHEN list_sum(list_transform(hs, h -> 2*((h >> $j) & 1) - 1)) >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
+    def half(hsCol: String, outOffset: Int): String =
+      (0 until HalfBits).map { j =>
+        s"(CASE WHEN list_sum(list_transform($hsCol, h -> 2*((h >> $j) & 1) - 1)) >= 0 THEN ${1L << (j + outOffset)} ELSE 0 END)"
+      }.mkString(" + ")
+    val bitSum = half("hs1", 0) + " + " + half("hs2", HalfBits)
     val mask = (1L << BandBits) - 1
     val bandSel = (0 until Bands)
       .map(b => s"((code >> ${BandBits * b}) & $mask) + ${b.toLong * (1L << BandBits)} AS b$b")
       .mkString(", ")
     val bandJoin = (0 until Bands).map(b => s"(a.b$b = c.b$b)").mkString(" OR ")
+    def polySql(base: Int, mod: Long): String =
+      s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(t,''), c -> unicode(c)::BIGINT)), (acc, x) -> (acc * $base + x) % $mod)"
     s"""WITH tok AS (
        | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
        |sh AS (
@@ -102,9 +139,9 @@ object SimHashOps {
        |  END AS shingles
        | FROM tok),
        |hsh AS (
-       | SELECT doc_id, list_transform(shingles,
-       |  t -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(t,''), c -> unicode(c)::BIGINT)),
-       |       (acc, x) -> (acc * 31 + x) % $Mod)) AS hs
+       | SELECT doc_id,
+       |  list_transform(shingles, t -> ${polySql(Base1, Mod1)}) AS hs1,
+       |  list_transform(shingles, t -> ${polySql(Base2, Mod2)}) AS hs2
        | FROM sh),
        |codes AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS code FROM hsh),
        |cb AS (SELECT doc_id, code, $bandSel FROM codes),

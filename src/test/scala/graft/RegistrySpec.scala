@@ -72,8 +72,8 @@ class RegistrySpec extends AnyFunSuite {
 
   test("dedup_simhash finds the near-dup cluster at low Hamming distance") {
     val rows = results("dedup_simhash")
-    assert(rows.length == 24) // verified against the DuckDB prototype
-    assert(rows.forall(_.getLong(2) <= 3))
+    assert(rows.length == 17) // verified against the DuckDB prototype (60-bit code)
+    assert(rows.forall(_.getLong(2) <= graft.operators.SimHashOps.MaxHamming))
   }
 
   test("dedup_embed counts all vectors and no false dup pairs") {
