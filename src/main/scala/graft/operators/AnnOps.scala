@@ -59,37 +59,85 @@ object AnnOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Default code width for the registered `dedup_embed` query — the
+    * oracle SQL is generated from the same constant, so the two sides run
+    * the identical bucketed algorithm (not an exact oracle vs a
+    * probabilistic query, which would only agree while the corpus happens
+    * to contain no near-dup pairs).
+    */
+  val DefaultEmbedBits = 10
+
   /** Embedding-cosine near-duplicate summary: total vectors + count of
     * pairs with rounded cosine >= `tauMilli`/1000. Candidates come from
-    * SimHash buckets probed to Hamming<=1 per vector (covering all pairs
-    * within code distance 2 — P≈0.96 for a true 0.95-cosine pair at 8
-    * bits), then exact verification; never an N² product. One summary
-    * row so the result is meaningful even on corpora with no embedding
-    * near-dups (like this one — max pair cosine is 0.60 at sf0.1).
+    * SimHash buckets probed to Hamming<=1 per vector, then exact cosine
+    * verification; never an N² product. Only (vec_id, code) pairs move
+    * through the candidate shuffle — embeddings are joined back by id
+    * for the verify stage. One summary row so the result is meaningful
+    * even on corpora with no embedding near-dups (like this one — max
+    * pair cosine is 0.60 at sf0.1).
     */
   def embedNearDupStats(
       s: SparkSession,
       dir: String,
       tauMilli: Int = 950,
-      bits: Int = 8): DataFrame = {
+      bits: Int = DefaultEmbedBits): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        simhashCode(col("embedding"), bits).as("code"))
+    val coded = emb.select(col("vec_id"), simhashCode(col("embedding"), bits).as("code"))
     val masks: Seq[Long] = Seq(0L) ++ (0 until bits).map(1L << _)
-    val buckets = emb.select(col("vec_id"), col("embedding"),
+    val probes = coded.select(col("vec_id"),
       explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("probe"))
-    val pairs = buckets.as("x")
+    val cand = probes.as("x")
       .join(
-        buckets.as("y"),
-        col("x.probe") === col("y.probe") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        col("x.embedding").as("va"), col("y.embedding").as("vb"))
+        coded.as("y"),
+        col("x.probe") === col("y.code") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
-      .filter(cosine(col("va"), col("vb")) >= tauMilli / 1000.0)
-      .select(col("a"), col("b"))
-    val total = Tables.embeddings(s, dir).select(col("vec_id"))
-    total.agg(count(lit(1)).as("total_vecs"))
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .filter(cosine(col("ea"), col("eb")) >= tauMilli / 1000.0)
+    emb.agg(count(lit(1)).as("total_vecs"))
       .crossJoin(pairs.agg(count(lit(1)).as("dup_pairs")))
+  }
+
+  /** [[embedNearDupStats]] with the code width sized from the corpus —
+    * the 100 TB entry point (one scalar count() action, then ~log2(N)
+    * bits so bucket occupancy stays flat).
+    */
+  def embedNearDupStatsAuto(
+      s: SparkSession,
+      dir: String,
+      tauMilli: Int = 950,
+      targetBucket: Long = 16L): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    embedNearDupStats(s, dir, tauMilli, bitsFor(n, targetBucket))
+  }
+
+  /** DuckDB oracle for [[embedNearDupStats]]: the identical fixed-point
+    * bucketed algorithm, unrolled — quantized projections, Hamming<=1
+    * probes, exact cosine verify.
+    */
+  def embedOracleSql(bits: Int = DefaultEmbedBits, tauMilli: Int = 950): String = {
+    def projSql(h: Int): String =
+      s"list_sum(list_transform(range(0, 64), d -> q[CAST(d + 1 AS INT)] * (((${h.toLong * 1000003L} + d + 1) * 2654435761) % 2000003 - 1000001)))"
+    val bitSum = (0 until bits)
+      .map(h => s"(CASE WHEN ${projSql(h)} >= 0 THEN ${1L << h} ELSE 0 END)")
+      .mkString(" + ")
+    val masks = (Seq(0L) ++ (0 until bits).map(1L << _)).mkString("[", ", ", "]")
+    val tau = tauMilli / 1000.0
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |xq AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q FROM e),
+       |codes AS (SELECT vec_id, CAST($bitSum AS BIGINT) AS code FROM xq),
+       |probes AS (SELECT vec_id, xor(code, unnest($masks)) AS probe FROM codes),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       | FROM probes a JOIN codes b ON a.probe = b.code AND a.vec_id < b.vec_id),
+       |p AS (SELECT c.va, c.vb,
+       | round(list_sum(list_transform(list_zip(x.embedding, y.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS c
+       | FROM cand c JOIN e x ON c.va = x.vec_id JOIN e y ON c.vb = y.vec_id)
+       |SELECT (SELECT count(*) FROM e) AS total_vecs,
+       | (SELECT count(*) FROM p WHERE c >= $tau) AS dup_pairs""".stripMargin
   }
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
@@ -144,25 +192,44 @@ object AnnOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Deterministic pseudo-hyperplane component h[d] in [-1, 1): seeded
-    * integer hash scaled — reproducible on any cluster, no RNG state.
+  /** Deterministic integer hyperplane weight w(h,d) in [-1000001, 1000001]:
+    * a Knuth multiplicative hash on (h,d). All operands stay positive
+    * before the final shift, so `%` (remainder) agrees between Spark and
+    * DuckDB, and every step is BIGINT — no RNG state, no float.
     */
-  private def hyperplaneAt(h: Int, d: Column): Column =
-    (pmod(xxhash64(lit(h), d), lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+  private def weightAt(h: Int, d: Column): Column =
+    ((lit(h.toLong * 1000003L) + d + lit(1L)) * lit(2654435761L)) % lit(2000003L) -
+      lit(1000001L)
 
-  /** SimHash bucket code (`bits` sign bits) for an embedding column. */
+  /** SimHash bucket code (`bits` sign bits) for an embedding column.
+    *
+    * The projection is computed entirely in fixed-point integers: each
+    * float component is quantized to `floor(x * 2^20)` (float→double is
+    * exact, floor is deterministic), multiplied by the integer hyperplane
+    * weight, and summed as BIGINTs — an order-independent, bit-exact sign
+    * in any engine, so the DuckDB oracle can mirror the bucketing
+    * verbatim instead of trusting float summation order.
+    */
   def simhashCode(vec: Column, bits: Int): Column = {
+    val xq = transform(vec, x => floor(x.cast("double") * lit(1048576.0)))
     val bitCols = (0 until bits).map { h =>
       val proj = aggregate(
-        zip_with(
-          vec,
-          sequence(lit(0), lit(63)),
-          (x, d) => x.cast("double") * hyperplaneAt(h, d)),
-        lit(0.0),
+        zip_with(xq, sequence(lit(0L), lit(63L)), (q, d) => q * weightAt(h, d)),
+        lit(0L),
         (acc, x) => acc + x)
-      when(proj >= 0, lit(1L) * (1L << h)).otherwise(lit(0L))
+      when(proj >= 0, lit(1L << h)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
+  }
+
+  /** Corpus-scaled code width: ~log2(n / targetBucket) bits, floored at 8
+    * and capped at 40, so expected bucket occupancy stays ~targetBucket as
+    * the corpus grows — the knob that keeps bucketed candidate volume
+    * linear in N instead of quadratic (a fixed width is N²/2^bits).
+    */
+  def bitsFor(n: Long, targetBucket: Long = 16L): Int = {
+    val buckets = math.max(1L, n / math.max(1L, targetBucket))
+    math.min(40, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
   }
 
   /** LSH-bucketed approximate top-k: candidates share the query's SimHash
