@@ -35,11 +35,6 @@ object Bench {
       } catch {
         case e: Throwable =>
           ((System.nanoTime() - t0) / 1e9, Some(e.getClass.getSimpleName))
-      } finally {
-        // Iterative queries persist intermediate frames; dropping them
-        // between runs keeps the 34-query session from accumulating caches
-        // (and silences "Asked to cache already cached data" on reruns).
-        spark.sharedState.cacheManager.clearCache()
       }
     }
 
@@ -48,10 +43,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toVector.sorted
       .filter(n => only.forall(_.contains(n)))
     val results: Vector[(String, Double, Option[String])] = names.map { n =>
-      val (warmSec, warmErr) = runOnce(n)
-      warmErr match {
-        case Some(err) => (n, -1.0, Some(err))
-        case None =>
+      val out = runOnce(n) match {
+        case (_, Some(err)) => (n, -1.0, Some(err))
+        case (warmSec, None) =>
           val reps = if (warmSec > slowCutoffSec) 1 else 3
           val timed = Vector.fill(reps)(runOnce(n))
           timed.collectFirst { case (_, Some(err)) => err } match {
@@ -61,6 +55,13 @@ object Bench {
               (n, sorted(sorted.size / 2), None)
           }
       }
+      // Clear between QUERIES, not between reps: iterative queries persist
+      // intermediate frames, and the warm-up run is supposed to leave them
+      // warm for the timed reps (clearing per-rep silently turned the
+      // medians into cold-cache numbers in r4); clearing here still keeps
+      // the 34-query session from accumulating 34 queries' worth of caches.
+      spark.sharedState.cacheManager.clearCache()
+      out
     }
 
     val qs = results

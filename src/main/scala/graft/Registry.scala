@@ -327,20 +327,13 @@ object Registry {
 
     q("dedup_simhash", SimHashOps.oracleSql)(SimHashOps.dedupSimhash),
 
-    // Oracle is brute force; the Spark side uses Hamming<=1-probed SimHash
-    // buckets + exact verify. This corpus has no embedding near-dups (max
-    // pair cosine 0.60), so both sides count zero deterministically.
-    q("dedup_embed",
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |p AS (
-        | SELECT a.vec_id, b.vec_id AS v2,
-        |  round(
-        |   list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-        |      * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS c
-        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT (SELECT count(*) FROM e) AS total_vecs,
-        | (SELECT count(*) FROM p WHERE c >= 0.95) AS dup_pairs""".stripMargin)(
+    // Oracle is the identical bucketed algorithm, unrolled from the same
+    // constants (fixed-point SimHash codes, Hamming<=1 probes, exact
+    // cosine verify) — so query and oracle share the recall profile and
+    // the gate stays meaningful on corpora that DO contain near-dups,
+    // instead of an exact-vs-probabilistic pair that only agrees while
+    // the corpus happens to have none.
+    q("dedup_embed", AnnOps.embedOracleSql(AnnOps.DefaultEmbedBits))(
       (s, d) => AnnOps.embedNearDupStats(s, d)),
 
     q("doc_fingerprint",

@@ -77,9 +77,18 @@ case class FloatVecDot(left: Expression, right: Expression)
   */
 object GraftFunctions {
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions.call_function
+  import org.apache.spark.sql.functions.{call_function, lit}
 
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def poly_hash(s: Column, base: Int, mod: Long): Column =
+    call_function("poly_hash", s, lit(base), lit(mod))
+
+  def simhash_pack(hashes: Column, bits: Int, outOffset: Int): Column =
+    call_function("simhash_pack", hashes, lit(bits), lit(outOffset))
+
+  def vec_simhash(vec: Column, bits: Int): Column =
+    call_function("vec_simhash", vec, lit(bits))
 }
 
 /** Session extension registering the engine's native functions; installed
@@ -88,11 +97,56 @@ object GraftFunctions {
   * resolve without touching internal APIs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  /** Compile-time-constant argument: these expressions specialize their
+    * generated loop on it, so it must be a literal integer in the call.
+    */
+  private def intArg(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name must be an integer literal, got ${other.sql}")
+  }
+
+  private def longArg(name: String, e: Expression): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name must be an integer literal, got ${other.sql}")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
         (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("poly_hash"),
+        new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+        (children: Seq[Expression]) =>
+          PolyHash(
+            children(0),
+            intArg("poly_hash base", children(1)),
+            longArg("poly_hash mod", children(2)))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash_pack"),
+        new ExpressionInfo(classOf[SimHashPack].getName, "simhash_pack"),
+        (children: Seq[Expression]) =>
+          SimHashPack(
+            children(0),
+            intArg("simhash_pack bits", children(1)),
+            intArg("simhash_pack outOffset", children(2)))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_simhash"),
+        new ExpressionInfo(classOf[VecSimHash].getName, "vec_simhash"),
+        (children: Seq[Expression]) =>
+          VecSimHash(children(0), intArg("vec_simhash bits", children(1)))))
   }
 }

@@ -192,35 +192,23 @@ object AnnOps {
       .orderBy("q_id", "rank")
   }
 
-  /** Deterministic integer hyperplane weight w(h,d) in [-1000001, 1000001]:
-    * a Knuth multiplicative hash on (h,d). All operands stay positive
-    * before the final shift, so `%` (remainder) agrees between Spark and
-    * DuckDB, and every step is BIGINT — no RNG state, no float.
-    */
-  private def weightAt(h: Int, d: Column): Column =
-    ((lit(h.toLong * 1000003L) + d + lit(1L)) * lit(2654435761L)) % lit(2000003L) -
-      lit(1000001L)
-
-  /** SimHash bucket code (`bits` sign bits) for an embedding column.
+  /** SimHash bucket code (`bits` sign bits) for an embedding column — the
+    * native [[graft.functions.VecSimHash]] expression.
     *
     * The projection is computed entirely in fixed-point integers: each
     * float component is quantized to `floor(x * 2^20)` (float→double is
-    * exact, floor is deterministic), multiplied by the integer hyperplane
-    * weight, and summed as BIGINTs — an order-independent, bit-exact sign
-    * in any engine, so the DuckDB oracle can mirror the bucketing
-    * verbatim instead of trusting float summation order.
+    * exact, floor is deterministic), multiplied by a deterministic integer
+    * hyperplane weight (`((h*1000003 + d + 1) * 2654435761) % 2000003 -
+    * 1000001`, a Knuth multiplicative hash with all operands positive
+    * before the final subtraction), and summed as BIGINTs — an
+    * order-independent, bit-exact sign in any engine, so the DuckDB
+    * oracle mirrors the bucketing verbatim instead of trusting float
+    * summation order. One fused JIT loop per row replaces the previous
+    * `bits` interpreted `zip_with`+`aggregate` passes that made
+    * `dedup_embed` the second-slowest query of the r4 bench.
     */
-  def simhashCode(vec: Column, bits: Int): Column = {
-    val xq = transform(vec, x => floor(x.cast("double") * lit(1048576.0)))
-    val bitCols = (0 until bits).map { h =>
-      val proj = aggregate(
-        zip_with(xq, sequence(lit(0L), lit(63L)), (q, d) => q * weightAt(h, d)),
-        lit(0L),
-        (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << h)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhashCode(vec: Column, bits: Int): Column =
+    graft.functions.GraftFunctions.vec_simhash(vec, bits)
 
   /** Corpus-scaled code width: ~log2(n / targetBucket) bits, floored at 8
     * and capped at 40, so expected bucket occupancy stays ~targetBucket as

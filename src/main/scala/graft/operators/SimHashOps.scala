@@ -44,30 +44,24 @@ object SimHashOps {
   private val Base1 = 31
   private val Base2 = 131
 
-  /** Polynomial hash per shingle (matches the oracle's list_reduce). */
+  /** Polynomial hash per shingle — the native [[graft.functions.PolyHash]]
+    * expression (one fused JIT loop per shingle; bit-identical to the
+    * oracle's list_reduce and to the previous
+    * `aggregate(regexp_extract_all(t, "."), ...)` form, which cost a
+    * one-char-string array plus an interpreted lambda per character and
+    * dominated this query's r4 bench time).
+    */
   private def shingleHashes(base: Int, mod: Long): Column =
-    transform(
-      col("shingles"),
-      t =>
-        aggregate(
-          regexp_extract_all(t, lit("."), lit(0)),
-          lit(0L),
-          (acc, c) => (acc * base + ascii(c)) % mod))
+    transform(col("shingles"),
+      t => graft.functions.GraftFunctions.poly_hash(t, base, mod))
 
-  /** One signature bit: sign of the ±1 sum over bit `srcBit` of `hsCol`. */
-  private def bitTerm(hsCol: String, srcBit: Int, outBit: Int): Column = {
-    val bitSum = aggregate(
-      col(hsCol),
-      lit(0L),
-      (acc, h) => acc + (shiftright(h, srcBit).bitwiseAND(lit(1L)) * 2 - 1))
-    when(bitSum >= 0, lit(1L << outBit)).otherwise(lit(0L))
-  }
-
-  /** The 60-bit SimHash code over the two hash multisets. */
+  /** The 60-bit SimHash code over the two hash multisets: each half is one
+    * native [[graft.functions.SimHashPack]] pass (±1 bit votes, sign >= 0),
+    * packed into disjoint bit ranges.
+    */
   private def simhashCode: Column =
-    ((0 until HalfBits).map(j => bitTerm("hs1", j, j)) ++
-      (HalfBits until Bits).map(j => bitTerm("hs2", j - HalfBits, j)))
-      .reduce(_ + _)
+    graft.functions.GraftFunctions.simhash_pack(col("hs1"), HalfBits, 0) +
+      graft.functions.GraftFunctions.simhash_pack(col("hs2"), HalfBits, HalfBits)
 
   private def codes(docs: DataFrame): DataFrame =
     MinHashOps.shingleSets(docs)

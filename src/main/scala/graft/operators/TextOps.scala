@@ -104,16 +104,15 @@ object TextOps {
 
   /** Per-document polynomial rolling-hash fingerprint over code points
     * (base 31, mod 1e9+7) — order-sensitive, so near-identical docs with
-    * swapped words fingerprint differently. A pure codegen'd higher-order
-    * `aggregate` over `regexp_extract_all`, no UDF.
+    * swapped words fingerprint differently. The native
+    * [[graft.functions.PolyHash]] expression: one fused JIT loop per
+    * document instead of a per-character array + interpreted lambda.
     */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        aggregate(
-          regexp_extract_all(col("text"), lit("."), lit(0)),
-          lit(0L),
-          (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("fingerprint"))
+        graft.functions.GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
+          .as("fingerprint"))
       .orderBy("doc_id")
 }
