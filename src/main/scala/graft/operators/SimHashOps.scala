@@ -78,7 +78,11 @@ object SimHashOps {
       shiftright(col("code"), BandBits * b)
         .bitwiseAND(lit((1L << BandBits) - 1)) + lit(b.toLong * (1L << BandBits))
     }: _*)
+    // Persist the (doc_id, code) frame — 16 bytes/doc — so the self-join's
+    // two sides don't each re-run the shingling pipeline (the expensive
+    // part: tokenize + slice + concat per shingle) over the full corpus.
     val buckets = codes(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .select(col("doc_id"), col("code"), explode(bandKeys).as("band"))
     buckets.as("x")
       .join(
