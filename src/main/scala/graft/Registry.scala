@@ -191,6 +191,11 @@ object Registry {
 
     q("pagerank", GraphOps.pagerankOracleSql(10))((s, d) => GraphOps.pagerank(s, d, 10)),
 
+    // The reference's headline PageRank artifact: top-N nodes by score
+    // (pagerank_spark.py:204). Fixed-point scores make the ranking exact.
+    q("pagerank_topk", GraphOps.pagerankTopKOracleSql(10, 20))(
+      (s, d) => GraphOps.pagerankTopK(s, d, 10, 20)),
+
     // 5 rounds: the co-purchase graph's measured diameter is 3 at every
     // SF, and Spark and the oracle run the identical unrolled algorithm,
     // so outputs stay equal at any round count.
@@ -375,7 +380,11 @@ object Registry {
     // ---- ML: KMeans (reference: analysis/kmeans_spark.py:104-162) ----
     // Iterative MLlib fit is not oracle-SQL-expressible; the driver records
     // a rows-only check and the scalatest suite pins determinism at sf0.001.
-    rowsOnly("kmeans_sizes")(KMeansOps.kmeansSizes)
+    rowsOnly("kmeans_sizes")(KMeansOps.kmeansSizes),
+
+    // Centroid display artifact (kmeans_spark.py:158-159); cluster-label-
+    // permutation-stable keying, rows-only checked like kmeans_sizes.
+    rowsOnly("kmeans_centroids")(KMeansOps.kmeansCentroids)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -42,6 +42,22 @@ object GraphOps {
   /** Fixed-point scale for PageRank scores (1.0 == 1e12). */
   val Scale: Long = 1000000000000L
 
+  /** Lineage truncation for iterative frames. With `graft.checkpoint.dir`
+    * set, uses reliable `checkpoint()` — on a real cluster a lost executor
+    * can replay from the checkpoint files, whereas `localCheckpoint` blocks
+    * are non-replicated and executor loss kills the job with no recompute
+    * path. Unset (the default, right for single-JVM local mode where
+    * replication buys nothing) it stays with `localCheckpoint()`.
+    */
+  private def truncate(s: SparkSession, df: DataFrame): DataFrame =
+    s.conf.getOption("graft.checkpoint.dir") match {
+      case Some(d) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Canonical undirected co-purchase edges (`src < dst`, distinct).
     * Reference: analysis/pagerank_spark.py:86-99 builds (source, target)
     * distinct edges from the raw table; same shape here.
@@ -116,10 +132,25 @@ object GraphOps {
       // plan that deepens every iteration (11.7s at sf0.1); every-3 pays
       // too much materialization (10.2s); every-5 is the measured optimum
       // (8.2s).
-      if (i % 5 == 0 && i < iters) scores = scores.localCheckpoint()
+      if (i % 5 == 0 && i < iters) scores = truncate(s, scores)
     }
     scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
   }
+
+  /** Top-k nodes by PageRank score — the reference's headline artifact
+    * (reference: analysis/pagerank_spark.py:204 prints the top-N nodes by
+    * score). Fixed-point scores make the ranking exact; ties break by
+    * node id. `orderBy` + `limit` collapses to a TakeOrderedAndProject —
+    * no global sort of the full score table at scale.
+    */
+  def pagerankTopK(
+      s: SparkSession,
+      dir: String,
+      iters: Int = 10,
+      k: Int = 20): DataFrame =
+    pagerank(s, dir, iters)
+      .orderBy(desc("score_fp"), col("node"))
+      .limit(k)
 
   /** Convergence-mode PageRank (reference: analysis/pagerank_spark.py:
     * 166-191 samples an L2 norm of score deltas per iteration; here the
@@ -148,7 +179,7 @@ object GraphOps {
     val n = nodes.count()
     val teleport = (15L * Scale) / (100L * n)
 
-    var scores = nodes.withColumn("score", lit(Scale / n)).localCheckpoint()
+    var scores = truncate(s, nodes.withColumn("score", lit(Scale / n)))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -160,12 +191,11 @@ object GraphOps {
           expr(s"(85 * score) div (100 * out_degree)").as("contrib"))
         .groupBy("node")
         .agg(sum("contrib").as("contrib"))
-      val next = nodes
+      val next = truncate(s, nodes
         .join(contribs, Seq("node"), "left")
         .select(
           col("node"),
-          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score"))
-        .localCheckpoint()
+          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score")))
       // decimal(38,0): squared fp deltas can exceed Long range at small n
       val delta = next.as("n")
         .join(scores.as("o"), "node")
@@ -208,9 +238,48 @@ object GraphOps {
       // re-expands 2^iters times (same blowup the DuckDB oracle hit
       // before MATERIALIZED). Checkpointing the tiny per-node frame
       // every round keeps the plan linear.
-      if (i < iters) labels = labels.localCheckpoint()
+      if (i < iters) labels = truncate(s, labels)
     }
     labels.orderBy("node")
+  }
+
+  /** Convergence-checked connected components: iterate min-label
+    * propagation until no label changes — one scalar `count` action per
+    * round, mirroring [[pagerankConverged]]'s stopping shape. The fixed-
+    * iteration [[connectedComponents]] stays as the oracle-checked entry;
+    * this is the 100×-scale-safe mode, where the diameter is not bounded
+    * by today's measurement and a fixed round count would silently stop
+    * propagating labels with no error. Returns (rounds run, labels); the
+    * round count is propagation rounds + 1 (the final round that observes
+    * zero changes).
+    */
+  def connectedComponentsConverged(
+      s: SparkSession,
+      dir: String,
+      maxIters: Int = 50): (Int, DataFrame) = {
+    val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = truncate(s, nodes.withColumn("label", col("node")))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val neighborMin = dirEdges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("label").as("nbr_label"))
+      val next = truncate(s, labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+      converged = next.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    (iter, labels.orderBy("node"))
   }
 
   /** DuckDB oracle for [[connectedComponents]]: identical unrolled
@@ -242,24 +311,63 @@ object GraphOps {
     sb.toString
   }
 
-  /** Total triangle count via canonical edge joins: wedges
-    * (a<b)⋈(b<c) closed by (a<c). One row out
-    * (reference: analysis/triangles_spark.py:103-106 total count).
+  /** Total triangle count, degree-ordered: every undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher one, so
+    * each triangle is counted exactly once — as a pair of out-neighbors
+    * of its orientation-minimal vertex, closed by the id-canonical edge.
+    * One row out (reference: analysis/triangles_spark.py:103-106 total
+    * count; the reference's driver-side `dict(adjacency.collect())` is
+    * deliberately NOT replicated — it is a scale-killer).
+    *
+    * The orientation is the standard hub-fan-out bound: a plain wedge
+    * self-join fans out deg² wedges at every hub, while out-degrees in
+    * the (degree, id) orientation are bounded by O(√m) — at 100× the
+    * corpus a hot part stops dominating the wedge stage, instead of
+    * relying on AQE skew-splitting to paper over a deg² blowup.
     */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    e.as("e1")
-      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
-      .join(
-        e.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+    val und = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("src"), col("d").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("dd")), "dst")
+    val srcFirst = col("ds") < col("dd") ||
+      (col("ds") === col("dd") && col("src") < col("dst"))
+    val oriented = withDeg
+      .select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Wedge at the orientation-minimal vertex: unordered out-neighbor
+    // pairs, canonicalized by id so the closing edge lookup hits the
+    // (src < dst) undirected list directly.
+    oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("src"), col("e2.v").as("dst"))
+      .join(und, Seq("src", "dst"))
       .agg(count(lit(1)).as("triangles"))
   }
 
   /** DuckDB oracle for [[pagerank]]: the same fixed-point iteration
     * unrolled into a WITH chain. Integer ops make it bit-exact vs Spark.
     */
-  def pagerankOracleSql(iters: Int = 10): String = {
+  def pagerankOracleSql(iters: Int = 10): String =
+    pagerankChainSql(iters) + s"""
+      |SELECT node, CAST(score AS BIGINT) AS score_fp FROM r$iters ORDER BY node""".stripMargin
+
+  /** DuckDB oracle for [[pagerankTopK]]: same chain, top-k final select
+    * (score desc, node-id tie-break — exact because scores are integers).
+    */
+  def pagerankTopKOracleSql(iters: Int = 10, k: Int = 20): String =
+    pagerankChainSql(iters) + s"""
+      |SELECT node, CAST(score AS BIGINT) AS score_fp FROM r$iters
+      |ORDER BY score DESC, node LIMIT $k""".stripMargin
+
+  private def pagerankChainSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH und AS MATERIALIZED (
@@ -283,8 +391,6 @@ object GraphOps {
         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
         |  GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT node, CAST(score AS BIGINT) AS score_fp FROM r$iters ORDER BY node""".stripMargin)
     sb.toString
   }
 }

@@ -74,4 +74,26 @@ object KMeansOps {
       .select("rank", "size")
       .orderBy("rank")
   }
+
+  /** Centroid report matching the reference's display artifact
+    * (reference: analysis/kmeans_spark.py:25-31, 158-159 shows centroids
+    * and sample assignments). Cluster ids are permutation-arbitrary, so
+    * rows are keyed by size rank (ties by centroid norm); per-centroid
+    * values are the L2 norm and first coordinate, rounded — enough to
+    * audit the fit without depending on label order.
+    */
+  def kmeansCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (model, preds) = fit(s, dir)
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        (i, math.sqrt(c.toArray.map(x => x * x).sum), c(0))
+      }
+      .toDF("cluster", "centroid_norm", "centroid_c0")
+    preds.groupBy("cluster").agg(count(lit(1)).as("size"))
+      .join(centroids, "cluster")
+      .select(col("size"), round(col("centroid_norm"), 4).as("centroid_norm_r4"),
+        round(col("centroid_c0"), 4).as("centroid_c0_r4"))
+      .orderBy(desc("size"), col("centroid_norm_r4"))
+  }
 }

@@ -141,15 +141,22 @@ object MinHashOps {
     * Jaccard > 0 pairs), verified with the same fixed-point Jaccard.
     * Unlike [[nearDupPairs]] there is no probabilistic stage at all.
     *
-    * Scale notes: candidate volume is sum over shingles of C(df, 2) — at
-    * 100 TB a production run first drops stop-shingles above a document-
-    * frequency cap (they are boilerplate and only add non-dup candidates);
-    * the exact semantics here keep the oracle comparable.
+    * Scale notes: candidate volume is sum over shingles of C(df, 2),
+    * which explodes on boilerplate at 100 TB — `dfCap` drops
+    * stop-shingles above a document-frequency cap before the pair join
+    * (each costs C(df,2) candidates while carrying almost no Jaccard
+    * evidence). The cap trades a bounded Jaccard under-count on templated
+    * pairs for candidate volume linear in real near-dup density; the
+    * registered query keeps it off so the oracle stays the exact
+    * computation.
     */
-  def ngramJaccardPairs(docs: DataFrame, thresholdMilli: Int = 600): DataFrame = {
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      thresholdMilli: Int = 600,
+      dfCap: Option[Long] = None): DataFrame = {
     val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val inv = invertedIndex(sh, dfCap)
     // Shingles are distinct per document, so the co-occurrence count IS
     // |A∩B|, and |A∪B| = |A|+|B|-|A∩B| — the verify stage is pure
     // aggregation over the inverted-index join; no shingle arrays are
@@ -170,4 +177,29 @@ object MinHashOps {
 
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, dir))
+
+  /** The exploded (doc_id, shingle) index, optionally df-capped: shingles
+    * appearing in more than `dfCap` documents are dropped entirely.
+    */
+  private def invertedIndex(sh: DataFrame, dfCap: Option[Long]): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    dfCap.fold(inv) { cap =>
+      val keep = inv.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap)
+        .select("s")
+      inv.join(keep, "s")
+    }
+  }
+
+  /** Distinct share-a-shingle candidate pairs under an optional df cap —
+    * exposed so tests can pin that capping collapses the candidate volume
+    * a boilerplate shingle would otherwise explode to C(df, 2).
+    */
+  def ngramCandidates(docs: DataFrame, dfCap: Option[Long] = None): DataFrame = {
+    val inv = invertedIndex(shingleSets(docs), dfCap)
+    inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
 }

@@ -15,18 +15,27 @@ import org.apache.spark.sql.types.StructType
   */
 object CsvSource {
 
+  /** `partitions` mirrors the reference's repartition-on-extract knob
+    * (reference: analysis/etl_spark.py:94) for when the file layout gives
+    * too few splits to saturate the cluster (one giant gzip, a handful of
+    * small files). Left unset, the scan keeps Spark's size-based splits —
+    * the right default for splittable data.
+    */
   def read(
       s: SparkSession,
       path: String,
       schema: StructType,
-      timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
-    s.read
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss",
+      partitions: Option[Int] = None): DataFrame = {
+    val df = s.read
       .option("header", "true")
       .option("multiLine", "false")
       .option("timestampFormat", timestampFormat)
       .option("mode", "PERMISSIVE")
       .schema(schema)
       .csv(path)
+    partitions.fold(df)(df.repartition)
+  }
 
   /** Reference-faithful inference path — ad-hoc only (extra full scan). */
   def readInferred(s: SparkSession, path: String): DataFrame =

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraphOps
+
+/** Iterative-graph behaviors not visible to the per-query oracle gate:
+  * convergence-checked modes and the reliable-checkpoint configuration.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("converged connected components equal the fixed-iteration labels") {
+    val fixed = GraphOps.connectedComponents(spark, sf, 5).collect()
+    val (rounds, convergedDf) = GraphOps.connectedComponentsConverged(spark, sf)
+    // Converged well under the cap (diameter ~3 → a handful of rounds),
+    // and the labels agree with the oracle-checked fixed-iteration mode.
+    assert(rounds > 1 && rounds < 50, s"rounds=$rounds")
+    assert(convergedDf.collect().toSeq == fixed.toSeq)
+  }
+
+  test("reliable checkpointing yields identical results when configured") {
+    val default = GraphOps.connectedComponents(spark, sf, 3).collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("graft.checkpoint.dir", dir)
+    try {
+      val reliable = GraphOps.connectedComponents(spark, sf, 3).collect()
+      assert(reliable.toSeq == default.toSeq)
+    } finally spark.conf.unset("graft.checkpoint.dir")
+  }
+
+  test("pagerank_topk is the top slice of the full pagerank output") {
+    val full = GraphOps.pagerank(spark, sf, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (node, score) => (-score, node) }
+      .take(20).toSeq
+    val topk = GraphOps.pagerankTopK(spark, sf, 10, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(topk == full)
+  }
+}

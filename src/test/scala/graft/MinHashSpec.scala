@@ -42,6 +42,21 @@ class MinHashSpec extends AnyFunSuite {
     assert(pairs.head.getLong(2) == 1000L)
   }
 
+  test("df cap collapses boilerplate candidate volume") {
+    import spark.implicits._
+    // 30 otherwise-unrelated docs sharing one boilerplate 3-gram
+    // ("boiler plate text"): uncapped, that single stop-shingle alone
+    // manufactures C(30,2) candidate pairs.
+    val docs = (1 to 30)
+      .map(i => (i.toLong, s"unique$i token$i payload$i boiler plate text"))
+      .toDF("doc_id", "text")
+    assert(MinHashOps.ngramCandidates(docs).count() == 435L)
+    assert(MinHashOps.ngramCandidates(docs, dfCap = Some(5L)).count() == 0L)
+    // ...and the capped pair pipeline still runs end-to-end (no pairs
+    // survive the threshold either way on this corpus).
+    assert(MinHashOps.ngramJaccardPairs(docs, dfCap = Some(5L)).count() == 0L)
+  }
+
   test("pipeline is deterministic across runs") {
     val d = graft.Tables.documents(spark, TestSession.sf)
     val a = MinHashOps.nearDupPairs(d).collect().toSeq

@@ -21,7 +21,8 @@ class RegistrySpec extends AnyFunSuite {
 
   test("every registered query has an oracle or a documented omission") {
     val noOracle = Registry.queries.keySet -- Registry.oracleSql.keySet
-    assert(noOracle == Set("kmeans_sizes"), s"missing oracles: $noOracle")
+    assert(noOracle == Set("kmeans_sizes", "kmeans_centroids"),
+      s"missing oracles: $noOracle")
   }
 
   test("graph_degrees covers all 200 parts with total degree = 2x edges") {
@@ -109,5 +110,19 @@ class RegistrySpec extends AnyFunSuite {
   test("kmeans_sizes is deterministic across runs") {
     val again = Registry.queries("kmeans_sizes")(spark, sf).collect()
     assert(results("kmeans_sizes").toSeq == again.toSeq)
+  }
+
+  test("kmeans_centroids covers all vectors with one row per cluster") {
+    val rows = results("kmeans_centroids")
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).sum == 500L)
+  }
+
+  test("pagerank_topk emits k rows in strictly descending (score, node) order") {
+    val rows = results("pagerank_topk").map(r => (r.getLong(1), r.getLong(0)))
+    assert(rows.length == 20)
+    assert(rows.zip(rows.tail).forall { case ((sa, na), (sb, nb)) =>
+      sa > sb || (sa == sb && na < nb)
+    })
   }
 }
