@@ -89,6 +89,9 @@ object GraftFunctions {
 
   def vec_simhash(vec: Column, bits: Int): Column =
     call_function("vec_simhash", vec, lit(bits))
+
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    call_function("minhash_sig", shingles, lit(numHashes))
 }
 
 /** Session extension registering the engine's native functions; installed
@@ -148,5 +151,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[VecSimHash].getName, "vec_simhash"),
         (children: Seq[Expression]) =>
           VecSimHash(children(0), intArg("vec_simhash bits", children(1)))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        (children: Seq[Expression]) =>
+          MinHashSig(children(0), intArg("minhash_sig numHashes", children(1)))))
   }
 }

@@ -59,25 +59,17 @@ object MinHashOps {
               sequence(lit(1), size(col("toks")) - 2),
               i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("shingles"))
 
-  /** 64-element MinHash signature column over a `shingles` array.
-    *
-    * One 64-bit base hash per shingle, then 64 affine transforms
-    * (`a_i*h + b_i` with odd `a_i`, wrapping arithmetic) — the standard
-    * trick that replaces 64 string-hash passes with one hash plus cheap
-    * integer math per signature row. Each transform is a bijection on
-    * the 2^64 ring, so the per-row minima are as independent as distinct
-    * hash functions for LSH purposes.
+  /** 64-element MinHash signature column over a `shingles` array — the
+    * native [[graft.functions.MinHashSig]] expression: one XXH64 base
+    * hash per shingle plus 64 affine min-accumulators in a single fused
+    * JIT loop. (The same affine trick in declarative Column form was
+    * measured SLOWER than 64 seeded xxhash64 passes — 7.3s vs 4.8s at
+    * sf0.1 — because higher-order-function lambdas are interpreted; the
+    * custom expression removes that overhead entirely rather than
+    * choosing between two interpreted shapes.)
     */
-  // NOTE: the classic "one base hash + affine (a*h+b) mod p transforms"
-  // trick was measured SLOWER here than 64 seeded xxhash64 passes (7.3s
-  // vs 4.8s at sf0.1 — the mod chain and extra array pass cost more than
-  // codegen'd xxhash64 on short shingles), so the direct form stays.
-  private def signature: Column = {
-    val mins = (0 until NumHashes).map { i =>
-      array_min(transform(col("shingles"), sh => xxhash64(lit(i), sh)))
-    }
-    array(mins: _*)
-  }
+  private def signature: Column =
+    graft.functions.GraftFunctions.minhash_sig(col("shingles"), NumHashes)
 
   /** Near-duplicate pairs with exact fixed-point Jaccard >= `thresholdMilli`,
     * found via banded LSH over MinHash signatures.
