@@ -341,6 +341,16 @@ object Registry {
     q("dedup_embed", AnnOps.embedOracleSql(AnnOps.DefaultEmbedBits))(
       (s, d) => AnnOps.embedNearDupStats(s, d)),
 
+    q("token_count_bpe",
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS BIGINT) AS n_bpe_pieces
+        | FROM documents)
+        |SELECT doc_id, n_ws_tokens, n_bpe_pieces,
+        | (1000 * n_bpe_pieces) // greatest(n_ws_tokens, 1) AS pieces_per_token_milli
+        |FROM t ORDER BY doc_id""".stripMargin)(TextOps.tokenCountBpe),
+
     q("doc_fingerprint",
       """SELECT doc_id,
         | list_reduce(

@@ -102,6 +102,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE-style pre-tokenizer piece pattern (GPT-2-family shape, RE2-safe:
+    * no lookahead, explicit ASCII classes — the corpus is pure ASCII):
+    * a leading-space word, a leading-space number run, a leading-space
+    * punctuation run, or a whitespace run. Leftmost-first alternation
+    * gives identical piece boundaries in Java regex and RE2.
+    */
+  private val bpePieceRe = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** Token counting, whitespace vs BPE-ish: per document, the whitespace
+    * token count, the BPE-style piece count (the LLM-pipeline cost
+    * metric — pieces are what a tokenizer bills for), and their ratio in
+    * fixed-point milli units. Pure regexp_count Column algebra.
+    */
+  def tokenCountBpe(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(tokens).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit(bpePieceRe)).cast("long").as("n_bpe_pieces"))
+      .select(
+        col("doc_id"), col("n_ws_tokens"), col("n_bpe_pieces"),
+        expr("(1000 * n_bpe_pieces) div greatest(n_ws_tokens, 1)")
+          .as("pieces_per_token_milli"))
+      .orderBy("doc_id")
+
   /** Per-document polynomial rolling-hash fingerprint over code points
     * (base 31, mod 1e9+7) — order-sensitive, so near-identical docs with
     * swapped words fingerprint differently. The native
