@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps the first copy of each text within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    input.addData(
+      (1L, ts(0), "alpha beta"),
+      (2L, ts(10), "alpha beta"),   // duplicate text, later arrival -> dropped
+      (3L, ts(20), "gamma delta"),
+      (4L, ts(30), "gamma  delta")) // different whitespace -> distinct digest
+
+    val query = graft.streaming.StreamingDedup.firstSeen(docs)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 3L, 4L), s"survivors=${ids.toSeq}")
+    } finally query.stop()
+  }
+
   test("stream-stream join matches follow-up events inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
