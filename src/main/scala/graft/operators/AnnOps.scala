@@ -227,6 +227,21 @@ object AnnOps {
     * brute force while staying recall-heavy on clustered data; the
     * bits/probe-radius pair is the recall-vs-cost dial at scale.
     */
+  /** [[annLshTopK]] with the code width sized from the corpus — the
+    * 100 TB entry point, same shape as [[embedNearDupStatsAuto]]: a fixed
+    * width is N²/2^bits candidate pairs, ~log2(N) bits holds bucket
+    * occupancy (and so per-query candidate work) flat as the corpus grows.
+    */
+  def annLshTopKAuto(
+      s: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nQueries: Int = 5,
+      targetBucket: Long = 16L): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    annLshTopK(s, dir, k, nQueries, bitsFor(n, targetBucket))
+  }
+
   def annLshTopK(
       s: SparkSession,
       dir: String,

@@ -27,6 +27,24 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("bitsFor grows with the corpus so bucket occupancy stays flat") {
+    // ~log2(n/targetBucket), floored at 8, capped at 40 — the dial that
+    // keeps bucketed candidate volume linear in N instead of N²/2^bits.
+    assert(AnnOps.bitsFor(500) == 8)        // floor
+    assert(AnnOps.bitsFor(1000000) == 16)   // 1e6/16 ≈ 2^16
+    assert(AnnOps.bitsFor(1000000000) == 26)
+    assert(AnnOps.bitsFor(Long.MaxValue / 2) == 40) // cap
+    val sfSizes = Seq(500L, 5000L, 50000L, 500000L).map(AnnOps.bitsFor(_))
+    assert(sfSizes == sfSizes.sorted, s"not monotone: $sfSizes")
+  }
+
+  test("auto-sized LSH equals the manually sized run at the derived width") {
+    val n = Tables.embeddings(spark, sf).count()
+    val auto = AnnOps.annLshTopKAuto(spark, sf).collect()
+    val manual = AnnOps.annLshTopK(spark, sf, bits = AnnOps.bitsFor(n)).collect()
+    assert(auto.toSeq == manual.toSeq)
+  }
+
   test("IVF probes return exact scores and bounded per-query results") {
     val ivf = AnnOps.annIvfTopK(spark, sf).collect()
     assert(ivf.nonEmpty)
