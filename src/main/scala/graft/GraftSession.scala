@@ -34,6 +34,10 @@ object GraftSession {
       // exceeds the cap and AQE keeps the shuffle join — a decision that
       // scales with the data instead of being hard-coded per query.
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      // The unrolled iterative plans (PageRank, CC) exceed the default 25
+      // fields and spam "Truncated the string representation of a plan"
+      // warnings through every bench/verify log; raise the cap instead.
+      .config("spark.sql.debug.maxToStringFields", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
