@@ -332,6 +332,20 @@ object Registry {
 
     q("dedup_simhash", SimHashOps.oracleSql)(SimHashOps.dedupSimhash),
 
+    // Cluster the near-dup pair graph (connected components) and pick one
+    // survivor per cluster — the keep-one step after pair detection. Both
+    // sides run the identical pipeline: exact n-gram pairs + unrolled
+    // min-label propagation.
+    q("dedup_clusters", DedupClusterOps.oracleSql())(DedupClusterOps.dedupClusters),
+
+    // Deterministic hash-bucket stratified sampling (language rebalance):
+    // keep iff fingerprint % 1000 falls under the stratum's permille rate.
+    q("sample_stratified", SampleOps.sampleOracleSql())(SampleOps.sampleStratified),
+
+    // Pre-write shard balance plan: route by fingerprint mod shard count,
+    // report per-shard doc/char totals.
+    q("shard_plan", SampleOps.shardOracleSql())(SampleOps.shardPlanQuery),
+
     // Oracle is the identical bucketed algorithm, unrolled from the same
     // constants (fixed-point SimHash codes, Hamming<=1 probes, exact
     // cosine verify) — so query and oracle share the recall profile and

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Near-duplicate clustering + canonical survivor selection — the step a
+  * real training-data pipeline runs AFTER pair detection: near-dup pairs
+  * form a graph, its connected components are the duplicate clusters, and
+  * exactly one document per cluster (the minimum doc_id) survives into the
+  * training set.
+  *
+  * The pair stage is the exact inverted-index n-gram Jaccard
+  * ([[MinHashOps.ngramJaccardPairs]]); clustering is min-label propagation
+  * over the symmetrized pair graph — the same distributed shape as
+  * [[GraphOps.connectedComponents]], reused here because duplicate
+  * clusters are NOT just the pairs: A~B and B~C puts A,B,C in one cluster
+  * even when (A,C) never passed the threshold.
+  *
+  * Scale notes (100 TB): the propagation graph holds only documents that
+  * appear in >= 1 near-dup pair — a small fraction of the corpus — and
+  * every shuffle carries (id, label) longs. Duplicate-cluster diameters
+  * are short in practice (dup clusters are near-cliques because Jaccard
+  * is transitive-ish at 0.6+); the fixed round count keeps the output
+  * oracle-checkable, and both sides run the identical unrolled algorithm
+  * so outputs match at any round count. For adversarial chain-shaped
+  * corpora, [[GraphOps.connectedComponentsConverged]]'s stopping shape
+  * applies unchanged.
+  */
+object DedupClusterOps {
+
+  val Threshold = 600
+  val Iters = 5
+
+  /** Per-document cluster assignment for every document in >= 1 near-dup
+    * pair: `(doc_id, cluster, is_survivor)` where `cluster` is the
+    * propagated minimum doc_id and the survivor is the cluster's minimum
+    * member (keep-first semantics, matching [[TextOps.dedupExact]]).
+    */
+  def clusters(
+      s: SparkSession,
+      docs: DataFrame,
+      thresholdMilli: Int = Threshold,
+      iters: Int = Iters): DataFrame = {
+    val pairs = MinHashOps.ngramJaccardPairs(docs, thresholdMilli)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = nodes.withColumn("cluster", col("doc_id"))
+    for (i <- 1 to iters) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("cluster").as("nbr"))
+      labels = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+      // Same 2^iters plan re-expansion as connectedComponents: each level
+      // references the previous labels twice; truncate keeps it linear.
+      if (i < iters) labels = GraphOps.truncate(s, labels)
+    }
+    labels
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        (col("doc_id") === col("cluster")).cast("long").as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered-query entry over the `documents` table. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusters(s, Tables.documents(s, dir))
+
+  /** DuckDB oracle: the identical pipeline — exact n-gram Jaccard pairs
+    * (same CTEs as the `dedup_ngram` oracle), then the identical unrolled
+    * min-label propagation (MATERIALIZED per level, as in
+    * [[GraphOps.connectedComponentsOracleSql]] — each level references the
+    * previous one twice and plain CTE inlining would re-expand 2^iters).
+    */
+  def oracleSql(thresholdMilli: Int = Threshold, iters: Int = Iters): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH tok AS MATERIALIZED (
+         | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+         |sh AS MATERIALIZED (
+         | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+         |  END AS shingles
+         | FROM tok),
+         |e AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |cand AS MATERIALIZED (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |pairs AS MATERIALIZED (
+         | SELECT c.doc_a, c.doc_b
+         | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+         | WHERE (1000 * len(list_intersect(x.shingles, y.shingles)))
+         |   // len(list_distinct(list_concat(x.shingles, y.shingles))) >= $thresholdMilli),
+         |sym AS MATERIALIZED (
+         | SELECT doc_a AS src, doc_b AS dst FROM pairs
+         | UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |n0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM sym),
+         |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster FROM n0)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+         |l$i AS MATERIALIZED (
+         | SELECT n.doc_id, least(n.cluster, coalesce(m.nbr, n.cluster)) AS cluster
+         | FROM l${i - 1} n LEFT JOIN (
+         |  SELECT e.dst AS doc_id, min(p.cluster) AS nbr
+         |  FROM sym e JOIN l${i - 1} p ON e.src = p.doc_id
+         |  GROUP BY e.dst) m ON n.doc_id = m.doc_id)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT doc_id, cluster, CAST(doc_id = cluster AS BIGINT) AS is_survivor
+       |FROM l$iters ORDER BY doc_id""".stripMargin)
+    sb.toString
+  }
+}

@@ -49,7 +49,7 @@ object GraphOps {
     * path. Unset (the default, right for single-JVM local mode where
     * replication buys nothing) it stays with `localCheckpoint()`.
     */
-  private def truncate(s: SparkSession, df: DataFrame): DataFrame =
+  private[operators] def truncate(s: SparkSession, df: DataFrame): DataFrame =
     s.conf.getOption("graft.checkpoint.dir") match {
       case Some(d) =>
         if (s.sparkContext.getCheckpointDir.isEmpty)

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Deterministic sampling + output sharding for training-data curation.
+  *
+  * A 100 TB corpus is never used whole: pipelines rebalance language (or
+  * domain) mix by downsampling head strata, and they write the survivors
+  * into a fixed number of size-balanced shards. Both decisions must be
+  * DETERMINISTIC — a function of the document alone — so that re-runs,
+  * retries, and incremental ingests select the same rows without any
+  * coordination state. Random `sample()` fails that bar (partition-order
+  * dependent); hashing the document body does not.
+  *
+  * The selector is the [[graft.functions.PolyHash]] fingerprint
+  * (base 31, mod 1e9+7 — the same codegen expression `doc_fingerprint`
+  * oracle-checks) reduced mod 1000 to a permille bucket: a document is
+  * kept iff its bucket falls under its stratum's keep-rate. Everything is
+  * integer Column algebra inside whole-stage codegen — one scan, no
+  * shuffle at all for the sample itself (the ORDER BY in the registered
+  * query is presentation only).
+  */
+object SampleOps {
+
+  /** Keep-rates in permille per language stratum: English is the head
+    * stratum (~44% of the corpus) and is downsampled 2.8×; the tail
+    * languages keep 700‰. The rates are data, not logic — callers pass
+    * their own mix.
+    */
+  val DefaultRates: Map[String, Int] = Map(
+    "en" -> 250, "es" -> 700, "fr" -> 700, "de" -> 700, "zh" -> 700)
+  val DefaultRate: Int = 500
+
+  private def bucket: Column =
+    GraftFunctions.poly_hash(col("text"), 31, 1000000007L) % 1000
+
+  private def rateFor(rates: Map[String, Int], default: Int): Column =
+    rates.foldLeft(lit(default)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+
+  /** The sampled slice: every kept document with its stratum and permille
+    * bucket, so the selection itself is auditable (bucket < rate holds on
+    * every output row).
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      rates: Map[String, Int] = DefaultRates,
+      default: Int = DefaultRate): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), bucket.as("hash_bucket"))
+      .filter(col("hash_bucket") < rateFor(rates, default))
+      .orderBy("doc_id")
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(s, dir))
+
+  /** Shard assignment plan: route each document to one of `nShards`
+    * output shards by fingerprint, and report per-shard document and
+    * character totals — the balance check a pipeline runs BEFORE the
+    * (expensive) partitioned write. The fingerprint is uniform mod the
+    * shard count, so shards stay byte-balanced without a global sort;
+    * the write itself is `ParquetSink` partitioned by `shard`.
+    */
+  def shardPlan(docs: DataFrame, nShards: Int = 16): DataFrame =
+    docs
+      .select(
+        (GraftFunctions.poly_hash(col("text"), 31, 1000000007L) % nShards)
+          .as("shard"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("shard")
+
+  def shardPlanQuery(s: SparkSession, dir: String): DataFrame =
+    shardPlan(Tables.documents(s, dir))
+
+  /** DuckDB oracle fragment computing the same fingerprint — kept next to
+    * the operator so the Spark expression and its oracle stay in lockstep
+    * (same shape the `doc_fingerprint` oracle uses).
+    */
+  val FingerprintSql: String =
+    """list_reduce(
+      |  list_prepend(0::BIGINT,
+      |   list_transform(regexp_extract_all(text, '.'), c -> unicode(c)::BIGINT)),
+      |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  def sampleOracleSql(
+      rates: Map[String, Int] = DefaultRates,
+      default: Int = DefaultRate): String = {
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""WITH f AS (
+       | SELECT doc_id, lang, $FingerprintSql % 1000 AS hash_bucket
+       | FROM documents)
+       |SELECT doc_id, lang, hash_bucket FROM f
+       |WHERE hash_bucket < (CASE $cases ELSE $default END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def shardOracleSql(nShards: Int = 16): String =
+    s"""WITH f AS (
+       | SELECT $FingerprintSql % $nShards AS shard, n_chars
+       | FROM documents)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+}

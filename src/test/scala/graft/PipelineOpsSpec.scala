@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupClusterOps, MinHashOps, SampleOps}
+
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val pairs = MinHashOps.ngramJaccardPairs(docs)
+    .select("doc_a", "doc_b").collect()
+    .map(r => (r.getLong(0), r.getLong(1)))
+  private lazy val clustered = DedupClusterOps.clusters(spark, docs).collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  test("cluster labels equal the transitive closure of the pair graph") {
+    // Driver-side union-find over the (small) pair list as an independent
+    // re-derivation of what min-label propagation should produce.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => d -> find(d)).toMap
+    // find() roots at the minimum because unions always point max -> min.
+    assert(clustered.nonEmpty)
+    assert(clustered.map(c => c._1 -> c._2).toMap == expected)
+  }
+
+  test("exactly one survivor per cluster, and it is the minimum member") {
+    val byCluster = clustered.groupBy(_._2)
+    byCluster.foreach { case (cluster, members) =>
+      val survivors = members.filter(_._3 == 1L)
+      assert(survivors.length == 1, s"cluster $cluster")
+      assert(survivors.head._1 == members.map(_._1).min, s"cluster $cluster")
+      assert(cluster == members.map(_._1).min, s"cluster $cluster")
+    }
+  }
+
+  test("stratified sample keeps exactly the rows under their stratum rate") {
+    val sample = SampleOps.sampleStratified(spark, sf).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val rate = SampleOps.DefaultRates.getOrElse(r.getString(1), SampleOps.DefaultRate)
+      assert(r.getLong(2) < rate, s"doc ${r.getLong(0)}")
+    }
+    // Deterministic: a second run selects the identical rows.
+    val again = SampleOps.sampleStratified(spark, sf).collect()
+    assert(sample.toSeq == again.toSeq)
+  }
+
+  test("sampling rebalances the language mix (en share drops)") {
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SampleOps.sampleStratified(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enBefore = total("en").toDouble / total.values.sum
+    val enAfter = sampled.getOrElse("en", 0L).toDouble / sampled.values.sum
+    assert(enAfter < enBefore, s"before=$enBefore after=$enAfter")
+    // And the realized keep-rate should be near the configured permille.
+    val enRate = sampled.getOrElse("en", 0L).toDouble / total("en")
+    assert(enRate > 0.1 && enRate < 0.45, s"enRate=$enRate")
+  }
+
+  test("shard plan covers every document exactly once with bounded shards") {
+    val plan = SampleOps.shardPlanQuery(spark, sf).collect()
+    assert(plan.map(_.getLong(1)).sum == docs.count())
+    assert(plan.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+    val chars = docs.agg(sum("n_chars")).head().getLong(0)
+    assert(plan.map(_.getLong(2)).sum == chars)
+  }
+}
