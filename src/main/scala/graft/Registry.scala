@@ -365,6 +365,26 @@ object Registry {
         | (1000 * n_bpe_pieces) // greatest(n_ws_tokens, 1) AS pieces_per_token_milli
         |FROM t ORDER BY doc_id""".stripMargin)(TextOps.tokenCountBpe),
 
+    // Gopher-style quality filter: per-rule auditable flags + keep.
+    q("quality_filter",
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '\b(the|and|is|of|to|in|it|a)\b')) AS BIGINT) AS n_stopwords
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id,
+        |  CAST(n_tokens < 20 AS BIGINT) AS r_few_tokens,
+        |  CAST((1000 * n_chars_nows) // greatest(n_tokens, 1) NOT BETWEEN 3000 AND 5000 AS BIGINT) AS r_token_len,
+        |  CAST(n_stopwords = 0 AS BIGINT) AS r_no_stopwords,
+        |  CAST((1000 * n_punct) // greatest(n_tokens, 1) > 200 AS BIGINT) AS r_punct_heavy
+        | FROM t)
+        |SELECT doc_id, r_few_tokens, r_token_len, r_no_stopwords, r_punct_heavy,
+        | CAST(r_few_tokens + r_token_len + r_no_stopwords + r_punct_heavy = 0 AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin)(TextOps.qualityFilter),
+
     q("doc_fingerprint",
       """SELECT doc_id,
         | list_reduce(

@@ -127,6 +127,35 @@ object TextOps {
           .as("pieces_per_token_milli"))
       .orderBy("doc_id")
 
+  /** Gopher-style document quality filter: each heuristic rule is its own
+    * auditable flag column (too few tokens; mean token length outside the
+    * natural-language band; zero stopwords; punctuation-heavy), and `keep`
+    * is their conjunction — the pipeline both filters AND reports WHY each
+    * document was dropped, which is what a curation run needs to tune
+    * thresholds. All rules are fixed-point integer comparisons on the
+    * [[textStats]] signals: one scan, no shuffle, engine-exact.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(tokens).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars_nows"),
+        regexp_count(col("text"), lit(punctRe)).cast("long").as("n_punct"),
+        regexp_count(col("text"), lit(stopwordsRe)).cast("long").as("n_stopwords"))
+      .select(
+        col("doc_id"),
+        (col("n_tokens") < 20).cast("long").as("r_few_tokens"),
+        (!expr("(1000 * n_chars_nows) div greatest(n_tokens, 1)")
+          .between(3000, 5000)).cast("long").as("r_token_len"),
+        (col("n_stopwords") === 0).cast("long").as("r_no_stopwords"),
+        (expr("(1000 * n_punct) div greatest(n_tokens, 1)") > 200)
+          .cast("long").as("r_punct_heavy"))
+      .withColumn("keep",
+        (col("r_few_tokens") + col("r_token_len") +
+          col("r_no_stopwords") + col("r_punct_heavy") === 0).cast("long"))
+      .orderBy("doc_id")
+
   /** Per-document polynomial rolling-hash fingerprint over code points
     * (base 31, mod 1e9+7) — order-sensitive, so near-identical docs with
     * swapped words fingerprint differently. The native

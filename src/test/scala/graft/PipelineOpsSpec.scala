@@ -70,6 +70,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(enRate > 0.1 && enRate < 0.45, s"enRate=$enRate")
   }
 
+  test("quality filter keeps the majority and every flag implies a drop") {
+    val rows = graft.operators.TextOps.qualityFilter(spark, sf).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val flags = (1 to 4).map(r.getLong)
+      assert(flags.forall(f => f == 0L || f == 1L))
+      assert(r.getLong(5) == (if (flags.sum == 0) 1L else 0L), s"doc ${r.getLong(0)}")
+    }
+    val kept = rows.count(_.getLong(5) == 1L)
+    assert(kept > rows.length / 2 && kept < rows.length, s"kept=$kept")
+  }
+
   test("shard plan covers every document exactly once with bounded shards") {
     val plan = SampleOps.shardPlanQuery(spark, sf).collect()
     assert(plan.map(_.getLong(1)).sum == docs.count())
