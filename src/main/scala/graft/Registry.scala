@@ -307,6 +307,11 @@ object Registry {
         |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin)((s, d) => AnnOps.annTopK(s, d)),
 
+    // The LSH scale path for ANN as a first-class checked query: same
+    // output contract as ann_topk, oracle generated from the identical
+    // fixed-point code/probe constants (no recall mismatch possible).
+    q("ann_lsh_topk", AnnOps.annLshOracleSql())(AnnOps.annLshTopKRegistered),
+
     // Exact inverted-index n-gram Jaccard: same output contract as
     // dedup_minhash (and the same oracle), but with no probabilistic stage.
     q("dedup_ngram",
@@ -428,7 +433,12 @@ object Registry {
 
     // Centroid display artifact (kmeans_spark.py:158-159); cluster-label-
     // permutation-stable keying, rows-only checked like kmeans_sizes.
-    rowsOnly("kmeans_centroids")(KMeansOps.kmeansCentroids)
+    rowsOnly("kmeans_centroids")(KMeansOps.kmeansCentroids),
+
+    // IVF ANN scale path: depends on an MLlib KMeans fit, so (like the
+    // kmeans_* entries) not oracle-SQL-expressible — rows-only here;
+    // AnnSpec cross-checks its scores against the exact baseline.
+    rowsOnly("ann_ivf_topk")((s, d) => AnnOps.annIvfTopK(s, d))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -117,17 +117,25 @@ object AnnOps {
     * bucketed algorithm, unrolled — quantized projections, Hamming<=1
     * probes, exact cosine verify.
     */
-  def embedOracleSql(bits: Int = DefaultEmbedBits, tauMilli: Int = 950): String = {
-    def projSql(h: Int): String =
-      s"list_sum(list_transform(range(0, 64), d -> q[CAST(d + 1 AS INT)] * (((${h.toLong * 1000003L} + d + 1) * 2654435761) % 2000003 - 1000001)))"
+  private def projSql(h: Int): String =
+    s"list_sum(list_transform(range(0, 64), d -> q[CAST(d + 1 AS INT)] * (((${h.toLong * 1000003L} + d + 1) * 2654435761) % 2000003 - 1000001)))"
+
+  /** The quantize + sign-bit-sum CTEs shared by every bucketed oracle:
+    * `codes(vec_id, code)` mirroring [[simhashCode]] verbatim.
+    */
+  private def codesSql(bits: Int): String = {
     val bitSum = (0 until bits)
       .map(h => s"(CASE WHEN ${projSql(h)} >= 0 THEN ${1L << h} ELSE 0 END)")
       .mkString(" + ")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |xq AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q FROM e),
+       |codes AS (SELECT vec_id, CAST($bitSum AS BIGINT) AS code FROM xq)""".stripMargin
+  }
+
+  def embedOracleSql(bits: Int = DefaultEmbedBits, tauMilli: Int = 950): String = {
     val masks = (Seq(0L) ++ (0 until bits).map(1L << _)).mkString("[", ", ", "]")
     val tau = tauMilli / 1000.0
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |xq AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q FROM e),
-       |codes AS (SELECT vec_id, CAST($bitSum AS BIGINT) AS code FROM xq),
+    s"""WITH ${codesSql(bits)},
        |probes AS (SELECT vec_id, xor(code, unnest($masks)) AS probe FROM codes),
        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        | FROM probes a JOIN codes b ON a.probe = b.code AND a.vec_id < b.vec_id),
@@ -240,6 +248,42 @@ object AnnOps {
       targetBucket: Long = 16L): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
     annLshTopK(s, dir, k, nQueries, bitsFor(n, targetBucket))
+  }
+
+  /** Registered-query entry: [[annLshTopK]] at the same fixed width the
+    * `dedup_embed` oracle uses, so [[annLshOracleSql]] can be generated
+    * from the identical constants.
+    */
+  def annLshTopKRegistered(s: SparkSession, dir: String): DataFrame =
+    annLshTopK(s, dir, bits = DefaultEmbedBits)
+
+  /** DuckDB oracle for [[annLshTopKRegistered]]: identical bucketed
+    * algorithm — fixed-point codes, the full Hamming<=2 probe set, exact
+    * rounded-cosine re-rank with id tie-breaks.
+    */
+  def annLshOracleSql(
+      bits: Int = DefaultEmbedBits,
+      k: Int = 10,
+      nQueries: Int = 5): String = {
+    val masks = (Seq(0L) ++
+      (0 until bits).map(1L << _) ++
+      (for { i <- 0 until bits; j <- i + 1 until bits }
+        yield (1L << i) | (1L << j))).mkString("[", ", ", "]")
+    s"""WITH ${codesSql(bits)},
+       |q AS (SELECT vec_id AS q_id, code FROM codes WHERE vec_id < $nQueries),
+       |probes AS (SELECT q_id, xor(code, unnest($masks)) AS probe FROM q),
+       |cand AS (SELECT DISTINCT a.q_id, b.vec_id AS c_id
+       | FROM probes a JOIN codes b ON a.probe = b.code AND a.q_id <> b.vec_id),
+       |p AS (SELECT c.q_id, c.c_id,
+       | round(list_sum(list_transform(list_zip(x.embedding, y.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cosine_r6
+       | FROM cand c JOIN e x ON c.q_id = x.vec_id JOIN e y ON c.c_id = y.vec_id),
+       |r AS (SELECT q_id, c_id, cosine_r6,
+       | CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+       | FROM p)
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   def annLshTopK(

@@ -21,7 +21,9 @@ class RegistrySpec extends AnyFunSuite {
 
   test("every registered query has an oracle or a documented omission") {
     val noOracle = Registry.queries.keySet -- Registry.oracleSql.keySet
-    assert(noOracle == Set("kmeans_sizes", "kmeans_centroids"),
+    // The sanctioned rows-only set: every member depends on an iterative
+    // MLlib KMeans fit, which is not oracle-SQL-expressible.
+    assert(noOracle == Set("kmeans_sizes", "kmeans_centroids", "ann_ivf_topk"),
       s"missing oracles: $noOracle")
   }
 
