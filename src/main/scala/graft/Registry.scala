@@ -351,6 +351,11 @@ object Registry {
     // report per-shard doc/char totals.
     q("shard_plan", SampleOps.shardOracleSql())(SampleOps.shardPlanQuery),
 
+    // Flagship composition: quality filter -> stratified sample -> shard
+    // routing in ONE declarative plan (single scan, one agg shuffle).
+    q("curation_pipeline", SampleOps.curationOracleSql())(
+      (s, d) => SampleOps.curationPipeline(s, d)),
+
     // Oracle is the identical bucketed algorithm, unrolled from the same
     // constants (fixed-point SimHash codes, Hamming<=1 probes, exact
     // cosine verify) — so query and oracle share the recall profile and

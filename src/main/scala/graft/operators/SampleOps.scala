@@ -78,6 +78,57 @@ object SampleOps {
   def shardPlanQuery(s: SparkSession, dir: String): DataFrame =
     shardPlan(Tables.documents(s, dir))
 
+  /** The full curation pipeline as ONE declarative plan: quality-filter
+    * (keep only documents passing every [[TextOps.qualityFilter]] rule),
+    * stratified downsample ([[stratifiedSample]] rates), then shard
+    * routing — reporting per-shard counts of the curated corpus. This is
+    * the composition a training-data run executes end-to-end; expressing
+    * it as one plan lets Catalyst collapse all three steps into a single
+    * scan + one aggregation shuffle (the filters and the fingerprint are
+    * all narrow Column algebra over the same rows).
+    */
+  def curationPipeline(
+      s: SparkSession,
+      dir: String,
+      nShards: Int = 16): DataFrame =
+    TextOps.qualityFlags(Tables.documents(s, dir))
+      .filter(col("keep") === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        bucket.as("hash_bucket"),
+        (GraftFunctions.poly_hash(col("text"), 31, 1000000007L) % nShards)
+          .as("shard"))
+      .filter(col("hash_bucket") < rateFor(DefaultRates, DefaultRate))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("shard")
+
+  def curationOracleSql(nShards: Int = 16): String = {
+    val cases = DefaultRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""WITH t AS (
+       | SELECT doc_id, lang, n_chars, text,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       |  CAST(len(regexp_extract_all(text, '\\b(the|and|is|of|to|in|it|a)\\b')) AS BIGINT) AS n_stopwords
+       | FROM documents),
+       |kept AS (
+       | SELECT doc_id, lang, n_chars, text FROM t
+       | WHERE NOT (n_tokens < 20)
+       |  AND (1000 * n_chars_nows) // greatest(n_tokens, 1) BETWEEN 3000 AND 5000
+       |  AND n_stopwords > 0
+       |  AND (1000 * n_punct) // greatest(n_tokens, 1) <= 200),
+       |f AS (
+       | SELECT doc_id, lang, n_chars,
+       |  $FingerprintSql % 1000 AS hash_bucket,
+       |  $FingerprintSql % $nShards AS shard
+       | FROM kept)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM f WHERE hash_bucket < (CASE $cases ELSE $DefaultRate END)
+       |GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   /** DuckDB oracle fragment computing the same fingerprint — kept next to
     * the operator so the Spark expression and its oracle stay in lockstep
     * (same shape the `doc_fingerprint` oracle uses).

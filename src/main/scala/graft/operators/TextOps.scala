@@ -136,25 +136,34 @@ object TextOps {
     * [[textStats]] signals: one scan, no shuffle, engine-exact.
     */
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(
-        col("doc_id"),
-        size(tokens).cast("long").as("n_tokens"),
-        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars_nows"),
-        regexp_count(col("text"), lit(punctRe)).cast("long").as("n_punct"),
-        regexp_count(col("text"), lit(stopwordsRe)).cast("long").as("n_stopwords"))
-      .select(
-        col("doc_id"),
-        (col("n_tokens") < 20).cast("long").as("r_few_tokens"),
+    qualityFlags(Tables.documents(s, dir))
+      .select("doc_id", "r_few_tokens", "r_token_len", "r_no_stopwords",
+        "r_punct_heavy", "keep")
+      .orderBy("doc_id")
+
+  /** The rule columns appended to an arbitrary documents frame — the
+    * composition surface ([[SampleOps.curationPipeline]] chains this with
+    * sampling and sharding in one scan; the registered `quality_filter`
+    * query is the audit projection of the same frame).
+    */
+  def qualityFlags(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(tokens).cast("long"))
+      .withColumn("n_chars_nows",
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("n_punct", regexp_count(col("text"), lit(punctRe)).cast("long"))
+      .withColumn("n_stopwords",
+        regexp_count(col("text"), lit(stopwordsRe)).cast("long"))
+      .withColumn("r_few_tokens", (col("n_tokens") < 20).cast("long"))
+      .withColumn("r_token_len",
         (!expr("(1000 * n_chars_nows) div greatest(n_tokens, 1)")
-          .between(3000, 5000)).cast("long").as("r_token_len"),
-        (col("n_stopwords") === 0).cast("long").as("r_no_stopwords"),
-        (expr("(1000 * n_punct) div greatest(n_tokens, 1)") > 200)
-          .cast("long").as("r_punct_heavy"))
+          .between(3000, 5000)).cast("long"))
+      .withColumn("r_no_stopwords", (col("n_stopwords") === 0).cast("long"))
+      .withColumn("r_punct_heavy",
+        (expr("(1000 * n_punct) div greatest(n_tokens, 1)") > 200).cast("long"))
       .withColumn("keep",
         (col("r_few_tokens") + col("r_token_len") +
           col("r_no_stopwords") + col("r_punct_heavy") === 0).cast("long"))
-      .orderBy("doc_id")
 
   /** Per-document polynomial rolling-hash fingerprint over code points
     * (base 31, mod 1e9+7) — order-sensitive, so near-identical docs with

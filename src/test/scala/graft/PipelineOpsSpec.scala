@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupClusterOps, MinHashOps, SampleOps}
+import graft.operators.{DedupClusterOps, MinHashOps, SampleOps, TextOps}
 
 class PipelineOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
@@ -68,6 +68,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     // And the realized keep-rate should be near the configured permille.
     val enRate = sampled.getOrElse("en", 0L).toDouble / total("en")
     assert(enRate > 0.1 && enRate < 0.45, s"enRate=$enRate")
+  }
+
+  test("curation pipeline equals the composition of its three stages") {
+    val plan = SampleOps.curationPipeline(spark, sf).collect()
+    val kept = TextOps.qualityFilter(spark, sf).collect()
+      .filter(_.getLong(5) == 1L).map(_.getLong(0)).toSet
+    val sampled = SampleOps.sampleStratified(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(plan.map(_.getLong(1)).sum == (kept & sampled).size)
+    assert(plan.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
   }
 
   test("quality filter keeps the majority and every flag implies a drop") {
