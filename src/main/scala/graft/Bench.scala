@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   * error class in the `errors` map — never silently folded into the total.
   */
 object Bench {
-  private val slowCutoffSec = 4.0
+  // Queries whose warm-up stays under this take the median of 3 timed
+  // runs; slower ones get a single run to bound wall time. 15s covers
+  // the iterative graph queries (~9-12s) — with a single run, one GC or
+  // contention spike pollutes their recorded number (a clean 11.2s
+  // pagerank measured 46.9s once in r5); a median does not.
+  private val slowCutoffSec = 15.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

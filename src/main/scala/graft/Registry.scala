@@ -179,6 +179,11 @@ object Registry {
         |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin)(JoinOps.customerOrderCensus),
 
+    // As-of join via tagged-union + running carry-forward window — one
+    // shuffle, no per-key range fan-out; oracle is the identical
+    // deterministic formulation (native ASOF leaves ties unspecified).
+    q("asof_join", AsofJoinOps.OracleSql)(AsofJoinOps.purchaseAsofClick),
+
     // ---- Graph suite (reference: analysis/pagerank_spark.py, triangles_spark.py) ----
     q("graph_degrees",
       """WITH und AS (

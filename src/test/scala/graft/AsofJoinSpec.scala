@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoinOps
+
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("as-of semantics: latest right at-or-before, ties inclusive, max tie wins") {
+    import spark.implicits._
+    // (key, time, tie/id)
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "ts_us", "event_id")
+    val right = Seq(
+      (1L, 10L, 200L), (1L, 10L, 201L), // tie at t=10: 201 must win
+      (1L, 15L, 202L),                  // latest before t=20
+      (2L, 6L, 203L)                    // after left t=5: no match
+    ).toDF("user_id", "ts_us", "event_id")
+
+    val out = AsofJoinOps
+      .asOfJoin(left, right, "user_id", "ts_us", "event_id")
+      .select(col("event_id"),
+        col("matched.event_id").as("m_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(100L) == Some(201L)) // inclusive t=10, max event_id among ties
+    assert(out(101L) == Some(202L)) // strictly latest preceding
+    assert(out(102L) == None)       // nothing at or before t=5
+  }
+
+  test("registered query: gaps are non-negative and clicks precede purchases") {
+    val rows = AsofJoinOps.purchaseAsofClick(spark, sf).collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length == purchases)
+    rows.filter(r => !r.isNullAt(5)).foreach { r =>
+      assert(r.getLong(5) >= 0, s"purchase ${r.getLong(0)}")
+      assert(r.getLong(4) <= r.getLong(2))
+    }
+    // A real corpus should match most purchases to some prior click.
+    val matched = rows.count(r => !r.isNullAt(3))
+    assert(matched > rows.length / 2, s"matched=$matched of ${rows.length}")
+  }
+}
