@@ -436,6 +436,11 @@ object Registry {
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin)(
       (s, d) => TopKOps.topEventsPerType(s, d)),
 
+    // Deterministic KMV distinct sketch — unlike HLL/approx_count_distinct
+    // the whole sketch is integer-exact, so the oracle checks the sketch
+    // itself, not just its error bound.
+    q("kmv_distinct_users", SketchOps.oracleSql())(SketchOps.kmvDistinctUsers),
+
     // ---- ML: KMeans (reference: analysis/kmeans_spark.py:104-162) ----
     // Iterative MLlib fit is not oracle-SQL-expressible; the driver records
     // a rows-only check and the scalatest suite pins determinism at sf0.001.

@@ -80,6 +80,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
   }
 
+  test("KMV sketch: exact below k, within the estimator's error band above") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    // Below k distinct keys the sketch holds everything: exact.
+    val small = events.limit(200)
+    val rSmall = graft.operators.SketchOps.kmvDistinct(small, "user_id", k = 1024)
+      .head()
+    assert(rSmall.getLong(2) == rSmall.getLong(3))
+    // Above k: KMV rel. stddev is ~1/sqrt(k-2); 5 sigma at k=64 is ~64%.
+    val r = graft.operators.SketchOps.kmvDistinctUsers(spark, sf).head()
+    val (est, truth) = (r.getLong(2).toDouble, r.getLong(3).toDouble)
+    assert(est > truth * 0.36 && est < truth * 1.64, s"est=$est true=$truth")
+    // Deterministic: a synthetic disjoint corpus reproduces exactly.
+    val synth = (1L to 5000L).toDF("user_id")
+    val a = graft.operators.SketchOps.kmvDistinct(synth, "user_id").head()
+    val b = graft.operators.SketchOps.kmvDistinct(synth, "user_id").head()
+    assert(a == b)
+  }
+
   test("quality filter keeps the majority and every flag implies a drop") {
     val rows = graft.operators.TextOps.qualityFilter(spark, sf).collect()
     assert(rows.length == docs.count())
