@@ -356,6 +356,12 @@ object Registry {
     // report per-shard doc/char totals.
     q("shard_plan", SampleOps.shardOracleSql())(SampleOps.shardPlanQuery),
 
+    // Fixed-size per-stratum sample via a bounded MinK typed Aggregator
+    // (partial agg; the window-oracle formulation would serialize a head
+    // stratum through one task at scale).
+    q("sample_fixed_per_stratum", SampleOps.fixedOracleSql())(
+      (s, d) => SampleOps.fixedPerStratum(s, d)),
+
     // Flagship composition: quality filter -> stratified sample -> shard
     // routing in ONE declarative plan (single scan, one agg shuffle).
     q("curation_pipeline", SampleOps.curationOracleSql())(

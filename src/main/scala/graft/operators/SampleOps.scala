@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -128,6 +129,62 @@ object SampleOps {
        |FROM f WHERE hash_bucket < (CASE $cases ELSE $DefaultRate END)
        |GROUP BY shard ORDER BY shard""".stripMargin
   }
+
+  final case class MinKBuffer(items: List[(Long, Long)])
+  final case class MinKOutput(items: Seq[(Long, Long)])
+
+  /** Keeps the k smallest (sortKey, id) pairs, associatively — the
+    * [[TopKOps.TopKAggregator]] shape pointed the other way. Partial
+    * aggregation bounds every map task's state at k entries, so the
+    * exchange carries ≤ k rows per (task, stratum) — the scalable form of
+    * per-stratum selection. (A `row_number` window would instead funnel a
+    * 100 TB head stratum through ONE task to sort it.)
+    */
+  final class MinKAggregator(k: Int)
+      extends Aggregator[(String, Long, Long), MinKBuffer, MinKOutput] {
+    private def key(e: (Long, Long)) = e
+    override def zero: MinKBuffer = MinKBuffer(Nil)
+    override def reduce(b: MinKBuffer, r: (String, Long, Long)): MinKBuffer =
+      MinKBuffer(((r._2, r._3) :: b.items).sortBy(key).take(k))
+    override def merge(a: MinKBuffer, b: MinKBuffer): MinKBuffer =
+      MinKBuffer((a.items ++ b.items).sortBy(key).take(k))
+    override def finish(r: MinKBuffer): MinKOutput = MinKOutput(r.items)
+    override def bufferEncoder: Encoder[MinKBuffer] = Encoders.product[MinKBuffer]
+    override def outputEncoder: Encoder[MinKOutput] = Encoders.product[MinKOutput]
+  }
+
+  /** Fixed-size per-stratum sample: exactly min(n, |stratum|) documents
+    * per language, selected as the n smallest fingerprints (doc_id tie-
+    * break) — deterministic "give me 50 eval docs per language"
+    * selection, complementing the rate-based [[stratifiedSample]].
+    */
+  def fixedPerStratum(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"),
+        GraftFunctions.poly_hash(col("text"), 31, 1000000007L).as("fp"),
+        col("doc_id"))
+      .as[(String, Long, Long)]
+    docs
+      .groupByKey(_._1)
+      .agg(new MinKAggregator(n).toColumn.name("sample"))
+      .toDF("lang", "sample")
+      .select(col("lang"), posexplode(col("sample.items")))
+      .select(
+        col("col._2").as("doc_id"),
+        col("lang"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("doc_id")
+  }
+
+  def fixedOracleSql(n: Int = 50): String =
+    s"""WITH f AS (
+       | SELECT doc_id, lang, $FingerprintSql AS fp FROM documents),
+       |r AS (
+       | SELECT doc_id, lang,
+       |  CAST(row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS BIGINT) AS rank
+       | FROM f)
+       |SELECT doc_id, lang, rank FROM r WHERE rank <= $n ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle fragment computing the same fingerprint — kept next to
     * the operator so the Spark expression and its oracle stay in lockstep

@@ -80,6 +80,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
   }
 
+  test("fixed per-stratum sample takes exactly min(n, stratum size) each") {
+    val n = 50
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = SampleOps.fixedPerStratum(spark, sf, n).collect()
+    val byLang = sampled.groupBy(_.getString(1))
+    assert(byLang.keySet == sizes.keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(n.toLong, sizes(lang)), s"lang=$lang")
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // Deterministic across runs.
+    val again = SampleOps.fixedPerStratum(spark, sf, n).collect()
+    assert(sampled.toSeq == again.toSeq)
+  }
+
   test("KMV sketch: exact below k, within the estimator's error band above") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
