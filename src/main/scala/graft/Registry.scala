@@ -179,6 +179,13 @@ object Registry {
         |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin)(JoinOps.customerOrderCensus),
 
+    // Keyless range join via interval bucketing (bucket width = interval
+    // width; each interval probes <= 2 buckets). The oracle is DuckDB's
+    // native range join — an independent algorithm, so this is a true
+    // cross-check, not an identical-formulation one.
+    q("range_join_views", RangeJoinOps.oracleSql())(
+      (s, d) => RangeJoinOps.purchaseViewsWithin(s, d)),
+
     // As-of join via tagged-union + running carry-forward window — one
     // shuffle, no per-key range fan-out; oracle is the identical
     // deterministic formulation (native ASOF leaves ties unspecified).

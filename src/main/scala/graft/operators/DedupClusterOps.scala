@@ -79,6 +79,53 @@ object DedupClusterOps {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusters(s, Tables.documents(s, dir))
 
+  /** Convergence-checked clustering: iterate until no label changes (one
+    * scalar action per round, the [[GraphOps.connectedComponentsConverged]]
+    * stopping shape) — the 100×-scale-safe mode for adversarial
+    * chain-shaped dup clusters, where a fixed round count would silently
+    * stop propagating. Returns (rounds run, same schema as [[clusters]]).
+    */
+  def clustersConverged(
+      s: SparkSession,
+      docs: DataFrame,
+      thresholdMilli: Int = Threshold,
+      maxIters: Int = 50): (Int, DataFrame) = {
+    val pairs = MinHashOps.ngramJaccardPairs(docs, thresholdMilli)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = GraphOps.truncate(s, nodes.withColumn("cluster", col("doc_id")))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("cluster").as("nbr"))
+      val next = GraphOps.truncate(s, labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster")))
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .isEmpty
+      labels = next
+    }
+    (iter, labels
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        (col("doc_id") === col("cluster")).cast("long").as("is_survivor"))
+      .orderBy("doc_id"))
+  }
+
   /** DuckDB oracle: the identical pipeline — exact n-gram Jaccard pairs
     * (same CTEs as the `dedup_ngram` oracle), then the identical unrolled
     * min-label propagation (MATERIALIZED per level, as in

@@ -30,6 +30,22 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(102L) == None)       // nothing at or before t=5
   }
 
+  test("bucketed range join equals the naive range join") {
+    val bucketed = graft.operators.RangeJoinOps.purchaseViewsWithin(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+    val naive = ev.filter(col("event_type") === "purchase").as("p")
+      .join(ev.filter(col("event_type") === "view").as("v"),
+        col("v.ts_us") >= col("p.ts_us") &&
+          col("v.ts_us") < col("p.ts_us") + 3600000000L,
+        "left")
+      .groupBy(col("p.event_id"))
+      .agg(sum(when(col("v.event_id").isNotNull, 1L).otherwise(0L)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed == naive)
+    assert(bucketed.values.sum > 0, "corpus should have co-occurrences")
+  }
+
   test("registered query: gaps are non-negative and clicks precede purchases") {
     val rows = AsofJoinOps.purchaseAsofClick(spark, sf).collect()
     val purchases = Tables.events(spark, sf)

@@ -34,6 +34,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(clustered.map(c => c._1 -> c._2).toMap == expected)
   }
 
+  test("converged clustering equals the fixed-iteration mode") {
+    val (rounds, converged) = DedupClusterOps.clustersConverged(spark, docs)
+    assert(rounds > 0 && rounds < 50)
+    assert(converged.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == clustered.toSeq)
+  }
+
   test("exactly one survivor per cluster, and it is the minimum member") {
     val byCluster = clustered.groupBy(_._2)
     byCluster.foreach { case (cluster, members) =>
