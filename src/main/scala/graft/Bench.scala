@@ -64,7 +64,7 @@ object Bench {
       // intermediate frames, and the warm-up run is supposed to leave them
       // warm for the timed reps (clearing per-rep silently turned the
       // medians into cold-cache numbers in r4); clearing here still keeps
-      // the 34-query session from accumulating 34 queries' worth of caches.
+      // the session from accumulating every query's persisted frames.
       spark.sharedState.cacheManager.clearCache()
       out
     }

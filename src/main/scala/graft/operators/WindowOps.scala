@@ -48,13 +48,31 @@ object WindowOps {
         col("l_returnflag"),
         floor(col("l_extendedprice") / (col("l_quantity") + lit(1)) * 1000 + 0.5)
           .cast("long").as("density_milli"))
-    val w = Window.partitionBy("l_returnflag").orderBy("density_milli")
-    density
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      .filter(expr("rn = (cnt + 1) div 2 OR rn = cnt div 2 + 1"))
-      .groupBy("l_returnflag")
-      .agg(expr("sum(density_milli) div count(1)").as("median_density_milli"))
+    // Rank-select on the VALUE HISTOGRAM, not the rows: a row-level
+    // row_number() window partitioned by a 3-value flag funnels each
+    // flag's entire table through one task's sort at 100 TB. Collapsing
+    // to per-(flag, value) counts first makes the remaining window's
+    // partition size the distinct value domain (bounded by the
+    // fixed-point grid), independent of row count; the distributed
+    // groupBy does all row-volume work. The k-th smallest is then the
+    // first histogram value whose cumulative count reaches k — identical
+    // output, including duplicate-median corpora.
+    val hist = density
+      .groupBy("l_returnflag", "density_milli")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("density_milli")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("l_returnflag")))
+    // Lower and upper middle ranks; equal when cnt is odd.
+    val lo = cum.filter(expr("cum >= (cnt + 1) div 2"))
+      .groupBy("l_returnflag").agg(min("density_milli").as("v_lo"))
+    val hi = cum.filter(expr("cum >= cnt div 2 + 1"))
+      .groupBy("l_returnflag").agg(min("density_milli").as("v_hi"))
+    lo.join(hi, "l_returnflag")
+      .select(col("l_returnflag"),
+        expr("(v_lo + v_hi) div 2").as("median_density_milli"))
       .orderBy("l_returnflag")
   }
 
