@@ -37,25 +37,59 @@ object AnnOps {
   private def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** Bounded per-query top-k: keeps the k best (cosine desc, id asc)
+    * pairs associatively, so Spark applies it with partial aggregation —
+    * every map task reduces its scored candidates to k entries BEFORE
+    * the shuffle. The row_number-window alternative funnels each query's
+    * FULL candidate list through one task's sort: for the brute-force
+    * baseline that is all N vectors per query at 100 TB. Cosines are
+    * pre-rounded (6dp), so the (score, id) ordering is exactly the
+    * oracle's ranking.
+    */
+  final case class CosBuf(items: List[(Double, Long)])
+  final case class CosOut(items: Seq[(Double, Long)])
+
+  private final class CosTopK(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Double), CosBuf, CosOut] {
+    private def ord(e: (Double, Long)): (Double, Long) = (-e._1, e._2)
+    override def zero: CosBuf = CosBuf(Nil)
+    override def reduce(b: CosBuf, r: (Long, Long, Double)): CosBuf =
+      CosBuf(((r._3, r._2) :: b.items).sortBy(ord).take(k))
+    override def merge(a: CosBuf, b: CosBuf): CosBuf =
+      CosBuf((a.items ++ b.items).sortBy(ord).take(k))
+    override def finish(r: CosBuf): CosOut = CosOut(r.items)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[CosBuf] =
+      org.apache.spark.sql.Encoders.product[CosBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[CosOut] =
+      org.apache.spark.sql.Encoders.product[CosOut]
+  }
+
   /** Exact top-k nearest neighbors (cosine) of the first `nQueries`
     * vectors against the whole table, self-matches excluded.
     */
   def annTopK(s: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    cand
+    val scored = cand
       .crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
-      .withColumn("rank",
-        row_number()
-          .over(Window.partitionBy("q_id").orderBy(desc("cosine_r6"), col("c_id")))
-          .cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cosine_r6")
+      .as[(Long, Long, Double)]
+    scored
+      .groupByKey(_._1)
+      .agg(new CosTopK(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top.items")))
+      .select(
+        col("q_id"),
+        col("col._2").as("c_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("cosine_r6"))
       .orderBy("q_id", "rank")
   }
 
