@@ -65,22 +65,13 @@ object AnnOps {
       org.apache.spark.sql.Encoders.product[CosOut]
   }
 
-  /** Exact top-k nearest neighbors (cosine) of the first `nQueries`
-    * vectors against the whole table, self-matches excluded.
+  /** Bounded per-query ranking of a scored (q_id, c_id, cosine_r6) frame:
+    * the shared tail of all three ANN paths.
     */
-  def annTopK(s: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+  private def rankTopK(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    val scored = cand
-      .crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
-      .as[(Long, Long, Double)]
     scored
+      .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .agg(new CosTopK(k).toColumn.name("top"))
       .toDF("q_id", "top")
@@ -91,6 +82,22 @@ object AnnOps {
         (col("pos") + 1).cast("long").as("rank"),
         col("col._1").as("cosine_r6"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Exact top-k nearest neighbors (cosine) of the first `nQueries`
+    * vectors against the whole table, self-matches excluded.
+    */
+  def annTopK(s: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val scored = cand
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
+    rankTopK(s, scored, k)
   }
 
   /** Default code width for the registered `dedup_embed` query — the
@@ -218,20 +225,14 @@ object AnnOps {
       .filter(col("cell_rank") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cluster"))
 
-    probed
+    val scored = probed
       .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
         col("cluster")), "cluster")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
       .distinct()
-      .withColumn("rank",
-        row_number()
-          .over(Window.partitionBy("q_id").orderBy(desc("cosine_r6"), col("c_id")))
-          .cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cosine_r6")
-      .orderBy("q_id", "rank")
+    rankTopK(s, scored, k)
   }
 
   /** SimHash bucket code (`bits` sign bits) for an embedding column — the
@@ -341,19 +342,13 @@ object AnnOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("probe"))
 
-    probes
+    val scored = probes
       .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
         col("code").as("c_code")), col("probe") === col("c_code"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
       .distinct()
-      .withColumn("rank",
-        row_number()
-          .over(Window.partitionBy("q_id").orderBy(desc("cosine_r6"), col("c_id")))
-          .cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cosine_r6")
-      .orderBy("q_id", "rank")
+    rankTopK(s, scored, k)
   }
 }
