@@ -45,6 +45,13 @@ class AnnSpec extends AnyFunSuite {
     assert(auto.toSeq == manual.toSeq)
   }
 
+  test("auto-sized embed near-dup equals the manually sized run") {
+    val n = Tables.embeddings(spark, sf).count()
+    val auto = AnnOps.embedNearDupStatsAuto(spark, sf).collect()
+    val manual = AnnOps.embedNearDupStats(spark, sf, bits = AnnOps.bitsFor(n)).collect()
+    assert(auto.toSeq == manual.toSeq)
+  }
+
   test("IVF probes return exact scores and bounded per-query results") {
     val ivf = AnnOps.annIvfTopK(spark, sf).collect()
     assert(ivf.nonEmpty)
