@@ -30,6 +30,30 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(102L) == None)       // nothing at or before t=5
   }
 
+  test("as-of join matches a naive reference on randomized collisions") {
+    import spark.implicits._
+    // Deterministic pseudo-random rows over a tiny key space so every
+    // interesting case (ties, multiple candidates, no-match) occurs.
+    def gen(seed: Long, n: Int) = (1 to n).map { i =>
+      val x = i * 2654435761L + seed
+      (x % 7, (x / 7) % 50, 1000 * seed + i) // (key, time, id)
+    }
+    val left = gen(1, 120).toDF("user_id", "ts_us", "event_id")
+    val right = gen(2, 150).toDF("user_id", "ts_us", "event_id")
+    val out = AsofJoinOps.asOfJoin(left, right, "user_id", "ts_us", "event_id")
+      .select(col("event_id"), col("matched.event_id").as("m"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    val rightRows = gen(2, 150)
+    val expected = gen(1, 120).map { case (k, t, id) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(c => (c._2, c._3))._3))
+    }.toMap
+    assert(out == expected)
+  }
+
   test("bucketed range join equals the naive range join") {
     val bucketed = graft.operators.RangeJoinOps.purchaseViewsWithin(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

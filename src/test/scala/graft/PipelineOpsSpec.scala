@@ -41,6 +41,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       .toSeq == clustered.toSeq)
   }
 
+  test("converged clustering merges a chain a fixed round count cannot") {
+    import spark.implicits._
+    // 12 docs of 30 tokens sliding by 3: adjacent Jaccard ≈ 0.8, two hops
+    // apart ≈ 0.45 — a chain with diameter 11, the adversarial shape for
+    // fixed-iteration label propagation.
+    val words = (0 until 70).map(i => s"w$i")
+    val chain = (0 until 12)
+      .map(i => (i.toLong, words.slice(3 * i, 3 * i + 30).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fixed = DedupClusterOps.clusters(spark, chain, iters = 2)
+      .select("cluster").distinct().count()
+    val (rounds, conv) = DedupClusterOps.clustersConverged(spark, chain)
+    assert(conv.select("cluster").distinct().count() == 1L)
+    assert(rounds > 2, s"rounds=$rounds")
+    assert(fixed > 1L, s"fixed-2 should under-merge, got $fixed clusters")
+  }
+
   test("exactly one survivor per cluster, and it is the minimum member") {
     val byCluster = clustered.groupBy(_._2)
     byCluster.foreach { case (cluster, members) =>
