@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One tagged input row: `is_left` marks the probe side (the side being
+  * matched), left=false rows are the reference side carried forward.
+  */
+final case class AsofInput(user_id: Long, ts: Timestamp, event_id: Long, is_left: Boolean)
+
+/** Per-key state: the folded best reference row at or below the frontier
+  * (only the maximum matters for all future probes), plus the pending
+  * rows above it. State is O(events inside the watermark window) per key,
+  * never unbounded history.
+  */
+final case class AsofBuf(
+    bestTs: Option[Long],
+    bestId: Option[Long],
+    rights: List[(Long, Long)],
+    lefts: List[(Long, Long)])
+
+final case class AsofOut(
+    user_id: Long,
+    event_id: Long,
+    ts: Timestamp,
+    matched_id: Option[Long],
+    matched_ts: Option[Timestamp])
+
+/** Streaming twin of [[graft.operators.AsofJoinOps]]: per key, match each
+  * probe (left) row to the latest reference (right) row at or before its
+  * event time — with out-of-order arrivals handled by finalizing a probe
+  * only once the watermark passes its timestamp (no earlier reference row
+  * can still arrive; later-than-watermark stragglers are dropped by the
+  * watermark, same contract as every stateful op here).
+  *
+  * Identical tie semantics to the batch operator: a reference row AT the
+  * probe's timestamp matches, and among equal timestamps the larger id
+  * wins. As in [[StatefulSessions]], pending rows are emitted when their
+  * group next receives data past the watermark; a production deployment
+  * would add an event-time timeout to flush quiet keys.
+  */
+object StreamingAsof {
+
+  /** Pure per-key step: merge new rows, finalize every probe at or below
+    * the watermark `wmMs` in (ts, id) order, fold consumed reference rows
+    * into the single best-so-far. Visible for unit testing.
+    */
+  def advance(
+      buf: AsofBuf,
+      newRights: Seq[(Long, Long)],
+      newLefts: Seq[(Long, Long)],
+      wmMs: Long): (Seq[(Long, Long, Option[(Long, Long)])], AsofBuf) = {
+    val rights = (buf.rights ++ newRights).sorted
+    val lefts = (buf.lefts ++ newLefts).sorted
+    val (doneLefts, pendLefts) = lefts.partition(_._1 <= wmMs)
+    var best: Option[(Long, Long)] =
+      for (t <- buf.bestTs; i <- buf.bestId) yield (t, i)
+    var remaining = rights
+    val out = doneLefts.map { case (lts, lid) =>
+      val (fold, rest) = remaining.partition(_._1 <= lts)
+      if (fold.nonEmpty) best = Some((best.toList ++ fold).max)
+      remaining = rest
+      (lts, lid, best)
+    }
+    // Reference rows at or below the watermark can never be out-ranked
+    // for any future probe (those all have ts > wm): keep only the max.
+    val (foldAll, keepRights) = remaining.partition(_._1 <= wmMs)
+    if (foldAll.nonEmpty) best = Some((best.toList ++ foldAll).max)
+    (out, AsofBuf(best.map(_._1), best.map(_._2), keepRights, pendLefts))
+  }
+
+  def matches(
+      s: SparkSession,
+      events: Dataset[AsofInput],
+      watermarkDelay: String = "30 minutes"): Dataset[AsofOut] = {
+    import s.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofBuf, AsofOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[AsofInput], state: GroupState[AsofBuf]) =>
+          val evs = it.toVector
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(AsofBuf(None, None, Nil, Nil))
+          val (outs, next) = advance(
+            buf,
+            evs.filter(!_.is_left).map(e => (e.ts.getTime, e.event_id)),
+            evs.filter(_.is_left).map(e => (e.ts.getTime, e.event_id)),
+            wm)
+          state.update(next)
+          outs.iterator.map { case (lts, lid, m) =>
+            AsofOut(uid, lid, new Timestamp(lts),
+              m.map(_._2), m.map(p => new Timestamp(p._1)))
+          }
+      }
+  }
+}

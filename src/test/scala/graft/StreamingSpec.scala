@@ -37,6 +37,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming as-of matches the batch operator's tie and order semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AsofInput, StreamingAsof}
+    val input = MemoryStream[AsofInput]
+
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    // Out-of-order arrivals: the probe at t=50 must match the reference
+    // AT t=50 (inclusive tie, max id), the probe at t=5 has no match.
+    input.addData(
+      AsofInput(1L, ts(50), 200L, is_left = true),   // probe
+      AsofInput(1L, ts(10), 100L, is_left = false),
+      AsofInput(1L, ts(5), 201L, is_left = true),    // probe, no match
+      AsofInput(1L, ts(45), 102L, is_left = false),
+      AsofInput(1L, ts(50), 101L, is_left = false),  // tie at probe ts
+      AsofInput(1L, ts(60), 202L, is_left = true))   // probe -> id 101
+
+    val query = StreamingAsof.matches(spark, input.toDS())
+      .writeStream.format("memory").queryName("asof_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // Advance the watermark past every probe, then trigger the group.
+      input.addData(AsofInput(1L, ts(4000), 900L, is_left = false))
+      query.processAllAvailable()
+      input.addData(AsofInput(1L, ts(4001), 901L, is_left = false))
+      query.processAllAvailable()
+      val rows = spark.table("asof_test").collect()
+        .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(rows == Map(200L -> Some(101L), 201L -> None, 202L -> Some(101L)),
+        s"got $rows")
+    } finally query.stop()
+  }
+
+  test("streaming as-of advance folds consumed reference rows to one entry") {
+    import graft.streaming.{AsofBuf, StreamingAsof}
+    val (out, next) = StreamingAsof.advance(
+      AsofBuf(None, None, Nil, Nil),
+      newRights = Seq((10L, 100L), (45L, 102L), (50L, 101L), (4000L, 900L)),
+      newLefts = Seq((50L, 200L), (5L, 201L), (60L, 202L)),
+      wmMs = 100L)
+    assert(out == Seq(
+      (5L, 201L, None),
+      (50L, 200L, Some((50L, 101L))),
+      (60L, 202L, Some((50L, 101L)))))
+    assert(next.bestTs.contains(50L) && next.bestId.contains(101L))
+    assert(next.rights == List((4000L, 900L)) && next.lefts.isEmpty)
+  }
+
   test("streaming dedup keeps the first copy of each text within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
