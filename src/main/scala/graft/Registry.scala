@@ -350,10 +350,13 @@ object Registry {
     q("dedup_simhash", SimHashOps.oracleSql)(SimHashOps.dedupSimhash),
 
     // Cluster the near-dup pair graph (connected components) and pick one
-    // survivor per cluster — the keep-one step after pair detection. Both
-    // sides run the identical pipeline: exact n-gram pairs + unrolled
-    // min-label propagation.
-    q("dedup_clusters", DedupClusterOps.oracleSql())(DedupClusterOps.dedupClusters),
+    // survivor per cluster — the keep-one step after pair detection. The
+    // Spark side iterates min-label propagation TO CONVERGENCE (a fixed
+    // round count would silently under-merge long-diameter clusters); the
+    // oracle is an independent recursive-reachability fixpoint, so a
+    // convergence bug fails the gate instead of being mirrored.
+    q("dedup_clusters", DedupClusterOps.convergedOracleSql())(
+      DedupClusterOps.dedupClusters),
 
     // Deterministic hash-bucket stratified sampling (language rebalance):
     // keep iff fingerprint % 1000 falls under the stratum's permille rate.
@@ -413,11 +416,15 @@ object Registry {
         | CAST(r_few_tokens + r_token_len + r_no_stopwords + r_punct_heavy = 0 AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin)(TextOps.qualityFilter),
 
+    // '(?s).' (dot-all): the Spark-side PolyHash hashes every code point
+    // including newlines, so the oracle's per-character split must too —
+    // a plain '.' skips \n and would silently diverge on any ingest path
+    // whose texts contain embedded newlines.
     q("doc_fingerprint",
       """SELECT doc_id,
         | list_reduce(
         |  list_prepend(0::BIGINT,
-        |   list_transform(regexp_extract_all(text, '.'), c -> unicode(c)::BIGINT)),
+        |   list_transform(regexp_extract_all(text, '(?s).'), c -> unicode(c)::BIGINT)),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin)(TextOps.fingerprints),
 

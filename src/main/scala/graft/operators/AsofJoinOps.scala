@@ -30,9 +30,18 @@ import graft.Tables
   */
 object AsofJoinOps {
 
+  /** Internal tag/carry columns the union+window formulation introduces;
+    * inputs must not already use these names (or `matchedName`), or the
+    * `struct(left.columns...)` capture and final select would resolve
+    * against the wrong columns — validated, not silently misbehaving.
+    */
+  private val ReservedCols = Seq("__k", "__t", "__tie", "__side", "__l", "__r")
+
   /** Generic as-of join: returns every `left` row (all its columns) plus
     * `matched` — a struct of the as-of `right` row's columns, null when
     * no right row precedes. `key`/`time`/`tie` must exist in both frames.
+    * Input columns must not collide with the reserved internal names or
+    * `matchedName` (validated; IllegalArgumentException otherwise).
     */
   def asOfJoin(
       left: DataFrame,
@@ -41,6 +50,13 @@ object AsofJoinOps {
       time: String,
       tie: String,
       matchedName: String = "matched"): DataFrame = {
+    val clash = (left.columns ++ right.columns).distinct
+      .filter(c => ReservedCols.contains(c) || c == matchedName)
+    require(
+      clash.isEmpty,
+      s"asOfJoin inputs collide with reserved/internal column names: " +
+        s"${clash.mkString(", ")} (reserved: ${ReservedCols.mkString(", ")}, " +
+        s"matchedName: $matchedName)")
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields)
     val lNorm = left.select(

@@ -75,8 +75,21 @@ object DedupClusterOps {
       .orderBy("doc_id")
   }
 
-  /** Registered-query entry over the `documents` table. */
+  /** Registered-query entry over the `documents` table: the convergence-
+    * checked mode, so the production entry point can never return
+    * non-components — a fixed round count silently under-merges any
+    * cluster whose pair-graph diameter exceeds it, and an oracle running
+    * the identical unrolled algorithm cannot detect that. The oracle for
+    * this entry ([[convergedOracleSql]]) is instead an INDEPENDENT
+    * fixpoint (recursive reachability), so under-merging fails the gate.
+    */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersConverged(s, Tables.documents(s, dir))._2
+
+  /** Fixed-iteration entry (kept for callers that need a bounded round
+    * count; pairs with [[oracleSql]]'s identical unrolled formulation).
+    */
+  def dedupClustersFixed(s: SparkSession, dir: String): DataFrame =
     clusters(s, Tables.documents(s, dir))
 
   /** Convergence-checked clustering: iterate until no label changes (one
@@ -126,6 +139,48 @@ object DedupClusterOps {
       .orderBy("doc_id"))
   }
 
+  /** Shared oracle prefix: exact n-gram Jaccard pairs (same CTEs as the
+    * `dedup_ngram` oracle), symmetrized, plus the node set.
+    */
+  private def pairGraphSql(thresholdMilli: Int): String =
+    s""" tok AS MATERIALIZED (
+       | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |sh AS MATERIALIZED (
+       | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+       |  END AS shingles
+       | FROM tok),
+       |e AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |cand AS MATERIALIZED (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |pairs AS MATERIALIZED (
+       | SELECT c.doc_a, c.doc_b
+       | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+       | WHERE (1000 * len(list_intersect(x.shingles, y.shingles)))
+       |   // len(list_distinct(list_concat(x.shingles, y.shingles))) >= $thresholdMilli),
+       |sym AS MATERIALIZED (
+       | SELECT doc_a AS src, doc_b AS dst FROM pairs
+       | UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |n0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM sym)""".stripMargin
+
+  /** Independent fixpoint oracle for the converged entry: recursive
+    * reachability closure (DuckDB `WITH RECURSIVE`, set-semantics UNION
+    * iterates to a fixpoint) + min reachable id per node — TRUE connected
+    * components by a different algorithm than the Spark side's label
+    * propagation, so a Spark-side round-count bug fails the gate instead
+    * of being mirrored by an identically-truncated oracle.
+    */
+  def convergedOracleSql(thresholdMilli: Int = Threshold): String =
+    s"""WITH RECURSIVE${pairGraphSql(thresholdMilli)},
+       |reach AS (
+       | SELECT doc_id, doc_id AS r FROM n0
+       | UNION
+       | SELECT re.doc_id, e.dst AS r FROM reach re JOIN sym e ON re.r = e.src)
+       |SELECT doc_id, min(r) AS cluster,
+       | CAST(doc_id = min(r) AS BIGINT) AS is_survivor
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle: the identical pipeline — exact n-gram Jaccard pairs
     * (same CTEs as the `dedup_ngram` oracle), then the identical unrolled
     * min-label propagation (MATERIALIZED per level, as in
@@ -135,26 +190,7 @@ object DedupClusterOps {
   def oracleSql(thresholdMilli: Int = Threshold, iters: Int = Iters): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH tok AS MATERIALIZED (
-         | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
-         |sh AS MATERIALIZED (
-         | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
-         |  END AS shingles
-         | FROM tok),
-         |e AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |cand AS MATERIALIZED (
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |pairs AS MATERIALIZED (
-         | SELECT c.doc_a, c.doc_b
-         | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-         | WHERE (1000 * len(list_intersect(x.shingles, y.shingles)))
-         |   // len(list_distinct(list_concat(x.shingles, y.shingles))) >= $thresholdMilli),
-         |sym AS MATERIALIZED (
-         | SELECT doc_a AS src, doc_b AS dst FROM pairs
-         | UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |n0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM sym),
+      s"""WITH${pairGraphSql(thresholdMilli)},
          |l0 AS MATERIALIZED (SELECT doc_id, doc_id AS cluster FROM n0)""".stripMargin)
     for (i <- 1 to iters) {
       sb.append(s""",

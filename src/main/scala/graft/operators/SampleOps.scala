@@ -188,12 +188,14 @@ object SampleOps {
 
   /** DuckDB oracle fragment computing the same fingerprint — kept next to
     * the operator so the Spark expression and its oracle stay in lockstep
-    * (same shape the `doc_fingerprint` oracle uses).
+    * (same shape the `doc_fingerprint` oracle uses). The '(?s).' dot-all
+    * split hashes newlines like the Spark-side PolyHash does, so the
+    * oracles stay exact on corpora with embedded newlines.
     */
   val FingerprintSql: String =
     """list_reduce(
       |  list_prepend(0::BIGINT,
-      |   list_transform(regexp_extract_all(text, '.'), c -> unicode(c)::BIGINT)),
+      |   list_transform(regexp_extract_all(text, '(?s).'), c -> unicode(c)::BIGINT)),
       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
   def sampleOracleSql(

@@ -36,9 +36,11 @@ final case class AsofOut(
   *
   * Identical tie semantics to the batch operator: a reference row AT the
   * probe's timestamp matches, and among equal timestamps the larger id
-  * wins. As in [[StatefulSessions]], pending rows are emitted when their
-  * group next receives data past the watermark; a production deployment
-  * would add an event-time timeout to flush quiet keys.
+  * wins. Quiet keys are flushed by an event-time timeout set to the
+  * earliest pending probe's timestamp: when the watermark passes it the
+  * group fires with no input rows and the same `advance` step emits every
+  * probe the watermark has finalized — output completeness does not
+  * depend on the key ever receiving another row.
   */
 object StreamingAsof {
 
@@ -80,8 +82,11 @@ object StreamingAsof {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofBuf, AsofOut](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[AsofInput], state: GroupState[AsofBuf]) =>
+          // On timeout the iterator is empty and the same step below
+          // flushes every probe at or below the new watermark — one code
+          // path for data-driven and timeout-driven emission.
           val evs = it.toVector
           val wm = state.getCurrentWatermarkMs()
           val buf = state.getOption.getOrElse(AsofBuf(None, None, Nil, Nil))
@@ -91,6 +96,11 @@ object StreamingAsof {
             evs.filter(_.is_left).map(e => (e.ts.getTime, e.event_id)),
             wm)
           state.update(next)
+          // Earliest pending probe: strictly above the watermark (all
+          // others were just flushed), so the timestamp is always valid,
+          // and the group re-fires as soon as that probe finalizes.
+          if (next.lefts.nonEmpty)
+            state.setTimeoutTimestamp(next.lefts.map(_._1).min)
           outs.iterator.map { case (lts, lid, m) =>
             AsofOut(uid, lid, new Timestamp(lts),
               m.map(_._2), m.map(p => new Timestamp(p._1)))

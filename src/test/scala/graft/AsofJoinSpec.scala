@@ -54,6 +54,25 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("as-of join rejects inputs colliding with reserved/internal names") {
+    import spark.implicits._
+    val plain = Seq((1L, 10L, 100L)).toDF("user_id", "ts_us", "event_id")
+    val reserved = plain.withColumn("__side", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoinOps.asOfJoin(reserved, plain, "user_id", "ts_us", "event_id")
+    }
+    assert(e1.getMessage.contains("__side"))
+    val matchedClash = plain.withColumn("matched", lit(0))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoinOps.asOfJoin(plain, matchedClash, "user_id", "ts_us", "event_id")
+    }
+    assert(e2.getMessage.contains("matched"))
+    // A non-default matchedName dodges the clash on "matched".
+    val ok = AsofJoinOps.asOfJoin(
+      matchedClash, plain, "user_id", "ts_us", "event_id", matchedName = "asof")
+    assert(ok.columns.contains("asof") && ok.count() == 1)
+  }
+
   test("bucketed range join equals the naive range join") {
     val bucketed = graft.operators.RangeJoinOps.purchaseViewsWithin(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -73,6 +73,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming as-of flushes a quiet key via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AsofInput, StreamingAsof}
+    val input = MemoryStream[AsofInput]
+
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    // Key 1 gets a reference + probe, then goes silent forever; only key 2
+    // advances the watermark. The probe must still be emitted (matched to
+    // the reference) via the event-time timeout, not by new key-1 input.
+    input.addData(
+      AsofInput(1L, ts(10), 100L, is_left = false),
+      AsofInput(1L, ts(50), 200L, is_left = true))
+
+    val query = StreamingAsof.matches(spark, input.toDS())
+      .writeStream.format("memory").queryName("asof_timeout_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      input.addData(AsofInput(2L, ts(4000), 900L, is_left = false))
+      query.processAllAvailable()
+      input.addData(AsofInput(2L, ts(4001), 901L, is_left = false))
+      query.processAllAvailable()
+      val key1 = spark.table("asof_timeout_test").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(key1 == Map(200L -> Some(100L)), s"got $key1")
+    } finally query.stop()
+  }
+
   test("streaming as-of advance folds consumed reference rows to one entry") {
     import graft.streaming.{AsofBuf, StreamingAsof}
     val (out, next) = StreamingAsof.advance(
