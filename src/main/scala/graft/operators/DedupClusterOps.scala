@@ -51,15 +51,18 @@ object DedupClusterOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("src").as("doc_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar: sizes the broadcast guard
 
     var labels = nodes.withColumn("cluster", col("doc_id"))
     for (i <- 1 to iters) {
+      // Size-guarded broadcast of the label frame (GraphOps.roundSide):
+      // the cached pair graph is never re-shuffled across rounds.
       val nbrMin = sym
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .join(GraphOps.roundSide(labels.withColumnRenamed("doc_id", "src"), n), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("cluster").as("nbr"))
       labels = labels
-        .join(nbrMin, Seq("doc_id"), "left")
+        .join(GraphOps.roundSide(nbrMin, n), Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
@@ -111,17 +114,18 @@ object DedupClusterOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("src").as("doc_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar: sizes the broadcast guard
     var labels = GraphOps.truncate(s, nodes.withColumn("cluster", col("doc_id")))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       iter += 1
       val nbrMin = sym
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .join(GraphOps.roundSide(labels.withColumnRenamed("doc_id", "src"), n), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("cluster").as("nbr"))
       val next = GraphOps.truncate(s, labels
-        .join(nbrMin, Seq("doc_id"), "left")
+        .join(GraphOps.roundSide(nbrMin, n), Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster")))

@@ -42,6 +42,21 @@ object GraphOps {
   /** Fixed-point scale for PageRank scores (1.0 == 1e12). */
   val Scale: Long = 1000000000000L
 
+  /** Node-count ceiling for broadcasting the per-round score/label frame
+    * into the edge join. A (node, score) row is ~24 bytes, so 2M nodes is
+    * a ~50 MB broadcast — comfortably inside executor memory, and it
+    * removes the per-iteration re-shuffle of the (much larger) edge frame
+    * entirely: every round becomes one broadcast of the small frame + a
+    * map-side-combined aggregation exchange. Above the ceiling the join
+    * degrades to the plain shuffle hash join on `src`, which is the right
+    * plan at billions of nodes where the score frame is itself huge.
+    */
+  val BroadcastNodeLimit: Long = 2000000L
+
+  /** The per-round small side, broadcast when the node count permits. */
+  private[operators] def roundSide(df: DataFrame, n: Long): DataFrame =
+    if (n <= BroadcastNodeLimit) broadcast(df) else df
+
   /** Lineage truncation for iterative frames. With `graft.checkpoint.dir`
     * set, uses reliable `checkpoint()` — on a real cluster a lost executor
     * can replay from the checkpoint files, whereas `localCheckpoint` blocks
@@ -116,23 +131,30 @@ object GraphOps {
 
     var scores = nodes.withColumn("score", lit(Scale / n))
     for (i <- 1 to iters) {
+      // Broadcasting the score side (size-guarded) keeps the cached edge
+      // frame exchange-free across all iterations: without it, every
+      // round re-shuffles the edges for a sort-merge join and the edge
+      // exchange dominates the whole query.
       val contribs = edgesDeg
-        .join(scores.withColumnRenamed("node", "src"), "src")
+        .join(roundSide(scores.withColumnRenamed("node", "src"), n), "src")
         .select(
           col("dst").as("node"),
           expr(s"(85 * score) div (100 * out_degree)").as("contrib"))
         .groupBy("node")
         .agg(sum("contrib").as("contrib"))
       scores = nodes
-        .join(contribs, Seq("node"), "left")
+        .join(roundSide(contribs, n), Seq("node"), "left")
         .select(
           col("node"),
           (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score"))
-      // Truncate lineage mid-run: without this, Catalyst re-analyzes a
-      // plan that deepens every iteration (11.7s at sf0.1); every-3 pays
-      // too much materialization (10.2s); every-5 is the measured optimum
-      // (8.2s).
-      if (i % 5 == 0 && i < iters) scores = truncate(s, scores)
+      // Truncate lineage EVERY round: the broadcast exchange that feeds
+      // the next iteration's edge join is materialized per query
+      // execution, so an unmaterialized k-round tail would re-execute
+      // O(k²/2) inner rounds between checkpoints. The frame is one row
+      // per node — materializing it each round is the cheap side of that
+      // trade (measured: every-5 with shuffle joins 8.2s, every-1 with
+      // broadcast joins ~5s at sf0.1).
+      if (i < iters) scores = truncate(s, scores)
     }
     scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
   }
@@ -185,14 +207,14 @@ object GraphOps {
     while (iter < maxIters && !converged) {
       iter += 1
       val contribs = edgesDeg
-        .join(scores.withColumnRenamed("node", "src"), "src")
+        .join(roundSide(scores.withColumnRenamed("node", "src"), n), "src")
         .select(
           col("dst").as("node"),
           expr(s"(85 * score) div (100 * out_degree)").as("contrib"))
         .groupBy("node")
         .agg(sum("contrib").as("contrib"))
       val next = truncate(s, nodes
-        .join(contribs, Seq("node"), "left")
+        .join(roundSide(contribs, n), Seq("node"), "left")
         .select(
           col("node"),
           (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score")))
@@ -223,14 +245,17 @@ object GraphOps {
     val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar: sizes the broadcast guard
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 1 to iters) {
+      // Size-guarded broadcast of the label frame: the cached edge frame
+      // is never re-shuffled across rounds (see [[roundSide]]).
       val neighborMin = dirEdges
-        .join(labels.withColumnRenamed("node", "src"), "src")
+        .join(roundSide(labels.withColumnRenamed("node", "src"), n), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("label").as("nbr_label"))
       labels = labels
-        .join(neighborMin, Seq("node"), "left")
+        .join(roundSide(neighborMin, n), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // Each level references the previous labels twice and Spark does
@@ -260,17 +285,18 @@ object GraphOps {
     val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar: sizes the broadcast guard
     var labels = truncate(s, nodes.withColumn("label", col("node")))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       iter += 1
       val neighborMin = dirEdges
-        .join(labels.withColumnRenamed("node", "src"), "src")
+        .join(roundSide(labels.withColumnRenamed("node", "src"), n), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("label").as("nbr_label"))
       val next = truncate(s, labels
-        .join(neighborMin, Seq("node"), "left")
+        .join(roundSide(neighborMin, n), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       converged = next.as("n")
