@@ -166,6 +166,14 @@ object Registry {
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)(
       JoinOps.ordersRollup),
 
+    // CUBE: all four grouping sets in one scan + one agg exchange;
+    // grouping_id disambiguates subtotals and completes the sort key.
+    q("cube_lineitem_status", JoinOps.CubeOracleSql)(JoinOps.lineitemCube),
+
+    // Pivot as pure conditional aggregation over an EXPLICIT value list
+    // (no driver-side distinct pass to discover pivot values).
+    q("pivot_lang_mix", EtlOps.PivotOracleSql)((s, d) => EtlOps.langPivot(s, d)),
+
     q("join_customer_census",
       """WITH w AS (
         | SELECT c_mktsegment, count(*) AS with_orders FROM customer

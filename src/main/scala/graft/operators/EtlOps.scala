@@ -182,4 +182,37 @@ object EtlOps {
         count(lit(1)).as("cnt"),
         stableAvg(col("value"), 4).as("avg_value"))
       .orderBy("event_type", "value_band")
+
+  /** Known language strata for the pivot — passed EXPLICITLY so the pivot
+    * compiles to one conditional-aggregation pass. (Omitting the value
+    * list makes Spark first run a distinct scan and collect the values to
+    * the driver — an extra full pass a 100 TB pipeline must not pay.)
+    */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Wide corpus-mix report: documents per (source, language) pivoted to
+    * one row per source with a column per language. One scan, one
+    * aggregation exchange — the pivot is pure conditional aggregation.
+    */
+  def langPivot(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(count(lit(1)))
+    pivoted
+      .select(
+        col("source") +:
+          PivotLangs.map(l => coalesce(col(l), lit(0L)).as(s"${l}_docs")): _*)
+      .orderBy("source")
+  }
+
+  val PivotOracleSql: String = {
+    val cols = PivotLangs
+      .map(l =>
+        s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS ${l}_docs")
+      .mkString(",\n ")
+    s"""SELECT source,
+       | $cols
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -52,6 +52,38 @@ object JoinOps {
         col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** CUBE aggregate over return-flag × line-status: all four grouping
+    * sets (detail, each single-axis subtotal, grand total) in ONE pass —
+    * Spark expands the grouping sets before the exchange, so the cost is
+    * one scan + one aggregation shuffle regardless of how many sets the
+    * cube spans (vs four separate scans a naive UNION ALL would pay).
+    * `grouping_id` disambiguates subtotal rows from genuine NULL keys and
+    * makes (gid, flag, status) a unique deterministic sort key; both
+    * engines use first-listed-column-as-MSB bitmask semantics.
+    */
+  def lineitemCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("line_items"),
+        round(sum(col("l_extendedprice").cast("decimal(25,10)")).cast("double"), 2)
+          .as("total_price"))
+      .select(
+        col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("line_items"), col("total_price"))
+      .orderBy(
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val CubeOracleSql: String =
+    """SELECT CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      | l_returnflag, l_linestatus, count(*) AS line_items,
+      | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE), 2) AS total_price
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** Semi/anti join census: per market segment, customers with and
     * without any order — `left_semi` and `left_anti` against the fact
     * table (both shuffle only the key column).
