@@ -125,6 +125,16 @@ object Registry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)(
       WindowOps.medianDensityByFlag),
 
+    // Exact multi-quantile per group: one shared histogram pass, type-1
+    // integer ranks — no float interpolation to disagree on.
+    q("quantiles_density_by_flag", WindowOps.QuantilesOracleSql)(
+      WindowOps.quantilesDensityByFlag),
+
+    // Trailing 1h RANGE-frame activity per event: deterministic under
+    // ties (RANGE includes all tied rows), decimal value sums.
+    q("trailing_hour_stats", WindowOps.TrailingOracleSql)(
+      (s, d) => WindowOps.trailingHourStats(s, d)),
+
     // ---- Window functions / sessionization ----
     q("window_funcs",
       """SELECT event_id, user_id,
@@ -393,6 +403,15 @@ object Registry {
     // the corpus happens to have none.
     q("dedup_embed", AnnOps.embedOracleSql(AnnOps.DefaultEmbedBits))(
       (s, d) => AnnOps.embedNearDupStats(s, d)),
+
+    // Eval-set decontamination: digest-only anti-join; the stand-in eval
+    // set is a deterministic 10% fingerprint carve of the corpus.
+    q("decontamination_stats", TextOps.decontaminationOracleSql)(
+      TextOps.decontaminationStats),
+
+    // Boilerplate probe: corpus-wide top-20 bigram heavy hitters.
+    q("top_bigrams", TextOps.topBigramsOracleSql())(
+      (s, d) => TextOps.topBigrams(s, d)),
 
     q("token_count_bpe",
       """WITH t AS (

@@ -54,6 +54,97 @@ object TextOps {
         sum(when(col("c") > 1, 1).otherwise(0)).cast("long").as("dup_groups"),
         sum(col("c") - 1).cast("long").as("dup_rows"))
 
+  /** Corpus-wide top-k word-bigram heavy hitters — the boilerplate probe
+    * a pipeline runs before choosing its stop-shingle df cap (the
+    * `dedup_ngram` mitigation): which exact bigrams dominate the corpus,
+    * with occurrence counts. Every occurrence counts (not per-doc
+    * distinct), so templated boilerplate stands out by its repetition.
+    *
+    * Scale shape: explode → groupBy benefits from map-side partial
+    * aggregation (the exchange carries one row per distinct bigram per
+    * task, not per occurrence), and `orderBy.limit(k)` collapses to a
+    * TakeOrderedAndProject — no global sort of the distinct-bigram table.
+    */
+  def topBigrams(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(s, dir)
+      .select(tokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(desc("occurrences"), col("bigram"))
+      .limit(k)
+
+  def topBigramsOracleSql(k: Int = 20): String =
+    s"""WITH tok AS (
+       | SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |bg AS (
+       | SELECT unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS bigram
+       | FROM tok WHERE len(toks) >= 2)
+       |SELECT bigram, count(*) AS occurrences
+       |FROM bg GROUP BY bigram
+       |ORDER BY occurrences DESC, bigram LIMIT $k""".stripMargin
+
+  /** Benchmark-decontamination: drop every training document whose EXACT
+    * text digest appears in the eval set — the anti-join every serious
+    * training-data pipeline runs so eval questions never leak into the
+    * training corpus. Generic API: returns the surviving `train` rows.
+    *
+    * Scale notes: only 64-byte sha256 digests cross the network — the
+    * eval side is reduced to a distinct digest column before the join,
+    * and an eval set (thousands-to-millions of rows) is broadcast-sized
+    * next to a 100 TB training corpus, so the `left_anti` typically
+    * runs as a broadcast hash anti-join with NO shuffle of the training
+    * side at all (AQE picks this from the digest frame's runtime size).
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalDigests = evalDocs
+      .select(sha2(col("text"), 256).as("__eval_digest"))
+      .distinct()
+    train.join(
+      evalDigests,
+      sha2(train("text"), 256) === evalDigests("__eval_digest"),
+      "left_anti")
+  }
+
+  /** Registered query: per-language decontamination report. The stand-in
+    * eval set is carved deterministically from the corpus itself (docs
+    * whose PolyHash fingerprint ≡ 0 mod 10 — ~10%), so the query is
+    * self-contained and oracle-checkable; a real pipeline passes its
+    * actual benchmark corpus as `evalDocs`. Removed counts exceed the
+    * eval carve wherever exact duplicates of an eval text exist — which
+    * is exactly the leak decontamination exists to catch.
+    */
+  def decontaminationStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalSet = docs.filter(
+      graft.functions.GraftFunctions.poly_hash(col("text"), 31, 1000000007L) % 10 === 0)
+    val kept = decontaminate(docs, evalSet)
+      .groupBy("lang").agg(count(lit(1)).as("kept"))
+    docs.groupBy("lang").agg(count(lit(1)).as("total"))
+      .join(kept, Seq("lang"), "left")
+      .select(
+        col("lang"),
+        col("total"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        (col("total") - coalesce(col("kept"), lit(0L))).as("removed"))
+      .orderBy("lang")
+  }
+
+  def decontaminationOracleSql: String =
+    s"""WITH ev AS (
+       | SELECT DISTINCT sha256(text) AS d FROM documents
+       | WHERE ${SampleOps.FingerprintSql} % 10 = 0),
+       |k AS (
+       | SELECT lang, count(*) AS kept FROM documents t
+       | WHERE sha256(t.text) NOT IN (SELECT d FROM ev) GROUP BY lang),
+       |tot AS (SELECT lang, count(*) AS total FROM documents GROUP BY lang)
+       |SELECT tot.lang, total, coalesce(kept, 0) AS kept,
+       | total - coalesce(kept, 0) AS removed
+       |FROM tot LEFT JOIN k ON tot.lang = k.lang ORDER BY tot.lang""".stripMargin
+
   /** Per-document token/quality statistics, all integral:
     * token count, non-whitespace chars, punctuation count, stopword count,
     * mean token length and stopword ratio in fixed-point milli units.

@@ -76,6 +76,70 @@ object WindowOps {
       .orderBy("l_returnflag")
   }
 
+  /** Quantile probes in permille for [[quantilesDensityByFlag]]. */
+  val QuantilesPermille: Seq[Int] = Seq(250, 500, 750, 950)
+
+  /** Exact multi-quantile per group (p25/p50/p75/p95) — the
+    * [[medianDensityByFlag]] histogram rank-select generalized to any
+    * probe set IN ONE PASS: all probes share the same per-(group, value)
+    * histogram and cumulative window; each probe is the type-1 (inverse
+    * empirical CDF) quantile, rank `ceil(p·n)` computed in integer
+    * arithmetic — no float interpolation, so both engines agree bitwise.
+    * Work after the distributed row-count groupBy is bounded by the
+    * distinct value domain × |probes|, independent of row count.
+    */
+  def quantilesDensityByFlag(s: SparkSession, dir: String): DataFrame = {
+    val density = Tables.lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        floor(col("l_extendedprice") / (col("l_quantity") + lit(1)) * 1000 + 0.5)
+          .cast("long").as("density_milli"))
+    val hist = density
+      .groupBy("l_returnflag", "density_milli")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("density_milli")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("l_returnflag")))
+    val probes = cum
+      .withColumn("p", explode(array(QuantilesPermille.map(lit): _*)))
+      .filter(col("cum") >= expr("greatest((p * cnt + 999) div 1000, 1)"))
+      .groupBy("l_returnflag")
+      .pivot("p", QuantilesPermille.map(_.toString))
+      .agg(min("density_milli"))
+    probes
+      .select(
+        col("l_returnflag") +:
+          QuantilesPermille.map(p => col(p.toString).as(s"p${p}_milli")): _*)
+      .orderBy("l_returnflag")
+  }
+
+  val QuantilesOracleSql: String = {
+    val values = QuantilesPermille.map(p => s"($p)").mkString(", ")
+    val cols = QuantilesPermille
+      .map(p => s"max(CASE WHEN p = $p THEN q END) AS p${p}_milli")
+      .mkString(",\n ")
+    s"""WITH d AS (
+       | SELECT l_returnflag,
+       |  CAST(floor(l_extendedprice / (l_quantity + 1) * 1000 + 0.5) AS BIGINT) AS density_milli
+       | FROM lineitem),
+       |h AS (SELECT l_returnflag, density_milli, count(*) AS c FROM d GROUP BY 1, 2),
+       |cm AS (
+       | SELECT l_returnflag, density_milli,
+       |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY density_milli) AS cum,
+       |  sum(c) OVER (PARTITION BY l_returnflag) AS cnt
+       | FROM h),
+       |q AS (
+       | SELECT l_returnflag, p, min(density_milli) AS q
+       | FROM cm CROSS JOIN (VALUES $values) pr(p)
+       | WHERE cum >= greatest((p * cnt + 999) // 1000, 1)
+       | GROUP BY 1, 2)
+       |SELECT l_returnflag,
+       | $cols
+       |FROM q GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Per-event sequence number, gap to previous event (whole seconds) and
     * running value sum within each user's timeline.
     */
@@ -88,6 +152,35 @@ object WindowOps {
         round(sum("value").over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 3))
       .select("event_id", "user_id", "seq", "gap_s", "cum_value")
       .orderBy("event_id")
+
+  /** Trailing one-hour activity per event — a RANGE frame over integral
+    * microseconds: for every event, how many events (and how much value)
+    * the same user produced in the inclusive [ts-1h, ts] window. RANGE
+    * (unlike ROWS) includes ALL rows tied on the order key, so the result
+    * is deterministic under any tie order; the value sum runs in decimal,
+    * so partition order can't perturb the rounded output. One exchange on
+    * `user_id`, then a single sorted pass per partition with an O(1)
+    * sliding frame — no self-join fan-out for the time window.
+    */
+  def trailingHourStats(s: SparkSession, dir: String, windowUs: Long = 3600000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-windowUs, 0)
+    Tables.events(s, dir)
+      .withColumn("trailing_events", count(lit(1)).over(w))
+      .withColumn("trailing_value",
+        round(sum(col("value").cast("decimal(25,10)")).over(w).cast("double"), 4))
+      .select("event_id", "user_id", "ts_us", "trailing_events", "trailing_value")
+      .orderBy("event_id")
+  }
+
+  val TrailingOracleSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      | count(*) OVER w AS trailing_events,
+      | round(CAST(sum(CAST(value AS DECIMAL(25,10))) OVER w AS DOUBLE), 4) AS trailing_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      | RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
 
   /** Gap-based sessionization: a new session starts after >= `gapSeconds`
     * of inactivity; emits per-user session and event counts. The streaming

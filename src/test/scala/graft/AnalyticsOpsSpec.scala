@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{TextOps, WindowOps}
+
+/** Behavioral checks for the r6 analytics additions, each cross-checked
+  * against an independently computed (driver-side, naive) reference at
+  * sf0.001 — the local tier below the DuckDB oracle gate.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("grouped quantiles are monotone and match a naive sorted-rank check") {
+    val rows = WindowOps.quantilesDensityByFlag(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val qs = (1 to 4).map(r.getLong)
+      assert(qs == qs.sorted, s"non-monotone quantiles for ${r.getString(0)}: $qs")
+    }
+    // Naive reference: collect densities, sort, take rank ceil(p*n).
+    val dens = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") / (col("l_quantity") + lit(1)) * 1000 + 0.5)
+          .cast("long").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    rows.foreach { r =>
+      val sorted = dens(r.getString(0))
+      WindowOps.QuantilesPermille.zipWithIndex.foreach { case (p, i) =>
+        val rank = math.max(1, (p * sorted.length + 999) / 1000)
+        assert(r.getLong(i + 1) == sorted(rank - 1),
+          s"${r.getString(0)} p$p: got ${r.getLong(i + 1)}, want ${sorted(rank - 1)}")
+      }
+    }
+  }
+
+  test("trailing hour stats equal a naive per-user range count") {
+    val out = WindowOps.trailingHourStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts_us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val byUser = evs.groupBy(_._2)
+    evs.foreach { case (id, uid, ts, _) =>
+      val in = byUser(uid).filter(e => e._3 >= ts - 3600000000L && e._3 <= ts)
+      val expSum = BigDecimal(in.flatMap(_._4).map(BigDecimal(_)).sum
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(out(id)._1 == in.length, s"event $id count")
+      assert(math.abs(out(id)._2 - expSum.toDouble) < 1e-9, s"event $id sum")
+    }
+  }
+
+  test("decontaminate removes exactly the eval-digest matches") {
+    val docs = Tables.documents(spark, sf)
+    val evalSet = docs.filter(
+      graft.functions.GraftFunctions.poly_hash(col("text"), 31, 1000000007L) % 10 === 0)
+    val evalDigests = evalSet.select(sha2(col("text"), 256).as("d"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(evalDigests.nonEmpty, "eval carve must be non-empty")
+    val survivors = TextOps.decontaminate(docs, evalSet)
+      .select(sha2(col("text"), 256).as("d")).collect().map(_.getString(0))
+    assert(survivors.forall(d => !evalDigests.contains(d)))
+    val removed = docs.count() - survivors.length
+    assert(removed >= evalSet.count(), "every eval member must be removed")
+  }
+
+  test("top bigrams match a naive occurrence count with tie-break") {
+    val out = TextOps.topBigrams(spark, sf, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val naive = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+      .flatMap { t =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        toks.iterator.zip(toks.iterator.drop(1)).map { case (a, b) => s"$a $b" }
+      }
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      .toSeq.sortBy { case (b, c) => (-c, b) }.take(20)
+    assert(out.toSeq == naive)
+  }
+}
