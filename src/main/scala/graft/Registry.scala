@@ -409,6 +409,11 @@ object Registry {
     q("decontamination_stats", TextOps.decontaminationOracleSql)(
       TextOps.decontaminationStats),
 
+    // Repetition/lexical-diversity signals: zero-shuffle sorted-array-run
+    // formulation vs the oracle's relational explode+groupBy — a true
+    // independent-algorithm cross-check.
+    q("repetition_stats", TextOps.RepetitionOracleSql)(TextOps.repetitionStats),
+
     // Boilerplate probe: corpus-wide top-20 bigram heavy hitters.
     q("top_bigrams", TextOps.topBigramsOracleSql())(
       (s, d) => TextOps.topBigrams(s, d)),

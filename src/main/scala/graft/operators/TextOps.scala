@@ -54,6 +54,59 @@ object TextOps {
         sum(when(col("c") > 1, 1).otherwise(0)).cast("long").as("dup_groups"),
         sum(col("c") - 1).cast("long").as("dup_rows"))
 
+  /** Per-document repetition / lexical-diversity stats — the Gopher-style
+    * repetition signals (type-token ratio, most-frequent-token share)
+    * that quality pipelines threshold on.
+    *
+    * Scale shape: ZERO shuffle — the max token frequency is computed as
+    * the longest run in the sorted token array via an `aggregate` lambda
+    * over each row (a per-row narrow expression inside codegen), instead
+    * of the explode → groupBy(doc, token) → max relational formulation
+    * that shuffles one row per token occurrence. The DuckDB oracle runs
+    * the relational formulation — an independent algorithm computing the
+    * same quantity, so this is a true cross-check.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        expr(
+          """aggregate(array_sort(toks),
+            | named_struct('prev', cast(null as string),
+            |  'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+            | (acc, t) -> named_struct(
+            |  'prev', t,
+            |  'run', if(acc.prev <=> t, acc.run + 1, cast(1 as bigint)),
+            |  'best', greatest(acc.best,
+            |   if(acc.prev <=> t, acc.run + 1, cast(1 as bigint)))),
+            | acc -> acc.best)""".stripMargin).as("max_token_count"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("max_token_count"),
+        expr("(1000 * n_distinct_tokens) div greatest(n_tokens, 1)").as("ttr_milli"),
+        expr("(1000 * max_token_count) div greatest(n_tokens, 1)").as("max_freq_milli"))
+      .orderBy("doc_id")
+
+  val RepetitionOracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |x AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+      |g AS (SELECT doc_id, t, count(*) AS c FROM x GROUP BY 1, 2),
+      |a AS (
+      | SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_distinct_tokens, CAST(max(c) AS BIGINT) AS max_token_count
+      | FROM g GROUP BY 1)
+      |SELECT tok.doc_id,
+      | coalesce(n_tokens, 0) AS n_tokens,
+      | coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+      | coalesce(max_token_count, 0) AS max_token_count,
+      | (1000 * coalesce(n_distinct_tokens, 0)) // greatest(coalesce(n_tokens, 0), 1) AS ttr_milli,
+      | (1000 * coalesce(max_token_count, 0)) // greatest(coalesce(n_tokens, 0), 1) AS max_freq_milli
+      |FROM tok LEFT JOIN a ON tok.doc_id = a.doc_id ORDER BY tok.doc_id""".stripMargin
+
   /** Corpus-wide top-k word-bigram heavy hitters — the boilerplate probe
     * a pipeline runs before choosing its stop-shingle df cap (the
     * `dedup_ngram` mitigation): which exact bigrams dominate the corpus,

@@ -144,6 +144,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-static decontamination drops exactly the eval digests") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val evalDocs = Seq("leaked eval question", "another benchmark item")
+      .toDF("text")
+
+    input.addData(
+      (1L, "ordinary training text"),
+      (2L, "leaked eval question"),    // exact eval match -> dropped
+      (3L, "another benchmark item"),  // exact eval match -> dropped
+      (4L, "leaked eval question?"))   // different text -> kept
+
+    val query = graft.streaming.StreamingDecontaminate.clean(docs, evalDocs)
+      .writeStream.format("memory").queryName("decontam_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val ids = spark.table("decontam_test").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 4L), s"survivors=${ids.toSeq}")
+    } finally query.stop()
+  }
+
   test("stream-stream join matches follow-up events inside the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
