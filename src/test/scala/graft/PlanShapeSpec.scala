@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TextOps, WindowOps}
+
+/** Plan-shape proofs for the r6 additions: the properties SURVEY §5
+  * claims are asserted on the executed plan, not just documented — a
+  * regression that reintroduces a shuffle or drops a broadcast fails CI,
+  * not a 100 TB run.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("repetition_stats computes with zero shuffles before the output sort") {
+    val plan = executedPlan(TextOps.repetitionStats(spark, sf))
+    // The only exchange allowed is the rangepartitioning for ORDER BY
+    // (the plan string prints the initial AND final adaptive plan, so
+    // assert on the kinds present, not occurrence counts).
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges == Set("range"), s"unexpected exchanges $exchanges in:\n$plan")
+  }
+
+  test("decontamination anti-join broadcasts the eval digests") {
+    val plan = executedPlan(TextOps.decontaminationStats(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti-join not broadcast in:\n$plan")
+    // The training-side scan must not be exchanged for the anti-join:
+    // no hashpartitioning on the digest column.
+    assert(!plan.contains("Exchange hashpartitioning(text_hash"), plan)
+  }
+
+  test("quantiles histogram plan aggregates before any window work") {
+    val plan = executedPlan(WindowOps.quantilesDensityByFlag(spark, sf))
+    // Row-volume work happens in the distributed groupBy: a hash
+    // aggregate must appear; the window runs over the collapsed
+    // histogram. A row-level row_number formulation would have Window
+    // directly over the scan with no prior aggregate.
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, plan)
+    assert(plan.lastIndexOf("HashAggregate") > winIdx,
+      s"no aggregate below the window (histogram collapsed first):\n$plan")
+  }
+
+  test("top_bigrams collapses to a bounded TakeOrdered, not a global sort") {
+    val plan = executedPlan(TextOps.topBigrams(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
