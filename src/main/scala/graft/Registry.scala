@@ -488,6 +488,11 @@ object Registry {
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin)(
       (s, d) => TopKOps.topEventsPerType(s, d)),
 
+    // Log-compaction: latest record per key as a partial-aggregable
+    // struct-max (shuffle carries one candidate per task×key); oracle is
+    // the independent row_number window formulation.
+    q("latest_event_per_user", TopKOps.LatestOracleSql)(TopKOps.latestEventPerUser),
+
     // Deterministic KMV distinct sketch — unlike HLL/approx_count_distinct
     // the whole sketch is integer-exact, so the oracle checks the sketch
     // itself, not just its error bound.

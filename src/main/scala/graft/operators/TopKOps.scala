@@ -62,4 +62,39 @@ object TopKOps {
         col("col._1").as("value"))
       .orderBy("event_type", "rank")
   }
+
+  /** Log-compaction / latest-record-per-key — the CDC pattern: for every
+    * user, the single most recent event ((ts, id)-max; id breaks
+    * timestamp ties deterministically), payload carried along.
+    *
+    * Scale shape: `max(struct(...))` is an ordinary aggregate — partial
+    * aggregation reduces each map task to ONE candidate row per key
+    * before the exchange, so the shuffle carries O(keys) rows. The
+    * `row_number() = 1` window formulation (which the ORACLE runs — an
+    * independent algorithm) would instead shuffle and SORT every row of
+    * every key; at 100 TB of append logs that difference is the job.
+    * Struct comparison is lexicographic by field order, so (ts_us,
+    * event_id) leads the struct and the payload never participates.
+    */
+  def latestEventPerUser(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(max(struct(
+        col("ts_us"), col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(
+        col("user_id"),
+        col("m.ts_us").as("ts_us"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"),
+        col("m.value").as("value"))
+      .orderBy("user_id")
+
+  val LatestOracleSql: String =
+    """WITH r AS (
+      | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+      |  row_number() OVER (PARTITION BY user_id
+      |   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      | FROM events)
+      |SELECT user_id, ts_us, event_id, event_type, value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 }
