@@ -44,6 +44,9 @@ final case class AsofOut(
   */
 object StreamingAsof {
 
+  /** ~100 years in ms: the "no pending work" timeout horizon. */
+  private val FarHorizonMs: Long = 100L * 365 * 24 * 3600 * 1000
+
   /** Pure per-key step: merge new rows, finalize every probe at or below
     * the watermark `wmMs` in (ts, id) order, fold consumed reference rows
     * into the single best-so-far. Visible for unit testing.
@@ -99,8 +102,15 @@ object StreamingAsof {
           // Earliest pending probe: strictly above the watermark (all
           // others were just flushed), so the timestamp is always valid,
           // and the group re-fires as soon as that probe finalizes.
+          // With nothing pending, push the timeout to a far horizon
+          // instead of leaving the old (already-passed) timestamp in
+          // place — Spark does not clear a fired timeout, so a stale
+          // timestamp would re-fire every quiet key on every micro-batch
+          // forever (no output, but O(quiet keys) wasted state reads).
           if (next.lefts.nonEmpty)
             state.setTimeoutTimestamp(next.lefts.map(_._1).min)
+          else if (state.exists)
+            state.setTimeoutTimestamp(math.max(wm, 0L) + FarHorizonMs)
           outs.iterator.map { case (lts, lid, m) =>
             AsofOut(uid, lid, new Timestamp(lts),
               m.map(_._2), m.map(p => new Timestamp(p._1)))
