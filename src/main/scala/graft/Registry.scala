@@ -409,6 +409,25 @@ object Registry {
     q("decontamination_stats", TextOps.decontaminationOracleSql)(
       TextOps.decontaminationStats),
 
+    // N-gram-overlap decontamination (GPT-3-style): shared 5-grams with
+    // the eval carve, catching partial quotes exact digests miss. Eval
+    // gram set broadcasts; the corpus side never shuffles.
+    q("decontamination_ngram", TextOps.DecontaminationNgramOracleSql)(
+      (s, d) => TextOps.decontaminationNgram(s, d)),
+
+    // PII scrub audit: typed counts + redacted digest per document over a
+    // deterministic planted-PII corpus (ordered RE2-safe replacements).
+    q("pii_redact", PiiOps.OracleSql)(PiiOps.piiRedact),
+
+    // C4-style normalized dedup: case/punct/whitespace-insensitive digest
+    // groups — same shuffle contract as dedup_exact.
+    q("dedup_normalized", TextOps.DedupNormalizedOracleSql)(TextOps.dedupNormalized),
+
+    // Integer-exact TF-IDF keyword extraction: vocabulary-sized df table
+    // broadcast onto term rows, per-doc bounded ranking window.
+    q("tfidf_top_terms", TfIdfOps.oracleSql())(
+      (s, d) => TfIdfOps.tfidfTopTerms(s, d)),
+
     // Repetition/lexical-diversity signals: zero-shuffle sorted-array-run
     // formulation vs the oracle's relational explode+groupBy — a true
     // independent-algorithm cross-check.

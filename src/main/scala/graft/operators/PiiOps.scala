@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** PII detection + redaction — the scrub pass every training-data pipeline
+  * runs before a corpus ships (emails, phone numbers, IP addresses →
+  * typed placeholder tokens, with per-document counts for audit).
+  *
+  * All patterns are RE2-safe (no lookahead/backreferences, explicit ASCII
+  * classes) so Java regex and the DuckDB oracle match identical spans, and
+  * the whole operator is native `regexp_replace`/`regexp_count` Column
+  * algebra: one scan, zero shuffle, fully inside whole-stage codegen —
+  * at 100 TB this is a map-only pass whose cost is the scan itself.
+  *
+  * The driver corpus is digit-free word soup, so the registered query
+  * plants deterministic PII derived from `doc_id` (every doc an email,
+  * every 3rd a phone, every 7th an IPv4) — the same self-contained-probe
+  * pattern `decontamination_stats` uses for its eval carve. A real
+  * pipeline calls [[redact]] on its own text column.
+  */
+object PiiOps {
+
+  /** username@host.tld — conservative ASCII form. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American 555 exchange (the reserved fiction prefix the synth
+    * data uses); word-bounded so digit runs inside longer numbers don't
+    * half-match.
+    */
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** Dotted-quad IPv4, word-bounded. Octet ranges are not validated —
+    * redaction wants recall; '999.1.1.1' is still worth scrubbing.
+    */
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact a text column: emails → [EMAIL], then phones → [PHONE], then
+    * IPs → [IP]. Replacement order matters (an email's host could contain
+    * a dotted quad) and is part of the contract — the oracle replays it.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      IpRe, "[IP]")
+
+  /** Per-document PII audit of an arbitrary frame: typed counts plus the
+    * redacted text digest/length (the digest, not the cleaned body, is
+    * what a 100 TB audit table stores).
+    */
+  def piiAudit(docs: DataFrame, text: Column): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(text, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(text, lit(IpRe)).cast("long").as("n_ips"),
+      sha2(redact(text), 256).as("clean_hash"),
+      length(redact(text)).cast("long").as("clean_len"))
+
+  /** The deterministic PII-bearing text the registered query audits:
+    * corpus text + planted contact lines keyed off doc_id.
+    */
+  private def plantedPii: Column = concat(
+    col("text"),
+    lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" node 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") / 256).cast("long") % 256).cast("string"),
+        lit("."), ((col("doc_id") / 65536).cast("long") % 256).cast("string")))
+      .otherwise(lit("")))
+
+  /** Registered query: audit the planted-PII corpus. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiAudit(Tables.documents(s, dir), plantedPii).orderBy("doc_id")
+
+  /** Oracle: identical planting + the same three ordered replacements
+    * (RE2 needs the explicit 'g' flag Spark applies implicitly).
+    */
+  val OracleSql: String = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phone = """\b555-[0-9]{4}\b"""
+    val ip = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+    s"""WITH p AS (
+       | SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |  || CASE WHEN doc_id % 3 = 0
+       |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |  || CASE WHEN doc_id % 7 = 0
+       |      THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |       || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+       |       || '.' || CAST((doc_id // 65536) % 256 AS VARCHAR) ELSE '' END AS pii_text
+       | FROM documents),
+       |r AS (
+       | SELECT doc_id, pii_text,
+       |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |   '$email', '[EMAIL]', 'g'),
+       |   '$phone', '[PHONE]', 'g'),
+       |   '$ip', '[IP]', 'g') AS clean
+       | FROM p)
+       |SELECT doc_id,
+       | CAST(len(regexp_extract_all(pii_text, '$email')) AS BIGINT) AS n_emails,
+       | CAST(len(regexp_extract_all(pii_text, '$phone')) AS BIGINT) AS n_phones,
+       | CAST(len(regexp_extract_all(pii_text, '$ip')) AS BIGINT) AS n_ips,
+       | sha256(clean) AS clean_hash,
+       | CAST(length(clean) AS BIGINT) AS clean_len
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+}

@@ -198,6 +198,96 @@ object TextOps {
        | total - coalesce(kept, 0) AS removed
        |FROM tot LEFT JOIN k ON tot.lang = k.lang ORDER BY tot.lang""".stripMargin
 
+  /** N-gram-overlap decontamination — the stricter industry-standard form
+    * (GPT-3-style): a training document is contaminated if it shares ANY
+    * token n-gram with the eval set, catching partial quotes that exact
+    * digest matching misses. Returns per-train-doc shared-gram counts.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT n-gram set —
+    * eval suites are thousands of documents, so this set broadcasts —
+    * and the training side explodes per-doc distinct grams into a
+    * broadcast hash semi-join with NO shuffle of the corpus; the only
+    * exchange is the per-doc count aggregation over MATCHED rows, which
+    * is bounded by eval-gram hits, not corpus size.
+    */
+  def decontaminateNgram(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), tokens.as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
+          .as("g"))
+    val evalGrams = grams(evalDocs).select("g").distinct()
+    val matched = grams(train)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+    train.select("doc_id")
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"),
+        (coalesce(col("shared_ngrams"), lit(0L)) > 0).cast("long").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered query: 5-gram decontamination of the non-eval corpus
+    * against the same deterministic 10% eval carve `decontamination_stats`
+    * uses (train = the other 90%, so eval self-matches don't drown the
+    * signal; hits are real cross-document overlap — planted near-dups
+    * whose twin fell in the carve).
+    */
+  def decontaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fp = graft.functions.GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
+    decontaminateNgram(docs.filter(fp % 10 =!= 0), docs.filter(fp % 10 === 0))
+  }
+
+  val DecontaminationNgramOracleSql: String =
+    s"""WITH tok AS (
+       | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+       |  ${SampleOps.FingerprintSql} AS fp
+       | FROM documents),
+       |ev AS (
+       | SELECT DISTINCT unnest([array_to_string(toks[i:i+4], ' ')
+       |   for i in range(1, len(toks) - 3)]) AS g
+       | FROM tok WHERE fp % 10 = 0 AND len(toks) >= 5),
+       |tr AS (SELECT doc_id, toks FROM tok WHERE fp % 10 <> 0),
+       |x AS (
+       | SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+       |   for i in range(1, len(toks) - 3)])) AS g
+       | FROM tr WHERE len(toks) >= 5),
+       |m AS (
+       | SELECT doc_id, count(*) AS shared FROM x JOIN ev USING (g) GROUP BY doc_id)
+       |SELECT tr.doc_id, CAST(coalesce(shared, 0) AS BIGINT) AS shared_ngrams,
+       | CAST(coalesce(shared, 0) > 0 AS BIGINT) AS contaminated
+       |FROM tr LEFT JOIN m ON tr.doc_id = m.doc_id ORDER BY tr.doc_id""".stripMargin
+
+  /** Exact dedup after text normalization (C4-style): lowercase, strip
+    * punctuation, collapse whitespace runs — so casing/spacing variants
+    * of one document collapse into one group. Same contract and scale
+    * shape as [[dedupExact]]: the shuffle carries normalized-text digests
+    * + ids, never bodies; normalization itself is zero-shuffle codegen.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,!?;:]", ""), "\\s+", " "))
+
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(sha2(normalizeText(col("text")), 256).as("norm_hash"), col("doc_id"))
+      .groupBy("norm_hash")
+      .agg(count(lit(1)).as("copies"), min("doc_id").as("survivor_id"))
+      .orderBy("norm_hash")
+
+  val DedupNormalizedOracleSql: String =
+    """WITH n AS (
+      | SELECT doc_id,
+      |  sha256(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+      |   '\s+', ' ', 'g'))) AS norm_hash
+      | FROM documents)
+      |SELECT norm_hash, count(*) AS copies, min(doc_id) AS survivor_id
+      |FROM n GROUP BY norm_hash ORDER BY norm_hash""".stripMargin
+
   /** Per-document token/quality statistics, all integral:
     * token count, non-whitespace chars, punctuation count, stopword count,
     * mean token length and stopword ratio in fixed-point milli units.

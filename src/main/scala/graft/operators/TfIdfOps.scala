@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** TF-IDF keyword extraction: the top-k most characteristic tokens per
+  * document — corpus-level document frequency weighting down the words
+  * everything contains, a standard feature/retrieval primitive
+  * (reference's text-feature class: analysis/etl_spark.py:143-159).
+  *
+  * Numerical design: no logarithms or floats anywhere. The score is the
+  * exact integer `tfidf_milli = (1000 * tf * N) div (df * doc_tokens)` —
+  * monotone in tf/df like classic tf·idf, bit-identical in any engine —
+  * with (score desc, token asc) ranking so ties are deterministic.
+  *
+  * Scale shape: one explode + one (doc_id, token) partial-aggregated
+  * groupBy is the only corpus-sized shuffle. The df table is
+  * vocabulary-sized (bounded by distinct tokens, not corpus rows) and
+  * BROADCAST back onto term rows; per-doc ranking windows over at most
+  * distinct-tokens-per-doc rows, so no stratum serializes. N is one
+  * scalar `count()` action (the PageRank-N pattern).
+  */
+object TfIdfOps {
+
+  private val tokens = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("doc_tokens"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(docLen, Seq("doc_id"))
+      .join(broadcast(df), Seq("token"))
+      .select(
+        col("doc_id"), col("token"), col("tf"), col("df"),
+        expr(s"(1000 * tf * ${n}L) div (df * doc_tokens)").as("tfidf_milli"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf_milli"), col("token"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf_milli")
+      .orderBy("doc_id", "rank")
+  }
+
+  def oracleSql(k: Int = 3): String =
+    s"""WITH x AS (
+       | SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+       | FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM x GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_tokens FROM tf GROUP BY 1),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |sc AS (
+       | SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       |  (1000 * tf.tf * n.n) // (df.df * dl.doc_tokens) AS tfidf_milli
+       | FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN df ON tf.token = df.token CROSS JOIN n),
+       |r AS (
+       | SELECT doc_id, token, tf, df, CAST(tfidf_milli AS BIGINT) AS tfidf_milli,
+       |  CAST(row_number() OVER (PARTITION BY doc_id
+       |   ORDER BY tfidf_milli DESC, token) AS BIGINT) AS rank
+       | FROM sc)
+       |SELECT doc_id, rank, token, tf, df, tfidf_milli
+       |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+}
