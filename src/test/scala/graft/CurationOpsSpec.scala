@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{PiiOps, TextOps, TfIdfOps}
+
+/** Behavioral checks for the curation additions (PII scrub, n-gram
+  * decontamination, normalized dedup, TF-IDF) on crafted frames where the
+  * right answer is knowable by eye — the tier below the oracle gate.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("pii redact scrubs email, phone, and ip with typed placeholders") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail a.user+x@sub.example.org then call 555-0142 from 10.1.2.3 ok"),
+      (1L, "no pii here at all"),
+      (2L, "two mails a@b.co c@d.io and 999.255.0.1")
+    ).toDF("doc_id", "text")
+    val out = PiiOps.piiAudit(df, col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1 && out(0).getLong(3) == 1)
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 0 && out(1).getLong(3) == 0)
+    assert(out(2).getLong(1) == 2 && out(2).getLong(3) == 1)
+    val cleaned = df.select(col("doc_id"), PiiOps.redact(col("text")).as("c"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(cleaned(0) == "mail [EMAIL] then call [PHONE] from [IP] ok")
+    assert(cleaned(1) == "no pii here at all")
+    assert(cleaned(2) == "two mails [EMAIL] [EMAIL] and [IP]")
+  }
+
+  test("ngram decontamination flags exactly the docs sharing a 5-gram") {
+    import spark.implicits._
+    val evalDocs = Seq((100L, "the quick brown fox jumps over a lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // shares exactly one 5-gram: "the quick brown fox jumps"
+      (0L, "he said the quick brown fox jumps again today"),
+      (1L, "quick brown fox jumped over nothing at all"),    // no shared 5-gram
+      (2L, "tiny doc")                                        // < 5 tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.decontaminateNgram(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == ((1L, 1L)), s"doc 0: ${out(0L)}")
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((0L, 0L)))
+  }
+
+  test("normalized dedup merges case/punct/whitespace variants") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "Hello,  World!"),
+      (1L, "hello world"),
+      (2L, "HELLO   world."),
+      (3L, "hello there world")
+    ).toDF("doc_id", "text")
+    val groups = df
+      .select(sha2(TextOps.normalizeText(col("text")), 256).as("h"), col("doc_id"))
+      .groupBy("h").agg(count(lit(1)).as("c"), min("doc_id").as("survivor"))
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(groups(0L) == 3L, s"variants not merged: $groups")
+    assert(groups(3L) == 1L)
+  }
+
+  test("tfidf ranks a unique token above a ubiquitous one") {
+    val out = TfIdfOps.tfidfTopTerms(spark, sf, k = 3)
+    val rows = out.collect()
+    // Contract: exactly k rows per doc that has >= k distinct tokens,
+    // ranks 1..k, scores non-increasing within each doc.
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getLong(5)).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $doc scores not sorted: $scores")
+    }
+    // A token present in every document has idf N/df = 1; its score can
+    // never exceed one with df = 1 at equal tf share. Spot-check against
+    // a naive driver-side recompute for one document.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    val n = docs.length.toLong
+    val dfMap = docs.flatMap(r => r.getString(1).split("\\s+").filter(_.nonEmpty).distinct)
+      .groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val first = docs.minBy(_.getLong(0))
+    val toks = first.getString(1).split("\\s+").filter(_.nonEmpty)
+    val tf = toks.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val naive = tf.map { case (t, f) =>
+      (t, 1000L * f * n / (dfMap(t) * toks.length)) }
+      .toSeq.sortBy { case (t, s) => (-s, t) }.take(3)
+    val got = byDoc(first.getLong(0)).sortBy(_.getLong(1))
+      .map(r => (r.getString(2), r.getLong(5))).toSeq
+    assert(got == naive, s"got $got want $naive")
+  }
+}
