@@ -512,6 +512,21 @@ object Registry {
     // the independent row_number window formulation.
     q("latest_event_per_user", TopKOps.LatestOracleSql)(TopKOps.latestEventPerUser),
 
+    // Salted shuffle JOIN (hot-probe-key spread; dim replicated salts×);
+    // oracle is the plain join+agg — the salt is semantically invisible.
+    q("salted_join_segments", SkewOps.SaltedJoinOracleSql)(
+      (s, d) => SkewOps.saltedJoinSegments(s, d)),
+
+    // Z-order layout plan: per-z-range file stats proving every dimension
+    // prunes (narrow min/max on BOTH columns per file).
+    q("zorder_plan", LayoutOps.oracleSql())((s, d) => LayoutOps.zorderPlan(s, d)),
+
+    // Bloom pre-filter decontamination audit: broadcast bit-set probe,
+    // exact verify only on bloom-positives; demo-small m so the
+    // false-positive column is non-trivially exercised.
+    q("bloom_decontamination", SketchOps.bloomOracleSql())(
+      SketchOps.bloomDecontaminationStats),
+
     // Deterministic KMV distinct sketch — unlike HLL/approx_count_distinct
     // the whole sketch is integer-exact, so the oracle checks the sketch
     // itself, not just its error bound.

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Z-order (Morton-curve) data-layout planning — the write-path
+  * optimization that makes multi-dimensional predicate pruning work at
+  * 100 TB: rows sorted by interleaved-bit z-values land in files whose
+  * min/max ranges are NARROW on every participating dimension, so a scan
+  * filtering on either column can skip most files on footer stats alone
+  * (a single-column sort gives pruning on that column only).
+  *
+  * The plan here assigns each row its z-value and z-range file, then
+  * reports per-file row counts and per-dimension min/max — exactly the
+  * footer stats a writer would produce — making the locality claim
+  * checkable: with `bits = 8` and 64 files, each file is one aligned
+  * 32×32 tile of the bucket grid, so each dimension's bucket span per
+  * file is ≤ 1/8 of its full range.
+  *
+  * Everything is integer Column algebra (scale-to-bucket by exact integer
+  * division, bit interleave as an unrolled sum of div/mod terms) — fully
+  * codegen'd, one scan + one dim-stats cross-join (broadcast single row)
+  * + one aggregation exchange. The same arithmetic strings generate the
+  * DuckDB oracle, so Spark and oracle share one formula by construction.
+  */
+object LayoutOps {
+
+  /** Bit-interleave two `bits`-wide bucket ids: x in even positions, y in
+    * odd. `idiv` is the engine's integer-division operator ("div" for
+    * Spark SQL, "//" for DuckDB).
+    */
+  private def interleave(xb: String, yb: String, bits: Int, idiv: String): String =
+    (0 until bits).map { i =>
+      s"((($xb) $idiv ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((($yb) $idiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  val DefaultBits = 8
+  val DefaultFiles = 64
+
+  /** Z-order file plan for lineitem over (l_partkey, l_suppkey). */
+  def zorderPlan(
+      s: SparkSession,
+      dir: String,
+      bits: Int = DefaultBits,
+      files: Int = DefaultFiles): DataFrame = {
+    val m = (1L << bits) - 1
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey").cast("long").as("x"),
+      col("l_suppkey").cast("long").as("y"))
+    // One-row dim-stats frame, broadcast into the scan: keeps the whole
+    // plan declarative (no driver-side action for the ranges).
+    val stats = li.agg(
+      min("x").as("xmin"), max("x").as("xmax"),
+      min("y").as("ymin"), max("y").as("ymax"))
+    li.crossJoin(broadcast(stats))
+      .select(
+        col("x"), col("y"),
+        expr(s"((x - xmin) * $m) div greatest(xmax - xmin, 1)").as("xb"),
+        expr(s"((y - ymin) * $m) div greatest(ymax - ymin, 1)").as("yb"))
+      .withColumn("z", expr(interleave("xb", "yb", bits, "div")))
+      .withColumn("file_id", expr(s"z * $files div ${1L << (2 * bits)}"))
+      .groupBy("file_id")
+      .agg(
+        count(lit(1)).as("rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("file_id")
+  }
+
+  def oracleSql(bits: Int = DefaultBits, files: Int = DefaultFiles): String = {
+    val m = (1L << bits) - 1
+    s"""WITH d AS (
+       | SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+       | FROM lineitem),
+       |st AS (
+       | SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+       | FROM d),
+       |b AS (
+       | SELECT x, y,
+       |  ((x - xmin) * $m) // greatest(xmax - xmin, 1) AS xb,
+       |  ((y - ymin) * $m) // greatest(ymax - ymin, 1) AS yb
+       | FROM d CROSS JOIN st),
+       |z AS (
+       | SELECT x, y, (${interleave("xb", "yb", bits, "//")}) AS z FROM b)
+       |SELECT CAST(z * $files // ${1L << (2 * bits)} AS BIGINT) AS file_id,
+       | count(*) AS rows, min(x) AS x_min, max(x) AS x_max,
+       | min(y) AS y_min, max(y) AS y_max
+       |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+}

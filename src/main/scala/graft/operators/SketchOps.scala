@@ -71,4 +71,103 @@ object SketchOps {
        |  ELSE ${(k - 1).toLong * P} // sk.kth_min END AS BIGINT) AS est_distinct,
        | t.true_distinct
        |FROM sk, t""".stripMargin
+
+  // ---- Deterministic Bloom pre-filter ----------------------------------
+
+  /** Bloom bit-array size for the registered query. Deliberately DEMO-
+    * small (512 bits for a ~50-key eval carve at sf0.01) so false
+    * positives actually occur and the audit columns mean something; a
+    * production filter sizes m = -n·ln(p)/ln²2 from the build-side count
+    * and target FP rate (n=1M keys at p=1% → ~1.2 MB — broadcast-trivial).
+    */
+  val BloomM: Long = 512L
+  val BloomK: Int = 3
+
+  /** The k Kirsch-Mitzenmacher bit positions for a fingerprint: pos_i =
+    * (h1 + i·h2) mod m with h1 = fp mod m, h2 = fp mod (m-1) + 1 — two
+    * base hashes simulate k independent ones (Kirsch & Mitzenmacher,
+    * ESA'06), all integer-exact. Shared between Spark and the oracle as a
+    * generated arithmetic string: `idiv`-free, only % — identical in both.
+    */
+  private def positionsSqlList(fp: String): Seq[String] =
+    (0 until BloomK).map(i =>
+      s"(($fp) % $BloomM + $i * (($fp) % ${BloomM - 1} + 1)) % $BloomM")
+
+  /** Bloom-pre-filtered decontamination audit, per language: how many
+    * training docs the Bloom filter flags (`bloom_positive`), how many are
+    * true fingerprint matches (`exact_matches`), and the false-positive
+    * overhead the exact verify must absorb. At 100 TB the point of the
+    * pattern: the corpus side probes a BROADCAST bit-set (here: the
+    * distinct set-position table, ≤ k·|eval| rows) with no shuffle at all,
+    * and only bloom-positive docs reach the expensive exact stage — the
+    * same two-tier candidates→verify shape as LSH dedup. No false
+    * negatives by construction, which the audit's `exact_matches <=
+    * bloom_positive` invariant (checked in tests) witnesses.
+    */
+  def bloomDecontaminationStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fp = graft.functions.GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
+    // Carve the stand-in eval set by doc_id (not fingerprint): a train doc
+    // can then share a fingerprint with an eval doc — an exact duplicate
+    // across the carve — so `exact_matches` is non-vacuous (an fp-keyed
+    // carve could never produce one by construction). The driver corpus
+    // happens to plant no cross-carve exact dups, so its truthful answer
+    // is 0; the spec proves the tier fires on a corpus that has one.
+    bloomAudit(docs.select(col("doc_id"), col("lang"), fp.as("fp")))
+  }
+
+  /** The carve + audit over any `(doc_id, lang, fp)` frame. */
+  def bloomAudit(withFp: DataFrame): DataFrame = {
+    val evalFps = withFp.filter(col("doc_id") % 10 === 0).select("fp").distinct()
+    val train = withFp.filter(col("doc_id") % 10 =!= 0)
+
+    val posArr = array(positionsSqlList("fp").map(expr): _*)
+    val evalPos = evalFps.select(explode(posArr).as("p")).distinct()
+    val trainPos = train.select(col("doc_id"), explode(array_distinct(posArr)).as("p"))
+    // Per-doc distinct probe positions (k unless KM positions collide).
+    val needed = train.select(col("doc_id"), size(array_distinct(posArr)).as("np"))
+    val hits = trainPos.join(broadcast(evalPos), Seq("p"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hit"))
+    val flags = train
+      .join(needed, Seq("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .join(broadcast(evalFps.withColumnRenamed("fp", "efp")),
+        col("fp") === col("efp"), "left")
+      .select(
+        col("lang"),
+        (coalesce(col("hit"), lit(0L)) === col("np")).cast("long").as("bp"),
+        col("efp").isNotNull.cast("long").as("ex"))
+    flags.groupBy("lang")
+      .agg(
+        count(lit(1)).as("total"),
+        sum("bp").cast("long").as("bloom_positive"),
+        sum("ex").cast("long").as("exact_matches"),
+        (sum("bp") - sum("ex")).cast("long").as("false_positives"))
+      .orderBy("lang")
+  }
+
+  def bloomOracleSql(): String = {
+    val posList = positionsSqlList("fp").mkString("[", ", ", "]")
+    s"""WITH f AS (
+       | SELECT doc_id, lang, ${SampleOps.FingerprintSql} AS fp FROM documents),
+       |ev AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 0),
+       |pos AS (SELECT DISTINCT unnest($posList) AS p FROM ev),
+       |tr AS (SELECT doc_id, lang, fp FROM f WHERE doc_id % 10 <> 0),
+       |trpos AS (
+       | SELECT doc_id, unnest(list_distinct($posList)) AS p FROM tr),
+       |np AS (SELECT doc_id, count(*) AS np FROM trpos GROUP BY doc_id),
+       |hits AS (
+       | SELECT doc_id, count(*) AS hit FROM trpos JOIN pos USING (p) GROUP BY doc_id),
+       |fl AS (
+       | SELECT tr.lang,
+       |  CAST(coalesce(hit, 0) = np.np AS BIGINT) AS bp,
+       |  CAST(tr.fp IN (SELECT fp FROM ev) AS BIGINT) AS ex
+       | FROM tr JOIN np ON tr.doc_id = np.doc_id
+       |  LEFT JOIN hits ON tr.doc_id = hits.doc_id)
+       |SELECT lang, count(*) AS total,
+       | CAST(sum(bp) AS BIGINT) AS bloom_positive,
+       | CAST(sum(ex) AS BIGINT) AS exact_matches,
+       | CAST(sum(bp) - sum(ex) AS BIGINT) AS false_positives
+       |FROM fl GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -40,4 +40,54 @@ object SkewOps {
         sum("partial_cnt").cast("long").as("events"),
         round(sum("partial_sum").cast("double"), 4).as("value_sum"))
       .orderBy("user_id")
+
+  /** Salted shuffle JOIN: the manual fix for a hot probe key when the dim
+    * side is too large to broadcast and AQE's skew splitting isn't
+    * available (e.g. the join feeds a co-partitioned downstream op).
+    * The dim side is replicated `salts`× (explode over the salt range);
+    * each probe row routes to one replica by a uniform row-level salt, so
+    * a hot key's probe rows spread over `salts` reducers instead of one.
+    * Replication multiplies the dim shuffle by `salts` — the knob trades
+    * dim duplication for hot-reducer fan-in, exactly like salted
+    * aggregation trades a second exchange. Inner-join semantics are
+    * unchanged (every probe row still meets every matching dim row
+    * exactly once), which the plain-join oracle proves.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      dim: DataFrame,
+      key: String,
+      probeSalt: Column,
+      salts: Int = 8): DataFrame = {
+    require(!probe.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name")
+    val saltedDim = dim.withColumn(
+      "__salt", explode(sequence(lit(0), lit(salts - 1))))
+    probe.withColumn("__salt", pmod(probeSalt, lit(salts)))
+      .join(saltedDim.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Registered query: events joined to customer over the salted shape,
+    * aggregated per market segment. The oracle is the PLAIN join+agg —
+    * the salt must be semantically invisible, like salted aggregation.
+    */
+  def saltedJoinSegments(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("c_custkey"), col("event_id"), col("value"))
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    saltedJoin(ev, cust, "c_custkey", col("event_id"), salts)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("events"),
+        round(sum(col("value").cast("decimal(25,10)")).cast("double"), 4)
+          .as("value_sum"))
+      .orderBy("c_mktsegment")
+  }
+
+  val SaltedJoinOracleSql: String =
+    """SELECT c_mktsegment, count(*) AS events,
+      | round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 4) AS value_sum
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{LayoutOps, SketchOps, SkewOps}
+
+/** Behavioral checks for the scale-pattern trio: salted join, z-order
+  * layout planning, and the Bloom pre-filter audit.
+  */
+class ScalePatternSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("salted join equals the plain join at any salt count") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 40L), (9L, 50L))
+      .toDF("k", "v")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    for (salts <- Seq(1, 4, 16)) {
+      val salted = SkewOps.saltedJoin(probe, dim, "k", col("v"), salts)
+        .orderBy("k", "v").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val plain = probe.join(dim, "k")
+        .orderBy("k", "v").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(salted.toSeq == plain.toSeq, s"salts=$salts")
+    }
+    // Reserved-name guard fires instead of silently mis-joining.
+    val bad = probe.withColumn("__salt", lit(0))
+    assertThrows[IllegalArgumentException] {
+      SkewOps.saltedJoin(bad, dim, "k", col("v"))
+    }
+  }
+
+  test("zorder plan: every file's span on BOTH dims is a fraction of full range") {
+    val plan = LayoutOps.zorderPlan(spark, sf).collect()
+    assert(plan.nonEmpty && plan.length <= LayoutOps.DefaultFiles)
+    val xFull = plan.map(_.getLong(3)).max - plan.map(_.getLong(2)).min
+    val yFull = plan.map(_.getLong(5)).max - plan.map(_.getLong(4)).min
+    // bits=8, 64 files => each file is one aligned 32x32 tile of the
+    // 256x256 bucket grid: per-file bucket span <= 32/256 = 1/8 of the
+    // range (+1 bucket width of slack for the scale-down rounding).
+    plan.foreach { r =>
+      val xs = r.getLong(3) - r.getLong(2)
+      val ys = r.getLong(5) - r.getLong(4)
+      assert(xs <= xFull / 8 + xFull / 256 + 1,
+        s"file ${r.getLong(0)}: x span $xs vs full $xFull")
+      assert(ys <= yFull / 8 + yFull / 256 + 1,
+        s"file ${r.getLong(0)}: y span $ys vs full $yFull")
+    }
+    // All rows accounted for.
+    val total = plan.map(_.getLong(1)).sum
+    assert(total == Tables.lineitem(spark, sf).count())
+  }
+
+  test("bloom audit: no false negatives, and a planted cross-carve dup is an exact match") {
+    import spark.implicits._
+    // fp values chosen directly (the audit takes any (doc_id, lang, fp)):
+    // doc 10 is eval (doc_id % 10 == 0); doc 11 shares its fp => exact
+    // match; doc 12 has a different fp.
+    val frame = Seq(
+      (10L, "en", 777777L),
+      (11L, "en", 777777L),
+      (12L, "en", 123456789L),
+      (20L, "de", 555L),
+      (21L, "de", 99999999L)
+    ).toDF("doc_id", "lang", "fp")
+    val out = SketchOps.bloomAudit(frame).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (enTotal, enBloom, enExact, _) = out("en")
+    assert(enTotal == 2)
+    assert(enExact == 1, s"planted dup not matched: ${out("en")}")
+    // Bloom admits every exact match (no false negatives).
+    assert(enBloom >= enExact)
+    out.values.foreach { case (_, bp, ex, fps) =>
+      assert(bp >= ex && fps == bp - ex)
+    }
+  }
+
+  test("registered bloom audit invariants hold on the corpus") {
+    val rows = SketchOps.bloomDecontaminationStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3)) // bloom_positive >= exact_matches
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+      assert(r.getLong(1) >= r.getLong(2))
+    }
+  }
+}
