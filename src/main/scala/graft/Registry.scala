@@ -232,6 +232,11 @@ object Registry {
     q("connected_components", GraphOps.connectedComponentsOracleSql(5))(
       (s, d) => GraphOps.connectedComponents(s, d, 5)),
 
+    // K-core by iterative peeling (fixed rounds = oracle entry; the
+    // converged mode is the production path, mirroring CC/PageRank).
+    q("kcore", GraphOps.kcoreOracleSql(60, 4))(
+      (s, d) => GraphOps.kcore(s, d, 60, 4)),
+
     q("triangle_count",
       """WITH e AS MATERIALIZED (
         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

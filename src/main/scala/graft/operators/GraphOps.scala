@@ -378,6 +378,98 @@ object GraphOps {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** K-core decomposition by iterative peeling: repeatedly drop nodes
+    * whose degree within the surviving subgraph is below `k`. After
+    * `iters` rounds, emits every surviving node with its current
+    * in-subgraph degree (all ≥ k once the peeling has converged; the
+    * fixed round count keeps the entry oracle-checkable — the unrolled
+    * DuckDB oracle runs the identical rounds, so outputs match even if a
+    * hypothetical graph needed more rounds).
+    *
+    * Scale shape: the ITERATED state is the alive-node set (one id per
+    * node), never the edge frame — edges stay cached and untruncated
+    * across all rounds, each round being two size-guarded broadcasts of
+    * the alive set into the edge scan plus one map-side-combined degree
+    * aggregation. Checkpointing the per-round node frame keeps lineage
+    * linear (the frame is referenced twice per round, so an unchecked
+    * chain re-expands 2^iters times).
+    */
+  def kcore(s: SparkSession, dir: String, k: Int = 60, iters: Int = 4): DataFrame = {
+    val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // scalar: sizes the broadcast guard
+    def survivorDegrees(alive: DataFrame): DataFrame =
+      dirEdges
+        .join(roundSide(alive.withColumnRenamed("node", "src"), n), "src")
+        .join(roundSide(alive.withColumnRenamed("node", "dst"), n), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_degree"))
+    var alive = nodes
+    for (_ <- 1 to iters)
+      alive = truncate(s,
+        survivorDegrees(alive).filter(col("core_degree") >= k).select("node"))
+    survivorDegrees(alive).orderBy("node")
+  }
+
+  /** Convergence-checked k-core: peel until a round removes no node (one
+    * scalar count per round, the [[pagerankConverged]] stopping shape) —
+    * the 100×-scale-safe mode, since peeling depth is data-dependent and
+    * a fixed round count silently under-peels. Returns (rounds, core).
+    */
+  def kcoreConverged(
+      s: SparkSession,
+      dir: String,
+      k: Int = 60,
+      maxIters: Int = 50): (Int, DataFrame) = {
+    val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+    val n = nodes.count()
+    def survivorDegrees(alive: DataFrame): DataFrame =
+      dirEdges
+        .join(roundSide(alive.withColumnRenamed("node", "src"), n), "src")
+        .join(roundSide(alive.withColumnRenamed("node", "dst"), n), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_degree"))
+    var alive = truncate(s, nodes)
+    var size = alive.count()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val next = truncate(s,
+        survivorDegrees(alive).filter(col("core_degree") >= k).select("node"))
+      val nextSize = next.count()
+      converged = nextSize == size
+      alive = next
+      size = nextSize
+    }
+    (iter, survivorDegrees(alive).orderBy("node"))
+  }
+
+  /** DuckDB oracle for [[kcore]]: identical unrolled peeling rounds. */
+  def kcoreOracleSql(k: Int = 60, iters: Int = 4): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH und AS MATERIALIZED (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+        |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |a$i AS MATERIALIZED (
+        | SELECT e.src AS node FROM edges e
+        |  JOIN a${i - 1} s ON e.src = s.node JOIN a${i - 1} t ON e.dst = t.node
+        | GROUP BY e.src HAVING count(*) >= $k)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT e.src AS node, count(*) AS core_degree FROM edges e
+      | JOIN a$iters s ON e.src = s.node JOIN a$iters t ON e.dst = t.node
+      |GROUP BY e.src ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   /** DuckDB oracle for [[pagerank]]: the same fixed-point iteration
     * unrolled into a WITH chain. Integer ops make it bit-exact vs Spark.
     */

@@ -38,4 +38,17 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(topk == full)
   }
+
+  test("kcore: converged peel equals fixed rounds, prunes, and meets the bound") {
+    val fixed = GraphOps.kcore(spark, sf, 60, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (rounds, convergedDf) = GraphOps.kcoreConverged(spark, sf, 60)
+    val converged = convergedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rounds >= 1 && converged == fixed)
+    // Every survivor meets the degree bound once converged, and peeling
+    // actually removed something on this graph (min degree 49 < 60).
+    assert(converged.forall(_._2 >= 60))
+    val totalNodes = GraphOps.degrees(spark, sf).count()
+    assert(converged.length < totalNodes && converged.nonEmpty)
+  }
 }
