@@ -158,6 +158,14 @@ object Registry {
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)(
       (s, d) => WindowOps.sessionize(s, d)),
 
+    // Ordered funnel conversion (join ladder — per-user state is one
+    // timestamp per stage, never an event-list buffer).
+    q("funnel_view_click_purchase", FunnelOps.FunnelOracleSql)(FunnelOps.funnel),
+
+    // Consecutive-event transition matrix (deterministic lead window).
+    q("event_transitions", FunnelOps.TransitionsOracleSql)(
+      FunnelOps.eventTransitions),
+
     // ---- Complex joins (reference: analysis/etl_spark.py:52 op list) ----
     q("join_nation_revenue",
       """SELECT n.n_name, count(*) AS line_items,

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral-sequence analytics over the event stream: ordered funnel
+  * conversion and the event-type transition matrix — the product-
+  * analytics surface (reference's aggregation class:
+  * analysis/etl_spark.py:163-183) extended to order-sensitive measures.
+  *
+  * Scale notes: the funnel is a JOIN LADDER, not a per-user event-list
+  * collect — each stage is filter → partial-aggregated `min` per user →
+  * join onto the previous stage's (user, ts) frame, so per-group state is
+  * one timestamp regardless of how many events a user has (a
+  * collect_list formulation would hold a power-law user's whole history
+  * in one buffer). Stage frames shrink monotonically and AQE broadcasts
+  * them as they fall under the threshold. The transition matrix is one
+  * `lead` window per user (deterministically ordered by (ts, event_id))
+  * into a map-side-combined count aggregation — one exchange each.
+  *
+  * Timestamps compare in microseconds (`ts div 1000` == DuckDB
+  * `epoch_us`), strict `>` so a stage must be a genuinely later event.
+  */
+object FunnelOps {
+
+  /** view → click → purchase conversion: per stage, first-event ordering
+    * enforced (a qualifying click must follow the user's first view, a
+    * qualifying purchase the first qualifying click).
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("t") > col("t1"))
+      .groupBy("user_id").agg(min("t").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("t") > col("t2"))
+      .groupBy("user_id").agg(min("t").as("t3"))
+    val n = v.agg(count(lit(1)).as("n1"))
+      .crossJoin(c.agg(count(lit(1)).as("n2")))
+      .crossJoin(p.agg(count(lit(1)).as("n3")))
+    n.select(
+      lit(1L).as("stage"), lit("view").as("event_type"),
+      col("n1").as("users"), lit(1000L).as("conversion_permille"))
+      .union(n.select(
+        lit(2L), lit("click"), col("n2"),
+        expr("(1000 * n2) div greatest(n1, 1)")))
+      .union(n.select(
+        lit(3L), lit("purchase"), col("n3"),
+        expr("(1000 * n3) div greatest(n2, 1)")))
+      .orderBy("stage")
+  }
+
+  val FunnelOracleSql: String =
+    """WITH e AS (
+      | SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      | SELECT e.user_id, min(t) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+      | WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+      |p AS (
+      | SELECT e.user_id, min(t) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+      | WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+      |n AS (
+      | SELECT (SELECT count(*) FROM v) AS n1, (SELECT count(*) FROM c) AS n2,
+      |  (SELECT count(*) FROM p) AS n3)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, n1 AS users,
+      | CAST(1000 AS BIGINT) AS conversion_permille FROM n
+      |UNION ALL SELECT 2, 'click', n2, (1000 * n2) // greatest(n1, 1) FROM n
+      |UNION ALL SELECT 3, 'purchase', n3, (1000 * n3) // greatest(n2, 1) FROM n
+      |ORDER BY stage""".stripMargin
+
+  /** Consecutive-event transition matrix: counts and per-source shares of
+    * type_i → type_j steps in each user's (ts, event_id)-ordered stream.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("t"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    pairs
+      .withColumn("from_total",
+        sum("transitions").over(Window.partitionBy("from_type")))
+      .select(
+        col("from_type"), col("to_type"), col("transitions"),
+        expr("(1000 * transitions) div from_total").as("share_permille"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val TransitionsOracleSql: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+      |p AS (
+      | SELECT event_type AS from_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type
+      | FROM e),
+      |g AS (
+      | SELECT from_type, to_type, count(*) AS transitions FROM p
+      | WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, transitions,
+      | CAST((1000 * transitions) // sum(transitions) OVER (PARTITION BY from_type)
+      |  AS BIGINT) AS share_permille
+      |FROM g ORDER BY from_type, to_type""".stripMargin
+}
