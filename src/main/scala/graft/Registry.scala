@@ -540,6 +540,11 @@ object Registry {
     q("bloom_decontamination", SketchOps.bloomOracleSql())(
       SketchOps.bloomDecontaminationStats),
 
+    // Count-min sketch frequency estimation vs truth (overcount-only
+    // error, integer-exact; fixed-size counter table broadcast back).
+    q("cms_user_counts", SketchOps.cmsOracleSql())(
+      (s, d) => SketchOps.cmsUserCounts(s, d)),
+
     // Deterministic KMV distinct sketch — unlike HLL/approx_count_distinct
     // the whole sketch is integer-exact, so the oracle checks the sketch
     // itself, not just its error bound.

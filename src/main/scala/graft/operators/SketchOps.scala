@@ -72,6 +72,78 @@ object SketchOps {
        | t.true_distinct
        |FROM sk, t""".stripMargin
 
+  // ---- Deterministic count-min sketch ----------------------------------
+
+  /** Demo-small CMS geometry (3 rows × 256 buckets for ~150 keys at
+    * sf0.01) so collisions — and therefore the overcount column — are
+    * actually exercised; production sizes w = ⌈e/ε⌉, d = ⌈ln(1/δ)⌉.
+    */
+  val CmsD: Int = 3
+  val CmsW: Long = 256L
+
+  /** One multiplicative-hash constant per CMS row (public Knuth/xxPrime
+    * constants); (P-1)·K < 2^63 so products never overflow a Long.
+    */
+  val CmsK: Seq[Long] = Seq(2654435761L, 2246822519L, 3266489917L)
+
+  private def cmsPosSql(key: String, d: Int): String =
+    s"((($key) % $P) * ${CmsK(d)}) % $P % $CmsW"
+
+  /** Count-min frequency estimation for per-user event counts, reported
+    * against truth for the top-k true heavy hitters: `cms_est =
+    * min_d counter[d][h_d(key)]` can only OVERcount (collisions add,
+    * never subtract) — `overcount` makes the sketch's error auditable,
+    * and the gate pins it exactly because every step is integer.
+    *
+    * Scale shape: the sketch build is one explode(d rows) → groupBy
+    * aggregation whose output is the d×w counter table — FIXED SIZE
+    * regardless of corpus rows, the whole point of CMS at 100 TB — then
+    * broadcast back onto the (distinct-key-sized) probe side. The top-k
+    * truth ranking is a TakeOrdered, not a global sort.
+    */
+  def cmsUserCounts(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id")
+    val posStructs = (0 until CmsD).map(d =>
+      struct(lit(d).as("row"), expr(cmsPosSql("user_id", d)).as("pos")))
+    val counters = ev
+      .select(explode(array(posStructs: _*)).as("rp"))
+      .groupBy(col("rp.row").as("row"), col("rp.pos").as("pos"))
+      .agg(count(lit(1)).as("c"))
+    val truth = ev.groupBy("user_id").agg(count(lit(1)).as("true_events"))
+    val est = truth
+      .select(col("user_id"), col("true_events"),
+        explode(array(posStructs: _*)).as("rp"))
+      .join(broadcast(counters),
+        col("rp.row") === col("row") && col("rp.pos") === col("pos"))
+      .groupBy("user_id", "true_events")
+      .agg(min("c").as("cms_est"))
+    est
+      .select(col("user_id"), col("true_events"), col("cms_est"),
+        (col("cms_est") - col("true_events")).as("overcount"))
+      .orderBy(desc("true_events"), col("user_id"))
+      .limit(k)
+  }
+
+  def cmsOracleSql(k: Int = 20): String = {
+    val rows = (0 until CmsD)
+      .map(d => s"SELECT user_id, $d AS row, ${cmsPosSql("user_id", d)} AS pos FROM events")
+      .mkString("\n  UNION ALL ")
+    s"""WITH rp AS (
+       |  $rows),
+       |counters AS (SELECT row, pos, count(*) AS c FROM rp GROUP BY 1, 2),
+       |truth AS (SELECT user_id, count(*) AS true_events FROM events GROUP BY 1),
+       |probe AS (
+       | SELECT DISTINCT rp.user_id, rp.row, rp.pos FROM rp),
+       |est AS (
+       | SELECT p.user_id, min(c.c) AS cms_est
+       | FROM probe p JOIN counters c ON p.row = c.row AND p.pos = c.pos
+       | GROUP BY 1)
+       |SELECT t.user_id, t.true_events, e.cms_est,
+       | e.cms_est - t.true_events AS overcount
+       |FROM truth t JOIN est e ON t.user_id = e.user_id
+       |ORDER BY t.true_events DESC, t.user_id LIMIT $k""".stripMargin
+  }
+
   // ---- Deterministic Bloom pre-filter ----------------------------------
 
   /** Bloom bit-array size for the registered query. Deliberately DEMO-

@@ -76,6 +76,27 @@ class ScalePatternSpec extends AnyFunSuite {
     }
   }
 
+  test("cms estimates match a naive driver-side sketch and never undercount") {
+    val out = SketchOps.cmsUserCounts(spark, sf, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (u, t, est, over) =>
+      assert(est >= t, s"user $u undercounted: est $est < true $t")
+      assert(over == est - t)
+    }
+    // Independent naive recompute of the whole sketch.
+    val users = Tables.events(spark, sf).select("user_id").collect().map(_.getLong(0))
+    val counters = Array.fill(SketchOps.CmsD, SketchOps.CmsW.toInt)(0L)
+    def pos(k: Long, d: Int) = (((k % SketchOps.P) * SketchOps.CmsK(d)) % SketchOps.P % SketchOps.CmsW).toInt
+    users.foreach(u => (0 until SketchOps.CmsD).foreach(d => counters(d)(pos(u, d)) += 1))
+    val truth = users.groupBy(identity).map { case (u, v) => u -> v.length.toLong }
+    out.foreach { case (u, t, est, _) =>
+      assert(t == truth(u))
+      val naive = (0 until SketchOps.CmsD).map(d => counters(d)(pos(u, d))).min
+      assert(est == naive, s"user $u: spark est $est vs naive $naive")
+    }
+  }
+
   test("registered bloom audit invariants hold on the corpus") {
     val rows = SketchOps.bloomDecontaminationStats(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -144,6 +144,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming curation filters, scrubs, and dedups in one query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    // 30 quality-passing tokens (avg len in band, stopwords present).
+    val base = ("the quick brown fox jumps over lazy dogs near banks " * 3).trim
+    input.addData(
+      (1L, ts(0), base + " mail bob@example.com now"),
+      (2L, ts(10), base + " mail eve@example.net now"), // same text after scrub
+      (3L, ts(20), "tiny doc."),                        // fails quality filter
+      (4L, ts(30), base))                               // distinct, kept
+
+    val query = graft.streaming.StreamingCuration.curate(docs)
+      .writeStream.format("memory").queryName("curation_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("curation_test").collect()
+      val ids = rows.map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 4L), s"survivors=${ids.toSeq}")
+      // PII never reaches the output; the scrubbed marker does.
+      val clean1 = rows.find(_.getLong(0) == 1L).get.getString(2)
+      assert(clean1.contains("[EMAIL]") && !clean1.contains("bob@example.com"))
+    } finally query.stop()
+  }
+
   test("stream-static decontamination drops exactly the eval digests") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
