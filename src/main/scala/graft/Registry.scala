@@ -158,6 +158,16 @@ object Registry {
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)(
       (s, d) => WindowOps.sessionize(s, d)),
 
+    // Deterministic 2-sigma outlier audit: squared integer threshold
+    // test, no stddev materialized — bit-identical in any engine.
+    q("outlier_events", StatsOps.outlierOracleSql())(
+      (s, d) => StatsOps.outlierEvents(s, d)),
+
+    // Per-label embedding centroids in micro fixed-point (explicit floor
+    // division — the one case Spark div and DuckDB // disagree).
+    q("embedding_centroids", StatsOps.CentroidsOracleSql)(
+      StatsOps.embeddingCentroids),
+
     // Ordered funnel conversion (join ladder — per-user state is one
     // timestamp per stage, never an event-list buffer).
     q("funnel_view_click_purchase", FunnelOps.FunnelOracleSql)(FunnelOps.funnel),
