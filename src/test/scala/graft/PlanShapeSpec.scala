@@ -53,4 +53,38 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executedPlan(TextOps.topBigrams(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("ngram decontamination broadcasts the eval grams — corpus side never shuffles") {
+    val plan = executedPlan(TextOps.decontaminationNgram(spark, sf))
+    // The gram-key join must be a broadcast build of the eval side — the
+    // corpus side's exploded grams then stream through map-side with no
+    // exchange for the join. (The eval side's own distinct legitimately
+    // shuffles its small gram set.)
+    assert("BroadcastHashJoin \\[g#".r.findFirstIn(plan).isDefined,
+      s"gram join not broadcast in:\n$plan")
+  }
+
+  test("tfidf broadcasts the vocabulary-sized df table") {
+    val plan = executedPlan(graft.operators.TfIdfOps.tfidfTopTerms(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"df table not broadcast in:\n$plan")
+  }
+
+  test("pii redaction is a zero-shuffle map pass") {
+    val plan = executedPlan(graft.operators.PiiOps.piiRedact(spark, sf))
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges == Set("range"), s"unexpected exchanges $exchanges in:\n$plan")
+  }
+
+  test("cms counter build and probe broadcast the fixed-size counter table") {
+    val plan = executedPlan(graft.operators.SketchOps.cmsUserCounts(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"counters not broadcast in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k truth ranking is a global sort in:\n$plan")
+  }
+
+  test("outlier audit broadcasts the per-type stats row set") {
+    val plan = executedPlan(graft.operators.StatsOps.outlierEvents(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$plan")
+  }
 }
