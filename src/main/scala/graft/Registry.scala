@@ -413,6 +413,16 @@ object Registry {
     q("sample_fixed_per_stratum", SampleOps.fixedOracleSql())(
       (s, d) => SampleOps.fixedPerStratum(s, d)),
 
+    // Per-source quota cap (bounded top-k aggregator; head domain can't
+    // dominate the mix) — oracle is the window formulation.
+    q("source_quota", SampleOps.sourceQuotaOracleSql())(
+      (s, d) => SampleOps.sourceQuota(s, d)),
+
+    // Language-mixture rebalancing plan: largest pure-downsampling corpus
+    // hitting the target shares exactly; integer capacities.
+    q("mixture_plan", SampleOps.mixtureOracleSql())(
+      (s, d) => SampleOps.mixturePlan(s, d)),
+
     // Flagship composition: quality filter -> stratified sample -> shard
     // routing in ONE declarative plan (single scan, one agg shuffle).
     q("curation_pipeline", SampleOps.curationOracleSql())(

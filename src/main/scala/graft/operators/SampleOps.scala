@@ -218,4 +218,96 @@ object SampleOps {
        | FROM documents)
        |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
        |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Per-source quota capping — keep only the top `quota` documents per
+    * source, ranked by size then id: the head-domain cap every crawl
+    * pipeline applies so one boilerplate-heavy domain cannot dominate
+    * the training mix. Reuses [[TopKOps.TopKAggregator]] (bounded
+    * k-entry buffers with partial aggregation), so a head source with
+    * billions of documents still ships at most `quota` candidates per
+    * map task through the shuffle — the window-function formulation the
+    * ORACLE runs would sort the whole head-source stratum in one task.
+    */
+  def sourceQuota(s: SparkSession, dir: String, quota: Int = 10): DataFrame = {
+    import s.implicits._
+    val rows = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("double"), col("doc_id"))
+      .as[(String, Double, Long)]
+    val topCol = new TopKOps.TopKAggregator(quota).toColumn
+    rows
+      .groupByKey(_._1)
+      .agg(topCol.name("top"))
+      .toDF("source", "top")
+      .select(col("source"), posexplode(col("top.items")))
+      .select(
+        col("source"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"),
+        col("col._1").cast("long").as("n_chars"))
+      .orderBy("source", "rank")
+  }
+
+  def sourceQuotaOracleSql(quota: Int = 10): String =
+    s"""WITH r AS (
+       | SELECT source, doc_id, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+       | FROM documents)
+       |SELECT source, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+       |FROM r WHERE rank <= $quota ORDER BY source, rank""".stripMargin
+
+  /** Uniform target mixture for [[mixturePlan]] (permille per language,
+    * must sum to 1000).
+    */
+  val TargetMixture: Map[String, Int] =
+    Map("en" -> 200, "es" -> 200, "fr" -> 200, "de" -> 200, "zh" -> 200)
+
+  /** Language-mixture rebalancing plan — the data-mixing step of a
+    * training run: given target shares, compute the LARGEST output
+    * corpus achievable by pure downsampling (no upsampling) that hits
+    * the targets exactly, and each language's take and sampling rate.
+    * `capacity_l = 1000·n_l ÷ target_l` is the output size at which
+    * language l is exhausted; the binding (minimum) capacity sets the
+    * plan. All integer arithmetic; one count aggregation (|languages|
+    * rows) and a one-row cross-join — nothing corpus-sized moves.
+    */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val targetCol = TargetMixture.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (l, t)) =>
+        acc.when(col("lang") === l, lit(t.toLong))
+      }.otherwise(lit(0L))
+    val byLang = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .withColumn("target_permille", targetCol)
+      .withColumn("capacity", expr("(1000 * n) div target_permille"))
+    val total = byLang.agg(
+      sum("n").cast("long").as("corpus_total"),
+      min("capacity").as("out_total"))
+    byLang.crossJoin(broadcast(total))
+      .select(
+        col("lang"), col("n"),
+        expr("(1000 * n) div corpus_total").as("share_permille"),
+        col("target_permille"),
+        expr("(target_permille * out_total) div 1000").as("take"),
+        expr("(1000 * ((target_permille * out_total) div 1000)) div n")
+          .as("rate_permille"))
+      .orderBy("lang")
+  }
+
+  def mixtureOracleSql(): String = {
+    val targets = TargetMixture.toSeq.sortBy(_._1)
+      .map { case (l, t) => s"('$l', $t)" }.mkString(", ")
+    s"""WITH tgt (lang, target_permille) AS (VALUES $targets),
+       |b AS (
+       | SELECT d.lang, count(*) AS n, CAST(t.target_permille AS BIGINT) AS target_permille
+       | FROM documents d JOIN tgt t ON d.lang = t.lang GROUP BY d.lang, t.target_permille),
+       |c AS (SELECT lang, n, target_permille, (1000 * n) // target_permille AS capacity FROM b),
+       |tot AS (
+       | SELECT CAST(sum(n) AS BIGINT) AS corpus_total, CAST(min(capacity) AS BIGINT) AS out_total
+       | FROM c)
+       |SELECT lang, n, (1000 * n) // corpus_total AS share_permille, target_permille,
+       | (target_permille * out_total) // 1000 AS take,
+       | (1000 * ((target_permille * out_total) // 1000)) // n AS rate_permille
+       |FROM c CROSS JOIN tot ORDER BY lang""".stripMargin
+  }
 }
