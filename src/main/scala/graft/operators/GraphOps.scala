@@ -119,10 +119,18 @@ object GraphOps {
   def pagerank(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
     val dirEdges = directedEdges(s, dir)
     val deg = dirEdges.groupBy("src").agg(count(lit(1)).as("out_degree"))
-    // Pre-join degree onto edges once; reused every iteration from cache.
+    // Pre-join degree onto edges once and HASH-PARTITION THE CACHE BY
+    // `dst` — the contribution aggregation's key. The per-round score
+    // join is a broadcast (partitioning-preserving), so every round's
+    // groupBy("dst") finds its clustering requirement already satisfied
+    // by the cached layout: ZERO exchanges inside the loop, one edge
+    // repartition paid once at build. (With a shuffle-joined score side
+    // above the broadcast guard the rounds shuffle anyway, and the
+    // pre-partitioning is simply ignored.)
     val edgesDeg = dirEdges
       .join(deg, "src")
       .select(col("src"), col("dst"), col("out_degree"))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -192,9 +200,11 @@ object GraphOps {
       thresholdFp2: Long = 1000000L): (Int, DataFrame) = {
     val dirEdges = directedEdges(s, dir)
     val deg = dirEdges.groupBy("src").agg(count(lit(1)).as("out_degree"))
+    // Cache layout keyed to the loop's aggregation (see [[pagerank]]).
     val edgesDeg = dirEdges
       .join(deg, "src")
       .select(col("src"), col("dst"), col("out_degree"))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -242,7 +252,9 @@ object GraphOps {
     * for hypothetical not-yet-converged nodes.
     */
   def connectedComponents(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // Cache layout keyed to the loop's aggregation (see [[pagerank]]).
+    val dirEdges = directedEdges(s, dir).repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // scalar: sizes the broadcast guard
@@ -282,7 +294,9 @@ object GraphOps {
       s: SparkSession,
       dir: String,
       maxIters: Int = 50): (Int, DataFrame) = {
-    val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // Cache layout keyed to the loop's aggregation (see [[pagerank]]).
+    val dirEdges = directedEdges(s, dir).repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // scalar: sizes the broadcast guard
@@ -362,10 +376,14 @@ object GraphOps {
       .join(deg.select(col("node").as("dst"), col("d").as("dd")), "dst")
     val srcFirst = col("ds") < col("dd") ||
       (col("ds") === col("dd") && col("src") < col("dst"))
+    // Partition the cached oriented list by the wedge key: both sides of
+    // the self-join read the SAME cached layout, so the wedge join needs
+    // no exchange on either input.
     val oriented = withDeg
       .select(
         when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
         when(srcFirst, col("dst")).otherwise(col("src")).as("v"))
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Wedge at the orientation-minimal vertex: unordered out-neighbor
     // pairs, canonicalized by id so the closing edge lookup hits the
@@ -395,7 +413,9 @@ object GraphOps {
     * chain re-expands 2^iters times).
     */
   def kcore(s: SparkSession, dir: String, k: Int = 60, iters: Int = 4): DataFrame = {
-    val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // Cache layout keyed to the loop's aggregation (see [[pagerank]]).
+    val dirEdges = directedEdges(s, dir).repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
     val n = nodes.count() // scalar: sizes the broadcast guard
     def survivorDegrees(alive: DataFrame): DataFrame =
@@ -421,7 +441,9 @@ object GraphOps {
       dir: String,
       k: Int = 60,
       maxIters: Int = 50): (Int, DataFrame) = {
-    val dirEdges = directedEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // Cache layout keyed to the loop's aggregation (see [[pagerank]]).
+    val dirEdges = directedEdges(s, dir).repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
     val n = nodes.count()
     def survivorDegrees(alive: DataFrame): DataFrame =
