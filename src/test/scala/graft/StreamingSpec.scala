@@ -144,6 +144,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming funnel folds out-of-order events in event-time order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{FunnelInput, StreamingFunnel}
+    val input = MemoryStream[FunnelInput]
+
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    // User 1: click ARRIVES before its view but is event-time later ->
+    // both stages count once the watermark finalizes them, in order.
+    // User 2: click's event time precedes the first view -> stage 2 never
+    // reached, so the later purchase can't fire either.
+    input.addData(
+      FunnelInput(1L, ts(100), "click"),
+      FunnelInput(1L, ts(50), "view"),
+      FunnelInput(1L, ts(150), "purchase"),
+      FunnelInput(2L, ts(40), "click"),
+      FunnelInput(2L, ts(60), "view"),
+      FunnelInput(2L, ts(90), "purchase"))
+    // Advance the watermark far past the data (30 min delay).
+    input.addData(FunnelInput(99L, ts(10000), "view"))
+
+    val query = StreamingFunnel.stages(spark, input.toDS())
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("funnel_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows.filter(_._1 == 1L).map(_._2) == Seq(1L, 2L, 3L),
+        s"user 1 stages: $rows")
+      assert(rows.filter(_._1 == 2L).map(_._2) == Seq(1L), s"user 2 stages: $rows")
+    } finally query.stop()
+  }
+
+  test("streaming funnel advance is pure and order-insensitive to arrival") {
+    import graft.streaming.{FunnelBuf, StreamingFunnel}
+    val empty = FunnelBuf(None, None, None, Nil)
+    // Batch A arrives first but finalizes nothing (wm low).
+    val (o1, b1) = StreamingFunnel.advance(empty, Seq((100L, 2), (150L, 3)), 0L)
+    assert(o1.isEmpty && b1.pending.length == 2)
+    // View arrives later; watermark passes everything -> all three fire.
+    val (o2, _) = StreamingFunnel.advance(b1, Seq((50L, 1)), 1000L)
+    assert(o2 == Seq((1L, 50L), (2L, 100L), (3L, 150L)))
+    // Same events, single batch: identical result.
+    val (o3, _) = StreamingFunnel.advance(
+      empty, Seq((50L, 1), (100L, 2), (150L, 3)), 1000L)
+    assert(o3 == o2)
+  }
+
   test("streaming curation filters, scrubs, and dedups in one query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
