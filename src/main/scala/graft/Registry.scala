@@ -466,6 +466,10 @@ object Registry {
     // independent-algorithm cross-check.
     q("repetition_stats", TextOps.RepetitionOracleSql)(TextOps.repetitionStats),
 
+    // LM-flavored novelty proxy: per-doc mean bigram rarity vs the
+    // corpus bigram table (boilerplate ~0, novel prose high).
+    q("bigram_surprise", TextOps.BigramSurpriseOracleSql)(TextOps.bigramSurprise),
+
     // Boilerplate probe: corpus-wide top-20 bigram heavy hitters.
     q("top_bigrams", TextOps.topBigramsOracleSql())(
       (s, d) => TextOps.topBigrams(s, d)),

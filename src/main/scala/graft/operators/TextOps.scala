@@ -140,6 +140,57 @@ object TextOps {
        |FROM bg GROUP BY bigram
        |ORDER BY occurrences DESC, bigram LIMIT $k""".stripMargin
 
+  /** Per-document bigram "surprise" — a language-model-flavored novelty /
+    * quality proxy with no model: how RARE a document's word bigrams are
+    * against the corpus bigram frequency table. Boilerplate scores near
+    * 0 (its bigrams are everywhere); novel prose scores high. Integer
+    * contract: `rarity(bg) = 1000 − (1000·c(bg)) div c_max`, per-doc mean
+    * in milli units.
+    *
+    * Scale shape: the bigram frequency table is vocabulary²-bounded, not
+    * corpus-bounded, but at 100 TB it is still large — the probe is a
+    * plain shuffle join on the bigram key (AQE broadcasts it when small);
+    * the production-hardening knobs are the same as `dedup_ngram`'s
+    * df-cap (drop hapax bigrams from the table; their rarity saturates at
+    * 1000 anyway) or a CMS approximation of the counts.
+    */
+  def bigramSurprise(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+    val counts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+    val cmax = counts.agg(max("c").as("cmax"))
+    bg.join(counts, "bigram")
+      .crossJoin(broadcast(cmax))
+      .select(col("doc_id"),
+        expr("1000 - (1000 * c) div cmax").as("rarity_milli"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("rarity_milli").as("sr"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sr div n_bigrams").as("mean_rarity_milli"))
+      .orderBy("doc_id")
+  }
+
+  val BigramSurpriseOracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |bg AS (
+      | SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS bigram
+      | FROM tok WHERE len(toks) >= 2),
+      |c AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+      |m AS (SELECT max(c) AS cmax FROM c),
+      |r AS (
+      | SELECT bg.doc_id, 1000 - (1000 * c.c) // m.cmax AS rarity_milli
+      | FROM bg JOIN c ON bg.bigram = c.bigram CROSS JOIN m)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      | CAST(sum(rarity_milli) // count(*) AS BIGINT) AS mean_rarity_milli
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Benchmark-decontamination: drop every training document whose EXACT
     * text digest appears in the eval set — the anti-join every serious
     * training-data pipeline runs so eval questions never leak into the
