@@ -564,6 +564,11 @@ object Registry {
     q("bloom_decontamination", SketchOps.bloomOracleSql())(
       SketchOps.bloomDecontaminationStats),
 
+    // Grouped KMV: one bounded distinct-count sketch per event type via
+    // the partial-aggregated MinK aggregator (oracle = rank window).
+    q("kmv_distinct_by_type", SketchOps.kmvByTypeOracleSql())(
+      (s, d) => SketchOps.kmvDistinctByType(s, d)),
+
     // Count-min sketch frequency estimation vs truth (overcount-only
     // error, integer-exact; fixed-size counter table broadcast back).
     q("cms_user_counts", SketchOps.cmsOracleSql())(

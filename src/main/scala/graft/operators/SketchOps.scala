@@ -72,6 +72,68 @@ object SketchOps {
        | t.true_distinct
        |FROM sk, t""".stripMargin
 
+  /** Per-GROUP KMV sketches: distinct users per event type, one bounded
+    * sketch per group — the grouped form of [[kmvDistinct]], and the
+    * deterministic stand-in for `approx_count_distinct` in a GROUP BY.
+    *
+    * Scale shape: one distinct over (group, hash) — shuffle bounded by
+    * distinct pairs, with map-side dedup — then the k-minimum selection
+    * runs as the bounded [[SampleOps.MinKAggregator]] (k-entry buffers,
+    * PARTIAL-AGGREGATED before the exchange), so a head group never
+    * serializes through one task the way the oracle's rank-window
+    * formulation would. The truth column is exact in both engines, so
+    * the gate checks sketch AND estimate per group.
+    */
+  def kmvDistinctByType(s: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.events(s, dir)
+      .select(col("event_type"), ((col("user_id") % P) * K % P).as("h"))
+      .distinct()
+    val minkCol = new SampleOps.MinKAggregator(k).toColumn
+    val sk = pairs
+      .select(col("event_type"), col("h"), col("h"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(minkCol.name("mink"))
+      .toDF("event_type", "mink")
+      .select(
+        col("event_type"),
+        size(col("mink.items")).cast("long").as("n_min"),
+        expr("element_at(mink.items, -1)._1").as("kth_min"))
+    val truth = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("true_distinct"))
+    sk.join(truth, "event_type")
+      .select(
+        col("event_type"),
+        lit(k.toLong).as("k"),
+        col("kth_min"),
+        when(col("n_min") < k, col("n_min"))
+          .otherwise(expr(s"${(k - 1).toLong * P} div kth_min"))
+          .cast("long").as("est_distinct"),
+        col("true_distinct"))
+      .orderBy("event_type")
+  }
+
+  def kmvByTypeOracleSql(k: Int = DefaultK): String =
+    s"""WITH h AS (
+       | SELECT DISTINCT event_type, ((user_id % $P) * $K) % $P AS h FROM events),
+       |r AS (
+       | SELECT event_type, h,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |m AS (
+       | SELECT event_type, count(*) AS n_min, max(h) AS kth_min
+       | FROM r WHERE rn <= $k GROUP BY 1),
+       |t AS (
+       | SELECT event_type, count(DISTINCT user_id) AS true_distinct
+       | FROM events GROUP BY 1)
+       |SELECT m.event_type, CAST($k AS BIGINT) AS k, m.kth_min,
+       | CAST(CASE WHEN m.n_min < $k THEN m.n_min
+       |  ELSE ${(k - 1).toLong * P} // m.kth_min END AS BIGINT) AS est_distinct,
+       | t.true_distinct
+       |FROM m JOIN t ON m.event_type = t.event_type
+       |ORDER BY m.event_type""".stripMargin
+
   // ---- Deterministic count-min sketch ----------------------------------
 
   /** Demo-small CMS geometry (3 rows × 256 buckets for ~150 keys at
