@@ -57,6 +57,20 @@ class MinHashSpec extends AnyFunSuite {
     assert(MinHashOps.ngramJaccardPairs(docs, dfCap = Some(5L)).count() == 0L)
   }
 
+  test("LSH and exact inverted-index dedup agree on the whole corpus") {
+    // dedup_minhash (probabilistic candidates + exact verify) must equal
+    // dedup_ngram (exhaustive candidates + exact verify) on the real
+    // corpus: at 32 bands × 2 rows a ≥0.6-Jaccard pair escapes with
+    // probability ~6e-7, and both verify exactly — so any difference is
+    // a bug, not bad luck.
+    val lsh = MinHashOps.dedupMinhash(spark, TestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = MinHashOps.dedupNgram(spark, TestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(lsh == exact, s"LSH pairs ${lsh.length} vs exact ${exact.length}")
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+  }
+
   test("pipeline is deterministic across runs") {
     val d = graft.Tables.documents(spark, TestSession.sf)
     val a = MinHashOps.nearDupPairs(d).collect().toSeq

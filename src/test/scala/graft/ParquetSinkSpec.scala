@@ -23,4 +23,19 @@ class ParquetSinkSpec extends AnyFunSuite {
     val en = back.filter(col("lang") === "en").count()
     assert(en == docs.filter(col("lang") === "en").count())
   }
+
+  test("orc round-trips with identical contents (alternate columnar format)") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/docs"
+    val docs = Tables.documents(spark, TestSession.sf).select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").partitionBy("lang").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == docs.count())
+    val a = docs.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = back.select("doc_id", "lang").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq == b.toSeq)
+    // Predicate pushdown reaches the ORC reader too.
+    val plan = back.filter(col("n_chars") > 300).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars"), plan)
+  }
 }
