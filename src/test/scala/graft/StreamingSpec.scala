@@ -224,6 +224,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-stream ingest loads a partitioned parquet table exactly once") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val landing = tmp.resolve("landing").toString
+    val out = tmp.resolve("table").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    // Stage the sf corpus into the landing dir as the arriving batch.
+    val docs = Tables.documents(spark, TestSession.sf)
+    docs.write.parquet(landing)
+
+    val stream = StreamingIngest.parquetFileStream(
+      spark, landing, docs.schema, maxFilesPerTrigger = 2)
+    // Compose a stateless transform between source and sink.
+    val transformed = graft.operators.TextOps.qualityFlags(stream)
+      .select("doc_id", "lang", "n_chars", "keep")
+    val q = StreamingIngest.toPartitionedParquet(
+      transformed, out, ckpt, Seq("lang"))
+    q.awaitTermination()
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("lang=")))
+    // Restart with no new files: exactly-once means no duplicate rows.
+    val stream2 = StreamingIngest.parquetFileStream(spark, landing, docs.schema)
+    val q2 = StreamingIngest.toPartitionedParquet(
+      graft.operators.TextOps.qualityFlags(stream2)
+        .select("doc_id", "lang", "n_chars", "keep"),
+      out, ckpt, Seq("lang"))
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == docs.count(), "duplicated on restart")
+    // The keep flag matches the batch operator's verdicts.
+    val streamKeep = spark.read.parquet(out).filter(col("keep") === 1).count()
+    val batchKeep = graft.operators.TextOps.qualityFlags(docs)
+      .filter(col("keep") === 1).count()
+    assert(streamKeep == batchKeep)
+  }
+
   test("stream-static decontamination drops exactly the eval digests") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
