@@ -17,10 +17,15 @@ import graft.Tables
   *
   * Scale shape: one explode + one (doc_id, token) partial-aggregated
   * groupBy is the only corpus-sized shuffle. The df table is
-  * vocabulary-sized (bounded by distinct tokens, not corpus rows) and
-  * BROADCAST back onto term rows; per-doc ranking windows over at most
-  * distinct-tokens-per-doc rows, so no stratum serializes. N is one
-  * scalar `count()` action (the PageRank-N pattern).
+  * vocabulary-sized — bounded by distinct tokens, not corpus rows — and
+  * deliberately NOT broadcast-hinted: a clean test corpus has a tiny
+  * vocabulary (AQE broadcasts it at runtime, which the plan-shape test
+  * pins), but a 100 TB web crawl's token space (typos, ids, hashes) can
+  * run to 10⁸+ entries where a forced broadcast OOMs the executors and
+  * the shuffle hash join AQE falls back to is the right plan. Per-doc
+  * ranking windows over at most distinct-tokens-per-doc rows, so no
+  * stratum serializes. N is one scalar `count()` action (the
+  * PageRank-N pattern).
   */
 object TfIdfOps {
 
@@ -37,7 +42,7 @@ object TfIdfOps {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(docLen, Seq("doc_id"))
-      .join(broadcast(df), Seq("token"))
+      .join(df, Seq("token"))
       .select(
         col("doc_id"), col("token"), col("tf"), col("df"),
         expr(s"(1000 * tf * ${n}L) div (df * doc_tokens)").as("tfidf_milli"))
