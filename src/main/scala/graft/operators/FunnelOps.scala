@@ -18,7 +18,11 @@ import graft.Tables
   * in one buffer). Stage frames shrink monotonically and AQE broadcasts
   * them as they fall under the threshold. The transition matrix is one
   * `lead` window per user (deterministically ordered by (ts, event_id))
-  * into a map-side-combined count aggregation — one exchange each.
+  * into a map-side-combined count aggregation — one exchange each. The
+  * window does sort each user's events inside one task: for a
+  * pathological key (a bot with billions of rows) partition the window
+  * by (user, day) and stitch day boundaries, the standard bound — human
+  * activity volumes never reach it.
   *
   * Timestamps compare in microseconds (`ts div 1000` == DuckDB
   * `epoch_us`), strict `>` so a stage must be a genuinely later event.
