@@ -365,8 +365,18 @@ object GraphOps {
     * corpus a hot part stops dominating the wedge stage, instead of
     * relying on AQE skew-splitting to paper over a deg² blowup.
     */
+  /** Edge-count ceiling for broadcasting the undirected edge list into
+    * the triangle-closing join. An edge row is ~16 bytes, so 5M edges is
+    * ~80 MB — and it spares the WEDGE set (the far larger side: Σ
+    * C(outdeg, 2) rows) from ever being exchanged. Above the ceiling the
+    * closing join degrades to the shuffle join that is right when the
+    * edge list itself is huge.
+    */
+  val BroadcastEdgeLimit: Long = 5000000L
+
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
     val und = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val undCount = und.count() // scalar: sizes the closing-join broadcast
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy("node")
@@ -388,11 +398,12 @@ object GraphOps {
     // Wedge at the orientation-minimal vertex: unordered out-neighbor
     // pairs, canonicalized by id so the closing edge lookup hits the
     // (src < dst) undirected list directly.
+    val closing = if (undCount <= BroadcastEdgeLimit) broadcast(und) else und
     oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.v").as("src"), col("e2.v").as("dst"))
-      .join(und, Seq("src", "dst"))
+      .join(closing, Seq("src", "dst"))
       .agg(count(lit(1)).as("triangles"))
   }
 
