@@ -135,6 +135,11 @@ object Registry {
     q("trailing_hour_stats", WindowOps.TrailingOracleSql)(
       (s, d) => WindowOps.trailingHourStats(s, d)),
 
+    // Peak concurrency per day: hierarchical-prefix-sum sweep line vs
+    // the oracle's flat per-day running sum (independent algorithm).
+    q("peak_concurrency", WindowOps.PeakConcurrencyOracleSql)(
+      WindowOps.peakConcurrency),
+
     // ---- Window functions / sessionization ----
     q("window_funcs",
       """SELECT event_id, user_id,

@@ -200,4 +200,71 @@ object WindowOps {
         max("session_id").cast("long").as("sessions"),
         count(lit(1)).as("events"))
       .orderBy("user_id")
+
+  private val DayUs = 86400000000L
+  private val HourUs = 3600000000L
+
+  /** Peak concurrency per day — the classic sweep line (+1 at each
+    * activity-window start, −1 at its end, running sum, take the max),
+    * with each event opening a 30-minute window clipped at midnight
+    * (cross-day tails attribute to the start day; an exact integer
+    * contract both engines share).
+    *
+    * Scale shape: HIERARCHICAL prefix sums, the pattern that keeps
+    * sweep lines parallel at 100 TB. A flat per-day running sum — which
+    * the ORACLE runs, an independent algorithm — serializes an entire
+    * day's boundaries through one task; here hour buckets aggregate
+    * their deltas first (map-side combined), a 25-row-per-day window
+    * computes each hour's carry-in, and the intra-hour running sum runs
+    * per (day, hour) partition — 24× the parallelism, and the bucketing
+    * generalizes to minutes if an hour is still too hot. Tie order
+    * (t, delta) closes windows before opening new ones at the same
+    * microsecond, and the per-day max is permutation-invariant across
+    * equal rows, so the result is deterministic.
+    */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(expr("ts div 1000").as("t"))
+    val starts = ev.select(
+      expr(s"t div $DayUs").as("day"), col("t"), lit(1L).as("delta"))
+    val ends = ev.select(
+      expr(s"t div $DayUs").as("day"),
+      expr(s"least(t + 1800000000, (t div $DayUs + 1) * $DayUs)").as("t"),
+      lit(-1L).as("delta"))
+    val b = starts.union(ends)
+      .withColumn("hour", expr(s"(t - day * $DayUs) div $HourUs"))
+    val carry = b.groupBy("day", "hour")
+      .agg(sum("delta").as("hsum"))
+      .withColumn("carry_in",
+        coalesce(
+          sum("hsum").over(Window.partitionBy("day").orderBy("hour")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("day", "hour", "carry_in")
+    b.join(carry, Seq("day", "hour"))
+      .withColumn("run",
+        col("carry_in") + sum("delta").over(
+          Window.partitionBy("day", "hour").orderBy("t", "delta")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("day")
+      .agg(max("run").cast("long").as("peak_concurrent"))
+      .select(col("day").as("epoch_day"), col("peak_concurrent"))
+      .orderBy("epoch_day")
+  }
+
+  /** Flat single-level sweep per day — an independent algorithm. */
+  val PeakConcurrencyOracleSql: String =
+    s"""WITH e AS (SELECT epoch_us(ts) AS t FROM events),
+       |b AS (
+       | SELECT t // $DayUs AS day, t, 1 AS delta FROM e
+       | UNION ALL
+       | SELECT t // $DayUs AS day,
+       |  least(t + 1800000000, (t // $DayUs + 1) * $DayUs) AS t, -1 AS delta
+       | FROM e),
+       |r AS (
+       | SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+       |  ROWS UNBOUNDED PRECEDING) AS run
+       | FROM b)
+       |SELECT CAST(day AS BIGINT) AS epoch_day,
+       | CAST(max(run) AS BIGINT) AS peak_concurrent
+       |FROM r GROUP BY day ORDER BY epoch_day""".stripMargin
 }
