@@ -569,6 +569,11 @@ object Registry {
     q("bloom_decontamination", SketchOps.bloomOracleSql())(
       SketchOps.bloomDecontaminationStats),
 
+    // KMV set algebra: audience overlap (union/intersection estimates
+    // from two bounded sketches) with exact truth columns.
+    q("kmv_overlap", SketchOps.kmvOverlapOracleSql())(
+      (s, d) => SketchOps.kmvOverlap(s, d)),
+
     // Grouped KMV: one bounded distinct-count sketch per event type via
     // the partial-aggregated MinK aggregator (oracle = rank window).
     q("kmv_distinct_by_type", SketchOps.kmvByTypeOracleSql())(

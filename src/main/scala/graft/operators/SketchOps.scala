@@ -72,6 +72,90 @@ object SketchOps {
        | t.true_distinct
        |FROM sk, t""".stripMargin
 
+  /** KMV set algebra — audience-overlap estimation from two bounded
+    * sketches, no exact pass over either side: sketch the click users
+    * and the purchase users, UNION the sketches (k smallest of the
+    * merged hash sets — itself a valid KMV of A∪B), estimate |A∪B| from
+    * its k-th minimum, then estimate the Jaccard similarity as the
+    * fraction of the union sketch's members present in BOTH input
+    * sketches and scale: |A∩B| ≈ J·|A∪B| (Beyer et al., SIGMOD'07).
+    * Exact truth columns ride along, so the gate pins sketch AND error.
+    *
+    * Scale shape: each side is one distinct-hash shuffle (bounded by its
+    * distinct keys) + a k-item TakeOrdered; the set algebra then runs on
+    * three k-row frames — constant-size work regardless of corpus scale,
+    * which is the entire reason audience overlap ships as sketches.
+    */
+  def kmvOverlap(s: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def hashes(eventType: String): DataFrame =
+      ev.filter(col("event_type") === eventType)
+        .select(((col("user_id") % P) * K % P).as("h"))
+        .distinct()
+    def sketch(df: DataFrame): DataFrame = df.orderBy("h").limit(k)
+    val skA = sketch(hashes("click")).withColumnRenamed("h", "ha")
+    val skB = sketch(hashes("purchase")).withColumnRenamed("h", "hb")
+    val skU = sketch(skA.select(col("ha").as("h"))
+      .union(skB.select(col("hb").as("h"))).distinct())
+    val unionEst = skU.agg(count(lit(1)).as("n_min"), max("h").as("kth_min"))
+      .select(
+        when(col("n_min") < k, col("n_min"))
+          .otherwise(expr(s"${(k - 1).toLong * P} div kth_min"))
+          .cast("long").as("est_union"))
+    val jointInU = skU
+      .join(skA, col("h") === col("ha"), "left_semi")
+      .join(skB, skU("h") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("j"))
+    val sizeU = skU.agg(count(lit(1)).as("ku"))
+    val truth = {
+      val a = ev.filter(col("event_type") === "click").select("user_id").distinct()
+      val b = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      a.join(b, Seq("user_id")).agg(count(lit(1)).as("true_intersection"))
+        .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("true_union")))
+    }
+    unionEst.crossJoin(jointInU).crossJoin(sizeU).crossJoin(truth)
+      .select(
+        lit(k.toLong).as("k"),
+        col("est_union"),
+        expr("(j * est_union) div ku").cast("long").as("est_intersection"),
+        col("true_union").cast("long").as("true_union"),
+        col("true_intersection").cast("long").as("true_intersection"))
+  }
+
+  def kmvOverlapOracleSql(k: Int = DefaultK): String =
+    s"""WITH ha AS (
+       | SELECT DISTINCT ((user_id % $P) * $K) % $P AS h FROM events
+       | WHERE event_type = 'click'),
+       |hb AS (
+       | SELECT DISTINCT ((user_id % $P) * $K) % $P AS h FROM events
+       | WHERE event_type = 'purchase'),
+       |ska AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       |skb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       |sku AS (
+       | SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u
+       | ORDER BY h LIMIT $k),
+       |ue AS (
+       | SELECT CAST(CASE WHEN count(*) < $k THEN count(*)
+       |  ELSE ${(k - 1).toLong * P} // max(h) END AS BIGINT) AS est_union,
+       |  count(*) AS ku
+       | FROM sku),
+       |jj AS (
+       | SELECT count(*) AS j FROM sku
+       | WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+       |t AS (
+       | SELECT
+       |  (SELECT count(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+       |    INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase') x)
+       |   AS true_intersection,
+       |  (SELECT count(*) FROM (SELECT user_id FROM events WHERE event_type = 'click'
+       |    UNION SELECT user_id FROM events WHERE event_type = 'purchase') y)
+       |   AS true_union)
+       |SELECT CAST($k AS BIGINT) AS k, ue.est_union,
+       | CAST((jj.j * ue.est_union) // ue.ku AS BIGINT) AS est_intersection,
+       | CAST(t.true_union AS BIGINT) AS true_union,
+       | CAST(t.true_intersection AS BIGINT) AS true_intersection
+       |FROM ue, jj, t""".stripMargin
+
   /** Per-GROUP KMV sketches: distinct users per event type, one bounded
     * sketch per group — the grouped form of [[kmvDistinct]], and the
     * deterministic stand-in for `approx_count_distinct` in a GROUP BY.
