@@ -204,7 +204,10 @@ object AnnOps {
       nProbe: Int = 3,
       cells: Int = 10): DataFrame = {
     import s.implicits._
-    val (model, preds) = KMeansOps.fit(s, dir, k = cells)
+    // Quantizer trained on a deterministic 1-in-4 carve, full corpus
+    // assigned by the model — the only KMeans shape that exists at
+    // 100 TB (see [[KMeansOps.fitOnSample]]).
+    val (model, preds) = KMeansOps.fitOnSample(s, dir, k = cells)
     val assignments = preds.select(col("vec_id"), col("cluster"))
     val emb = Tables.embeddings(s, dir).join(assignments, "vec_id")
 

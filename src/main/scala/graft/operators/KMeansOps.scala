@@ -49,6 +49,38 @@ object KMeansOps {
       maxIter: Int = 20,
       seed: Long = 42L): DataFrame = fit(s, dir, k, maxIter, seed)._2
 
+  /** Quantizer-training fit: train on a deterministic 1-in-`trainMod`
+    * id carve, then assign the FULL corpus with the fitted model. At
+    * 100 TB an exact KMeans over every vector is neither possible nor
+    * needed — coarse-quantizer quality saturates at tens of thousands
+    * of samples per centroid (standard IVF practice), so the training
+    * side stays bounded while assignment remains one broadcast-model
+    * map pass. The id-modulus carve is deterministic under ANY
+    * partitioning or file layout, unlike `DataFrame.sample`, so the
+    * fitted centroids are reproducible run to run.
+    */
+  def fitOnSample(
+      s: SparkSession,
+      dir: String,
+      k: Int = 10,
+      trainMod: Int = 4,
+      maxIter: Int = 20,
+      seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        array_to_vector(col("embedding")).as("features"))
+    val km = new KMeans()
+      .setK(k)
+      .setMaxIter(maxIter)
+      .setSeed(seed)
+      .setInitMode("k-means||")
+      .setTol(1e-4)
+      .setFeaturesCol("features")
+      .setPredictionCol("cluster")
+    val model = km.fit(emb.filter(col("vec_id") % trainMod === 0))
+    (model, model.transform(emb))
+  }
+
   /** Cluster-size distribution: (rank, size), largest first
     * (reference: analysis/kmeans_spark.py:162 cluster distribution).
     */
