@@ -168,8 +168,9 @@ object Registry {
     q("outlier_events", StatsOps.outlierOracleSql())(
       (s, d) => StatsOps.outlierEvents(s, d)),
 
-    // Per-label embedding centroids in micro fixed-point (explicit floor
-    // division — the one case Spark div and DuckDB // disagree).
+    // Per-label embedding centroids in micro fixed-point; sums go
+    // negative, where Spark div and DuckDB // were verified to agree
+    // (both truncate toward zero).
     q("embedding_centroids", StatsOps.CentroidsOracleSql)(
       StatsOps.embeddingCentroids),
 

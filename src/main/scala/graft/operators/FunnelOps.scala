@@ -35,7 +35,7 @@ object FunnelOps {
     */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("t"))
+      .select(col("user_id"), col("event_type"), col("ts_us").as("t"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("t").as("t1"))
     val c = ev.filter(col("event_type") === "click")
@@ -85,7 +85,7 @@ object FunnelOps {
     val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
     val pairs = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("t"))
+        col("ts_us").as("t"))
       .withColumn("to_type", lead("event_type", 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))

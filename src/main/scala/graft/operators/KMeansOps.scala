@@ -26,21 +26,8 @@ object KMeansOps {
       dir: String,
       k: Int = 10,
       maxIter: Int = 20,
-      seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        array_to_vector(col("embedding")).as("features"))
-    val km = new KMeans()
-      .setK(k)
-      .setMaxIter(maxIter)
-      .setSeed(seed)
-      .setInitMode("k-means||")
-      .setTol(1e-4)
-      .setFeaturesCol("features")
-      .setPredictionCol("cluster")
-    val model = km.fit(emb)
-    (model, model.transform(emb))
-  }
+      seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+    fitOnSample(s, dir, k, trainMod = 1, maxIter, seed) // mod 1 = every row
 
   def fitPredictions(
       s: SparkSession,

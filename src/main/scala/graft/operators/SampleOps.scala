@@ -271,14 +271,25 @@ object SampleOps {
     * plan. All integer arithmetic; one count aggregation (|languages|
     * rows) and a one-row cross-join — nothing corpus-sized moves.
     */
-  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+  def mixturePlan(s: SparkSession, dir: String): DataFrame =
+    mixturePlanFor(Tables.documents(s, dir))
+
+  /** The plan over any frame with a `lang` column (split out so corpora
+    * with languages OUTSIDE the target mixture are testable).
+    */
+  def mixturePlanFor(docs: DataFrame): DataFrame = {
     val targetCol = TargetMixture.toSeq.sortBy(_._1)
       .foldLeft(when(lit(false), lit(0L))) { case (acc, (l, t)) =>
         acc.when(col("lang") === l, lit(t.toLong))
       }.otherwise(lit(0L))
-    val byLang = Tables.documents(s, dir)
+    val byLang = docs
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .withColumn("target_permille", targetCol)
+      // Languages outside the target mixture are excluded from the plan
+      // (the oracle's inner join against the target table does the same)
+      // — and without this filter their target of 0 divides by zero
+      // under ANSI mode on any corpus with an unlisted language.
+      .filter(col("target_permille") > 0)
       .withColumn("capacity", expr("(1000 * n) div target_permille"))
     val total = byLang.agg(
       sum("n").cast("long").as("corpus_total"),

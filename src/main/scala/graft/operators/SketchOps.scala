@@ -342,8 +342,11 @@ object SketchOps {
     val posArr = array(positionsSqlList("fp").map(expr): _*)
     val evalPos = evalFps.select(explode(posArr).as("p")).distinct()
     val trainPos = train.select(col("doc_id"), explode(array_distinct(posArr)).as("p"))
-    // Per-doc distinct probe positions (k unless KM positions collide).
-    val needed = train.select(col("doc_id"), size(array_distinct(posArr)).as("np"))
+    // Per-doc distinct probe positions (k unless KM positions collide) —
+    // derived from trainPos rather than a fresh projection of `train`:
+    // Spark shares no common subplans across joins, so the latter would
+    // re-run the full-text poly_hash over the whole corpus a second time.
+    val needed = trainPos.groupBy("doc_id").agg(count(lit(1)).as("np"))
     val hits = trainPos.join(broadcast(evalPos), Seq("p"))
       .groupBy("doc_id").agg(count(lit(1)).as("hit"))
     val flags = train

@@ -63,7 +63,12 @@ object SkewOps {
       "saltedJoin reserves the __salt column name")
     val saltedDim = dim.withColumn(
       "__salt", explode(sequence(lit(0), lit(salts - 1))))
-    probe.withColumn("__salt", pmod(probeSalt, lit(salts)))
+    // A NULL salt would never equal any dim replica's salt and would
+    // silently DROP a probe row whose key does match — breaking the
+    // "inner-join semantics unchanged" contract. Any fixed fallback
+    // bucket preserves semantics (the salt only spreads rows).
+    probe.withColumn(
+      "__salt", coalesce(pmod(probeSalt.cast("long"), lit(salts.toLong)), lit(0L)))
       .join(saltedDim.hint("shuffle_hash"), Seq(key, "__salt"))
       .drop("__salt")
   }

@@ -22,8 +22,12 @@ import graft.Tables
   */
 object TextOps {
 
-  /** Non-whitespace token runs; no empty-string artifacts at either end. */
-  private val tokens: Column = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+  /** Non-whitespace token runs; no empty-string artifacts at either end.
+    * THE tokenization contract — shared by every text operator (incl.
+    * [[TfIdfOps]]) so what counts as a token is defined exactly once.
+    */
+  private[operators] val tokens: Column =
+    regexp_extract_all(col("text"), lit("\\S+"), lit(0))
 
   /** Longest-alternative-first so Java regex and RE2 agree on every match. */
   private val stopwordsRe = "\\b(the|and|is|of|to|in|it|a)\\b"

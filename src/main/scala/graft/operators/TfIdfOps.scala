@@ -29,7 +29,8 @@ import graft.Tables
   */
 object TfIdfOps {
 
-  private val tokens = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+  // One tokenization contract for every text operator and its oracle.
+  private val tokens = TextOps.tokens
 
   def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(s, dir)

@@ -223,7 +223,7 @@ object WindowOps {
     * equal rows, so the result is deterministic.
     */
   def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(expr("ts div 1000").as("t"))
+    val ev = Tables.events(s, dir).select(col("ts_us").as("t"))
     val starts = ev.select(
       expr(s"t div $DayUs").as("day"), col("t"), lit(1L).as("delta"))
     val ends = ev.select(

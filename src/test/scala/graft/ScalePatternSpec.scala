@@ -30,6 +30,27 @@ class ScalePatternSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join keeps probe rows whose salt column is NULL") {
+    import spark.implicits._
+    val probe = Seq((1L, Some(10L)), (1L, None), (2L, Some(30L)))
+      .toDF("k", "v") // v is nullable; used as the salt source
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val salted = SkewOps.saltedJoin(probe, dim, "k", col("v"), 4)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(salted.toSeq == Seq(1L, 1L, 2L),
+      s"NULL-salt row dropped: ${salted.toSeq}")
+  }
+
+  test("mixture plan skips unlisted languages instead of dividing by zero") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, Seq("en", "es", "it")(i % 3)))
+      .toDF("doc_id", "lang") // 'it' has no target share
+    val rows = graft.operators.SampleOps.mixturePlanFor(docs).collect()
+    val langs = rows.map(_.getString(0)).toSet
+    assert(langs == Set("en", "es"), s"unlisted language not skipped: $langs")
+    rows.foreach(r => assert(r.getLong(3) > 0)) // every target_permille > 0
+  }
+
   test("zorder plan: every file's span on BOTH dims is a fraction of full range") {
     val plan = LayoutOps.zorderPlan(spark, sf).collect()
     assert(plan.nonEmpty && plan.length <= LayoutOps.DefaultFiles)
