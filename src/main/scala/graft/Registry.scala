@@ -178,6 +178,13 @@ object Registry {
     // timestamp per stage, never an event-list buffer).
     q("funnel_view_click_purchase", FunnelOps.FunnelOracleSql)(FunnelOps.funnel),
 
+    // Conversion-latency quartiles (histogram rank-select; oracle ranks
+    // users directly with row_number — independent algorithm). The
+    // histogram window is deliberately unpartitioned: its input is
+    // value-domain-bounded, the median_density_by_flag trade.
+    q("conversion_time_quantiles", FunnelOps.ConversionQuantilesOracleSql)(
+      FunnelOps.conversionTimeQuantiles),
+
     // Consecutive-event transition matrix (deterministic lead window).
     q("event_transitions", FunnelOps.TransitionsOracleSql)(
       FunnelOps.eventTransitions),

@@ -78,6 +78,61 @@ object FunnelOps {
       |UNION ALL SELECT 3, 'purchase', n3, (1000 * n3) // greatest(n2, 1) FROM n
       |ORDER BY stage""".stripMargin
 
+  /** Time-to-convert distribution: exact type-1 quartiles (integer
+    * seconds) of first-view → qualifying-first-purchase latency over
+    * converted users, via the same join ladder as [[funnel]] plus a
+    * HISTOGRAM rank-select (groupBy collapses users to distinct latency
+    * values before any window, so the single ordered pass is bounded by
+    * the value domain — corpus seconds — not the user count; the
+    * `median_density_by_flag` trade). The ORACLE ranks users directly
+    * with row_number — an independent algorithm.
+    */
+  def conversionTimeQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("t") > col("t1"))
+      .groupBy("user_id").agg(min("t").as("t2"), min("t1").as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("t") > col("t2"))
+      .groupBy("user_id").agg(min("t").as("t3"), min("t1").as("t1"))
+    val lat = p.select(expr("(t3 - t1) div 1000000").as("d_s"))
+    val hist = lat.groupBy("d_s").agg(count(lit(1)).as("c"))
+      .withColumn("cum",
+        sum("c").over(Window.orderBy("d_s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = hist.agg(sum("c").cast("long").as("n"))
+    def q(p: Int) = min(when(
+      col("cum") >= expr(s"(($p * n) + 999) div 1000"), col("d_s"))).as(s"p${p}_s")
+    hist.crossJoin(broadcast(n))
+      .agg(
+        max("n").as("converted_users"),
+        q(250), q(500), q(750))
+  }
+
+  val ConversionQuantilesOracleSql: String =
+    """WITH e AS (
+      | SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      | SELECT e.user_id, min(t) AS t2, min(t1) AS t1 FROM e JOIN v ON e.user_id = v.user_id
+      | WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+      |p AS (
+      | SELECT e.user_id, min(t) AS t3, min(t1) AS t1 FROM e JOIN c ON e.user_id = c.user_id
+      | WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+      |l AS (
+      | SELECT (t3 - t1) // 1000000 AS d_s,
+      |  row_number() OVER (ORDER BY (t3 - t1) // 1000000) AS rn,
+      |  count(*) OVER () AS n
+      | FROM p)
+      |SELECT CAST(max(n) AS BIGINT) AS converted_users,
+      | CAST(min(CASE WHEN rn >= (250 * n + 999) // 1000 THEN d_s END) AS BIGINT) AS p250_s,
+      | CAST(min(CASE WHEN rn >= (500 * n + 999) // 1000 THEN d_s END) AS BIGINT) AS p500_s,
+      | CAST(min(CASE WHEN rn >= (750 * n + 999) // 1000 THEN d_s END) AS BIGINT) AS p750_s
+      |FROM l""".stripMargin
+
   /** Consecutive-event transition matrix: counts and per-source shares of
     * type_i → type_j steps in each user's (ts, event_id)-ordered stream.
     */
