@@ -178,6 +178,10 @@ object Registry {
     // timestamp per stage, never an event-list buffer).
     q("funnel_view_click_purchase", FunnelOps.FunnelOracleSql)(FunnelOps.funnel),
 
+    // Cohort retention matrix (first-activity-day cohorts, per-offset
+    // activity shares; user-day-bounded distinct, no per-user windows).
+    q("retention_matrix", FunnelOps.RetentionOracleSql)(FunnelOps.retentionMatrix),
+
     // Conversion-latency quartiles (histogram rank-select; oracle ranks
     // users directly with row_number — independent algorithm). The
     // histogram window is deliberately unpartitioned: its input is

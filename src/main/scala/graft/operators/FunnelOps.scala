@@ -133,6 +133,51 @@ object FunnelOps {
       | CAST(min(CASE WHEN rn >= (750 * n + 999) // 1000 THEN d_s END) AS BIGINT) AS p750_s
       |FROM l""".stripMargin
 
+  private val DayUs = 86400000000L
+
+  /** Cohort retention matrix: users grouped by their first-activity day
+    * (the cohort), with per-offset counts of how many were active again
+    * N days later and the retention share against the cohort's size.
+    *
+    * Scale shape: one distinct over (user, day) — bounded by user-days,
+    * map-side deduped — then a partial-aggregated groupBy on (cohort,
+    * offset); cohort sizes are a days-bounded frame joined back
+    * (broadcast at any realistic day count). No per-user windows, no
+    * driver-side data.
+    */
+  def retentionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val cohorts = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cells = active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = cells.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("active_users").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_day")
+      .select(
+        col("cohort_day"), col("day_offset"), col("active_users"),
+        expr("(1000 * active_users) div cohort_size").as("retained_permille"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val RetentionOracleSql: String =
+    """WITH a AS (
+      | SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1),
+      |x AS (
+      | SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+      |  count(*) AS active_users
+      | FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2),
+      |s AS (
+      | SELECT cohort_day, active_users AS cohort_size FROM x WHERE day_offset = 0)
+      |SELECT x.cohort_day, CAST(x.day_offset AS BIGINT) AS day_offset,
+      | x.active_users,
+      | (1000 * x.active_users) // s.cohort_size AS retained_permille
+      |FROM x JOIN s ON x.cohort_day = s.cohort_day
+      |ORDER BY x.cohort_day, x.day_offset""".stripMargin
+
   /** Consecutive-event transition matrix: counts and per-source shares of
     * type_i → type_j steps in each user's (ts, event_id)-ordered stream.
     */
