@@ -36,6 +36,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("retention matrix: full offset-0 retention, bounded cells, conserved users") {
+    val rows = graft.operators.FunnelOps.retentionMatrix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val sizes = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (cohort, off, active, permille) =>
+      if (off == 0L) assert(permille == 1000L)
+      assert(active <= sizes(cohort), s"cohort $cohort offset $off overflows")
+      assert(permille == 1000L * active / sizes(cohort))
+      assert(off >= 0L)
+    }
+    val totalUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(sizes.values.sum == totalUsers, "cohort sizes must partition users")
+  }
+
+  test("conversion quantiles are monotone and count funnel converters") {
+    val r = graft.operators.FunnelOps.conversionTimeQuantiles(spark, sf).collect().head
+    val (n, p25, p50, p75) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(p25 <= p50 && p50 <= p75, s"non-monotone: $p25 $p50 $p75")
+    val stage3 = graft.operators.FunnelOps.funnel(spark, sf).collect()
+      .find(_.getLong(0) == 3L).get.getLong(2)
+    assert(n == stage3, s"converted $n != funnel stage-3 $stage3")
+  }
+
   test("trailing hour stats equal a naive per-user range count") {
     val out = WindowOps.trailingHourStats(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
