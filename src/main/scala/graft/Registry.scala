@@ -566,6 +566,11 @@ object Registry {
     // the independent row_number window formulation.
     q("latest_event_per_user", TopKOps.LatestOracleSql)(TopKOps.latestEventPerUser),
 
+    // Key-skew profile: the pre-flight diagnostic for choosing a skew
+    // mitigation (top-k heaviest keys, share, ratio to mean).
+    q("skew_profile", SkewOps.skewProfileOracleSql())(
+      (s, d) => SkewOps.skewProfile(s, d)),
+
     // Salted shuffle JOIN (hot-probe-key spread; dim replicated salts×);
     // oracle is the plain join+agg — the salt is semantically invisible.
     q("salted_join_segments", SkewOps.SaltedJoinOracleSql)(

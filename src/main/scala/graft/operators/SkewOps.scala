@@ -95,4 +95,43 @@ object SkewOps {
       | round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 4) AS value_sum
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Key-skew profile — the PRE-FLIGHT diagnostic for choosing a
+    * mitigation (salting, AQE thresholds, broadcast): the top-k heaviest
+    * join keys with their row share, plus how many times heavier each is
+    * than the mean key. A pipeline reads this before deciding whether
+    * [[saltedJoin]]/[[saltedUserStats]] are needed at all.
+    *
+    * Scale shape: one partial-aggregated groupBy (shuffle bounded by
+    * distinct keys), a one-row global stats frame broadcast back, and a
+    * TakeOrdered for the top-k — no global sort.
+    */
+  def skewProfile(
+      s: SparkSession,
+      dir: String,
+      k: Int = 10): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("rows"))
+    val tot = counts.agg(
+      sum("rows").cast("long").as("total_rows"),
+      count(lit(1)).as("distinct_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col("user_id"), col("rows"),
+        expr("(1000 * rows) div total_rows").as("share_permille"),
+        expr("(1000 * rows * distinct_keys) div total_rows")
+          .as("vs_mean_permille"))
+      .orderBy(desc("rows"), col("user_id"))
+      .limit(k)
+  }
+
+  def skewProfileOracleSql(k: Int = 10): String =
+    s"""WITH c AS (SELECT user_id, count(*) AS rows FROM events GROUP BY 1),
+       |t AS (
+       | SELECT CAST(sum(rows) AS BIGINT) AS total_rows, count(*) AS distinct_keys
+       | FROM c)
+       |SELECT user_id, rows,
+       | (1000 * rows) // total_rows AS share_permille,
+       | (1000 * rows * distinct_keys) // total_rows AS vs_mean_permille
+       |FROM c CROSS JOIN t ORDER BY rows DESC, user_id LIMIT $k""".stripMargin
 }
