@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through RAW. sbt's default LoggedOutput
+// prefixes every line with "[info] ", so the bench's final JSON line never
+// starts with '{' and the driver's stdout parser rejects it (this held in
+// every round 1-7). StdoutOutput removes the prefix; stderr (Spark logs)
+// stays on stderr instead of being re-logged into stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and keep sbt's "[success] Total time" epilogue off stdout so the JSON
+// line is the LAST thing the driver's 2000-char tail capture sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,5 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dderby.system.home=/tmp/graft-derby", // metastore_db outside the repo
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: enough headroom that GC pressure doesn't pollute bench
+  // medians at sf0.1 when the driver doesn't override SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

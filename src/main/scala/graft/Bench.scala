@@ -13,6 +13,13 @@ import org.apache.spark.sql.SparkSession
   * exceeds [[Bench.slowCutoffSec]] get a single timed run instead to bound
   * total wall time. A query that throws is reported with `-1` time and its
   * error class in the `errors` map — never silently folded into the total.
+  *
+  * Output transport: the harness that invokes this keeps only the LAST
+  * 2000 characters of stdout and parses the trailing JSON line, so the
+  * final line is emitted with bounded-width values (2 significant digits)
+  * and a hard length guard — full-precision per-query numbers go to
+  * `bench_full.json` in the working directory, and logging is forced OFF
+  * so nothing interleaves after the final line.
   */
 object Bench {
   // Queries whose warm-up stays under this take the median of 3 timed
@@ -22,6 +29,34 @@ object Bench {
   // pagerank measured 46.9s once in r5); a median does not.
   private val slowCutoffSec = 15.0
 
+  // The invoking harness captures the last 2000 chars of stdout; the final
+  // JSON line plus a trailing newline must fit inside that window.
+  private val maxLineChars = 1900
+
+  /** Converged-mode iterative plans: benchmarked for the fixed-vs-converged
+    * comparison but not part of the driver's correctness gate (their
+    * fixed-iteration twins are the oracle-checked entries). Kept out of
+    * [[SparkEntry.queries]] so the gate's query set stays exactly the
+    * oracle-checked + rows-only inventory.
+    */
+  private val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "pagerank_conv" -> ((s, d) => operators.GraphOps.pagerankConverged(s, d)._2),
+      "components_conv" -> ((s, d) => operators.GraphOps.connectedComponentsConverged(s, d)._2),
+      "kcore_conv" -> ((s, d) => operators.GraphOps.kcoreConverged(s, d)._2),
+      "clusters_conv" -> ((s, d) =>
+        operators.DedupClusterOps.clustersConverged(s, Tables.documents(s, d))._2))
+
+  /** 2-significant-digit fixed-point rendering (no exponents, valid JSON
+    * numbers): 0.42 / 1.2 / 11 / 123. Bounded width keeps ~85 entries
+    * inside the stdout tail window.
+    */
+  private def fmt2(v: Double): String =
+    if (v < 0) "-1"
+    else if (v < 1) f"$v%.2f"
+    else if (v < 10) f"$v%.1f"
+    else f"$v%.0f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the real core count: an unset env var must mean "use the
@@ -30,11 +65,16 @@ object Bench {
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark: SparkSession = GraftSession.build(cpus, "graft-bench")
+    // Nothing may interleave with (or follow) the final JSON line on
+    // stdout/stderr — kill logging outright for the bench run.
+    spark.sparkContext.setLogLevel("OFF")
+
+    val queries = SparkEntry.queries ++ extras
 
     def runOnce(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir)
+        queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         ((System.nanoTime() - t0) / 1e9, None)
       } catch {
@@ -45,7 +85,7 @@ object Bench {
 
     // Optional comma-separated filter for quick single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val names = SparkEntry.queries.keys.toVector.sorted
+    val names = queries.keys.toVector.sorted
       .filter(n => only.forall(_.contains(n)))
     val results: Vector[(String, Double, Option[String])] = names.map { n =>
       val out = runOnce(n) match {
@@ -69,15 +109,39 @@ object Bench {
       out
     }
 
-    val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errs = results
       .collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // "sf0.1" → 0.1 so the field costs 3 bytes, not a 25-byte path.
+    val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+
+    def line(rs: Vector[(String, Double, Option[String])]): String = {
+      val qs = rs.map { case (k, v, _) => "\"" + k + "\":" + fmt2(v) }
+        .mkString("{", ",", "}")
+      val errField = if (errs == "{}") "" else s""","errors":$errs"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errField,"sf":$sf}"""
+    }
+
+    // Full precision for every entry (including the converged extras) —
+    // the artifact for humans and for cross-round comparisons.
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":$sf,"cpus":$cpus,"sfDir":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
+
+    // The guarded final line: if the full inventory overflows the tail
+    // window, shed the bench-only extras first (they stay in
+    // bench_full.json); gate-registered queries are never dropped.
+    val compact = line(results)
+    val out =
+      if (compact.length <= maxLineChars) compact
+      else line(results.filterNot { case (k, _, _) => extras.contains(k) })
+    println(full)
+    println(out)
+    System.out.flush()
     spark.stop()
   }
 }

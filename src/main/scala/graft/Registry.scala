@@ -359,28 +359,17 @@ object Registry {
       MinHashOps.dedupMinhash),
 
     // ---- LLM-pipeline: similarity search over embeddings ----
-    q("ann_topk",
-      """WITH q AS (
-        | SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
-        |p AS (
-        | SELECT q_id, c_id,
-        |  round(
-        |   list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |   / (sqrt(list_sum(list_transform(qv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
-        |      * sqrt(list_sum(list_transform(cv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS cosine_r6
-        | FROM q, c WHERE q_id <> c_id),
-        |r AS (
-        | SELECT q_id, c_id, cosine_r6,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
-        | FROM p)
-        |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin)((s, d) => AnnOps.annTopK(s, d)),
+    q("ann_topk", AnnOps.annTopkOracleSql())((s, d) => AnnOps.annTopK(s, d)),
 
     // The LSH scale path for ANN as a first-class checked query: same
     // output contract as ann_topk, oracle generated from the identical
     // fixed-point code/probe constants (no recall mismatch possible).
     q("ann_lsh_topk", AnnOps.annLshOracleSql())(AnnOps.annLshTopKRegistered),
+
+    // Integer recall@k of the LSH path vs the exact baseline — the audit
+    // that guards recall collapse as bitsFor scales the code width with
+    // the corpus. Oracle-gated end to end (both sides SQL-expressible).
+    q("ann_recall_lsh", AnnOps.annRecallLshOracleSql())(AnnOps.annRecallLsh),
 
     // Exact inverted-index n-gram Jaccard: same output contract as
     // dedup_minhash (and the same oracle), but with no probabilistic stage.
@@ -618,7 +607,17 @@ object Registry {
     // IVF ANN scale path: depends on an MLlib KMeans fit, so (like the
     // kmeans_* entries) not oracle-SQL-expressible — rows-only here;
     // AnnSpec cross-checks its scores against the exact baseline.
-    rowsOnly("ann_ivf_topk")((s, d) => AnnOps.annIvfTopK(s, d))
+    rowsOnly("ann_ivf_topk")((s, d) => AnnOps.annIvfTopK(s, d)),
+
+    // Recall@k audit of the IVF path (rows-only for the same MLlib-fit
+    // reason; AnnSpec pins the recall floor).
+    rowsOnly("ann_recall_ivf")(AnnOps.annRecallIvf),
+
+    // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
+    // write → read-back fidelity digest through the partitioned parquet
+    // sink; the oracle computes the same digest from the original table.
+    q("sink_roundtrip", sinks.ParquetSink.roundtripOracleSql)(
+      sinks.ParquetSink.roundtripAudit)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

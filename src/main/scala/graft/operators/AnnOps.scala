@@ -53,12 +53,20 @@ object AnnOps {
       extends org.apache.spark.sql.expressions.Aggregator[
         (Long, Long, Double), CosBuf, CosOut] {
     private def ord(e: (Double, Long)): (Double, Long) = (-e._1, e._2)
+    // Amortized bounded insert: rows cons in O(1) and the buffer is pruned
+    // back to the k best only when it reaches 2k — O(log k) amortized per
+    // row instead of a full O(k log k) sort + list allocation on EVERY
+    // row. Pruning to the k best at any point is lossless for the final
+    // top-k, so partial aggregation semantics are unchanged.
     override def zero: CosBuf = CosBuf(Nil)
-    override def reduce(b: CosBuf, r: (Long, Long, Double)): CosBuf =
-      CosBuf(((r._3, r._2) :: b.items).sortBy(ord).take(k))
+    override def reduce(b: CosBuf, r: (Long, Long, Double)): CosBuf = {
+      val grown = (r._3, r._2) :: b.items
+      CosBuf(
+        if (grown.lengthCompare(2 * k) >= 0) grown.sortBy(ord).take(k) else grown)
+    }
     override def merge(a: CosBuf, b: CosBuf): CosBuf =
       CosBuf((a.items ++ b.items).sortBy(ord).take(k))
-    override def finish(r: CosBuf): CosOut = CosOut(r.items)
+    override def finish(r: CosBuf): CosOut = CosOut(r.items.sortBy(ord).take(k))
     override def bufferEncoder: org.apache.spark.sql.Encoder[CosBuf] =
       org.apache.spark.sql.Encoders.product[CosBuf]
     override def outputEncoder: org.apache.spark.sql.Encoder[CosOut] =
@@ -99,6 +107,72 @@ object AnnOps {
         cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
     rankTopK(s, scored, k)
   }
+
+  /** DuckDB oracle for [[annTopK]]: brute-force rounded-cosine ranking
+    * with id tie-breaks (moved here from the registry so the recall-audit
+    * oracle composes from the same text).
+    */
+  def annTopkOracleSql(k: Int = 10, nQueries: Int = 5): String =
+    s"""WITH q AS (
+       | SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+       |p AS (
+       | SELECT q_id, c_id,
+       |  round(
+       |   list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform(qv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(cv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS cosine_r6
+       | FROM q, c WHERE q_id <> c_id),
+       |r AS (
+       | SELECT q_id, c_id, cosine_r6,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+       | FROM p)
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Integer recall@k of an approximate ANN result against the exact
+    * baseline: per query, how many of the exact top-k ids the approximate
+    * top-k recovered. Counts, not floats — the number a user of the
+    * approximate paths watches as [[bitsFor]] grows the code width with N
+    * (a recall collapse shows up here before it shows up in eyeballed
+    * score lists). Both inputs are tiny (nQueries × k rows), so the join
+    * is a broadcast regardless of corpus size.
+    */
+  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("q_id"), col("c_id"))
+      .join(
+        approx.select(col("q_id").as("aq"), col("c_id").as("ac")),
+        col("q_id") === col("aq") && col("c_id") === col("ac"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("k"),
+        sum(when(col("ac").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .withColumn("recall_milli", expr("(hits * 1000) div k"))
+      .orderBy("q_id")
+
+  /** Recall@k audit of [[annLshTopKRegistered]] — oracle-gated end to end
+    * (both sides of the comparison are SQL-expressible).
+    */
+  def annRecallLsh(s: SparkSession, dir: String): DataFrame =
+    recallOf(annTopK(s, dir), annLshTopKRegistered(s, dir))
+
+  /** Recall@k audit of [[annIvfTopK]] — rows-only registered (the IVF
+    * side depends on an MLlib fit); AnnSpec pins the recall floor.
+    */
+  def annRecallIvf(s: SparkSession, dir: String): DataFrame =
+    recallOf(annTopK(s, dir), annIvfTopK(s, dir))
+
+  /** DuckDB oracle for [[annRecallLsh]]: the exact and LSH oracles as
+    * nested CTEs, joined on recovered ids.
+    */
+  def annRecallLshOracleSql(): String =
+    s"""WITH exact AS (${annTopkOracleSql()}),
+       |approx AS (${annLshOracleSql()})
+       |SELECT e.q_id, count(*) AS k,
+       | CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       | CAST((1000 * sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_milli
+       |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
   /** Default code width for the registered `dedup_embed` query — the
     * oracle SQL is generated from the same constant, so the two sides run

@@ -21,7 +21,25 @@ import graft.Tables
   */
 object KMeansOps {
 
+  /** Registered-query default: train the quantizer on the deterministic
+    * 1-in-4 carve, assign the FULL corpus — the only KMeans shape that
+    * exists at 100 TB (see [[fitOnSample]]). The full-corpus fit stays
+    * available as [[fitFull]] for the sampled-vs-full pinning spec.
+    */
   def fit(
+      s: SparkSession,
+      dir: String,
+      k: Int = 10,
+      maxIter: Int = 20,
+      seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) =
+    fitOnSample(s, dir, k, trainMod = 4, maxIter, seed)
+
+  /** Exact full-corpus fit (every row trains). Not registered: at 100 TB
+    * the training pass over every vector buys nothing once each centroid
+    * has tens of thousands of training samples — kept for tests that pin
+    * how far the sampled quantizer drifts from the exact one.
+    */
+  def fitFull(
       s: SparkSession,
       dir: String,
       k: Int = 10,

@@ -143,12 +143,18 @@ object SampleOps {
   final class MinKAggregator(k: Int)
       extends Aggregator[(String, Long, Long), MinKBuffer, MinKOutput] {
     private def key(e: (Long, Long)) = e
+    // Amortized bounded insert (same shape as AnnOps.CosTopK): cons per
+    // row, prune back to the k smallest only at 2k occupancy — keeping a
+    // prune-to-k at any point is lossless for the final min-k set.
     override def zero: MinKBuffer = MinKBuffer(Nil)
-    override def reduce(b: MinKBuffer, r: (String, Long, Long)): MinKBuffer =
-      MinKBuffer(((r._2, r._3) :: b.items).sortBy(key).take(k))
+    override def reduce(b: MinKBuffer, r: (String, Long, Long)): MinKBuffer = {
+      val grown = (r._2, r._3) :: b.items
+      MinKBuffer(
+        if (grown.lengthCompare(2 * k) >= 0) grown.sortBy(key).take(k) else grown)
+    }
     override def merge(a: MinKBuffer, b: MinKBuffer): MinKBuffer =
       MinKBuffer((a.items ++ b.items).sortBy(key).take(k))
-    override def finish(r: MinKBuffer): MinKOutput = MinKOutput(r.items)
+    override def finish(r: MinKBuffer): MinKOutput = MinKOutput(r.items.sortBy(key).take(k))
     override def bufferEncoder: Encoder[MinKBuffer] = Encoders.product[MinKBuffer]
     override def outputEncoder: Encoder[MinKOutput] = Encoders.product[MinKOutput]
   }

@@ -30,12 +30,17 @@ object TopKOps {
   final class TopKAggregator(k: Int)
       extends Aggregator[(String, Double, Long), TopKBuffer, TopKOutput] {
     private def desc(e: Entry): (Double, Long) = (-e._1, e._2)
+    // Amortized bounded insert (same shape as AnnOps.CosTopK): cons per
+    // row, prune back to the k largest only at 2k occupancy.
     override def zero: TopKBuffer = TopKBuffer(Nil)
-    override def reduce(buf: TopKBuffer, row: (String, Double, Long)): TopKBuffer =
-      TopKBuffer(((row._2, row._3) :: buf.items).sortBy(desc).take(k))
+    override def reduce(buf: TopKBuffer, row: (String, Double, Long)): TopKBuffer = {
+      val grown = (row._2, row._3) :: buf.items
+      TopKBuffer(
+        if (grown.lengthCompare(2 * k) >= 0) grown.sortBy(desc).take(k) else grown)
+    }
     override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer =
       TopKBuffer((a.items ++ b.items).sortBy(desc).take(k))
-    override def finish(r: TopKBuffer): TopKOutput = TopKOutput(r.items)
+    override def finish(r: TopKBuffer): TopKOutput = TopKOutput(r.items.sortBy(desc).take(k))
     override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
     override def outputEncoder: Encoder[TopKOutput] = Encoders.product[TopKOutput]
   }

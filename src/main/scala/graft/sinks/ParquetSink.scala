@@ -1,6 +1,10 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Load-phase parquet writer (reference: analysis/etl_spark.py:250-259
   * persists the transformed output; here generalized to the partitioned
@@ -29,5 +33,52 @@ object ParquetSink {
       .partitionBy(partitionBy: _*)
       .mode("overwrite")
       .parquet(path)
+  }
+
+  /** Registered load-phase gate (reference: analysis/etl_spark.py:250-259
+    * writes the transformed output to storage): [[writePartitioned]] the
+    * documents table lang-partitioned to scratch, read it back through the
+    * partition-discovery path, and emit a per-partition fidelity digest —
+    * row count plus column checksums, including a polynomial fingerprint
+    * of every `text` and `source` string. The oracle computes the same
+    * digest from the ORIGINAL table, so any write-path loss (dropped rows,
+    * reordered partition values, string mangling, type drift) breaks the
+    * hash compare. The write itself executes when the query is built, so
+    * the bench times write + read-back, not just the final aggregate.
+    */
+  def roundtripAudit(s: SparkSession, dir: String): DataFrame = {
+    val scratch =
+      s"/tmp/graft-sink-roundtrip/${new java.io.File(dir).getName}/documents"
+    writePartitioned(
+      Tables.documents(s, dir), scratch,
+      partitionBy = Seq("lang"), sortWithin = Seq("doc_id"))
+    def fp(c: org.apache.spark.sql.Column) = GraftFunctions.poly_hash(c, 31, 1000000007L)
+    s.read.parquet(scratch)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_doc_id"),
+        sum("n_chars").as("sum_n_chars"),
+        sum(fp(col("text"))).as("sum_text_fp"),
+        sum(fp(col("source"))).as("sum_source_fp"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[roundtripAudit]] — the identical digest over the
+    * original parquet (the same poly-hash the `doc_fingerprint` oracle
+    * uses, applied to both string columns).
+    */
+  def roundtripOracleSql: String = {
+    def fpSql(colName: String): String =
+      s"""list_reduce(
+         |  list_prepend(0::BIGINT,
+         |   list_transform(regexp_extract_all($colName, '(?s).'), c -> unicode(c)::BIGINT)),
+         |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    s"""SELECT lang, count(*) AS n_docs,
+       | CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       | CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       | CAST(sum(${fpSql("text")}) AS BIGINT) AS sum_text_fp,
+       | CAST(sum(${fpSql("source")}) AS BIGINT) AS sum_source_fp
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 }

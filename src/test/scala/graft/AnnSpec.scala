@@ -71,6 +71,23 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("recall audits emit one bounded integer row per query") {
+    // The registered audits (ann_recall_lsh oracle-gated, ann_recall_ivf
+    // rows-only): one row per query id, hits <= k, recall_milli on the
+    // exact integer grid, and a floor that catches a recall collapse.
+    for (audit <- Seq(AnnOps.annRecallLsh _, AnnOps.annRecallIvf _)) {
+      val rows = audit(spark, sf).collect()
+      assert(rows.map(_.getLong(0)).toSeq == (0L until 5L))
+      rows.foreach { r =>
+        val (k, hits, milli) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(k == 10L && hits >= 0L && hits <= k)
+        assert(milli == hits * 1000L / k)
+      }
+      val mean = rows.map(_.getLong(3)).sum / rows.length
+      assert(mean >= 200L, s"mean recall collapsed: $mean")
+    }
+  }
+
   test("LSH output is deterministic and rank-consistent") {
     val again = AnnOps.annLshTopK(spark, sf).collect()
     assert(lsh.toSeq == again.toSeq)

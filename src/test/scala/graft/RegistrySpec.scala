@@ -23,7 +23,9 @@ class RegistrySpec extends AnyFunSuite {
     val noOracle = Registry.queries.keySet -- Registry.oracleSql.keySet
     // The sanctioned rows-only set: every member depends on an iterative
     // MLlib KMeans fit, which is not oracle-SQL-expressible.
-    assert(noOracle == Set("kmeans_sizes", "kmeans_centroids", "ann_ivf_topk"),
+    assert(
+      noOracle == Set(
+        "kmeans_sizes", "kmeans_centroids", "ann_ivf_topk", "ann_recall_ivf"),
       s"missing oracles: $noOracle")
   }
 
@@ -118,6 +120,30 @@ class RegistrySpec extends AnyFunSuite {
     val rows = results("kmeans_centroids")
     assert(rows.length == 10)
     assert(rows.map(_.getLong(0)).sum == 500L)
+  }
+
+  test("sampled-fit quantizer stays close to the full-corpus fit") {
+    // The registered kmeans_* entries train on the deterministic 1-in-4
+    // carve (the 100 TB shape); this pins how far that quantizer's
+    // cluster-size distribution drifts from the exact full-corpus fit.
+    // Both sides assign the full corpus, so the ranked size vectors are
+    // label-permutation-free and directly comparable.
+    def sizes(
+        fit: => (org.apache.spark.ml.clustering.KMeansModel,
+          org.apache.spark.sql.DataFrame)): Vector[Long] =
+      fit._2.groupBy("cluster").count()
+        .collect().map(_.getLong(1)).sortBy(-_).toVector
+    val sampled = sizes(operators.KMeansOps.fit(spark, sf))
+    val full = sizes(operators.KMeansOps.fitFull(spark, sf))
+    assert(sampled.length == full.length)
+    assert(sampled.sum == 500L && full.sum == 500L)
+    // Total variation between the ranked distributions: half the L1 gap,
+    // as a fraction of the corpus. A collapsed or degenerate sampled fit
+    // lands near 1.0. At sf0.001 the carve is only 125 training points for
+    // k=10, the worst case for sampling noise — measured tv=0.36 there
+    // (it shrinks as the per-centroid sample count grows with SF).
+    val tv = sampled.zip(full).map { case (a, b) => math.abs(a - b) }.sum / 2.0 / 500.0
+    assert(tv <= 0.5, s"sampled-vs-full size distributions drifted: tv=$tv")
   }
 
   test("pagerank_topk emits k rows in strictly descending (score, node) order") {
