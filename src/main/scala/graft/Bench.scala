@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
   * total wall time. A query that throws is reported with `-1` time and its
   * error class in the `errors` map — never silently folded into the total.
   *
+  * Noise floor: the raw per-rep timings (sorted) are written under
+  * `"spread"` in `bench_full.json`, so cross-round regressions can be
+  * judged against the measured per-query min/median/max rather than a
+  * folk variance number.
+  *
   * Output transport: the harness that invokes this keeps only the LAST
   * 2000 characters of stdout and parses the trailing JSON line, so the
   * final line is emitted with bounded-width values (2 significant digits)
@@ -33,19 +38,11 @@ object Bench {
   // JSON line plus a trailing newline must fit inside that window.
   private val maxLineChars = 1900
 
-  /** Converged-mode iterative plans: benchmarked for the fixed-vs-converged
-    * comparison but not part of the driver's correctness gate (their
-    * fixed-iteration twins are the oracle-checked entries). Kept out of
-    * [[SparkEntry.queries]] so the gate's query set stays exactly the
-    * oracle-checked + rows-only inventory.
+  /** One benched query: median time, error (if any), and the sorted raw
+    * per-rep timings (the spread; single-element for slow/err queries).
     */
-  private val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map(
-      "pagerank_conv" -> ((s, d) => operators.GraphOps.pagerankConverged(s, d)._2),
-      "components_conv" -> ((s, d) => operators.GraphOps.connectedComponentsConverged(s, d)._2),
-      "kcore_conv" -> ((s, d) => operators.GraphOps.kcoreConverged(s, d)._2),
-      "clusters_conv" -> ((s, d) =>
-        operators.DedupClusterOps.clustersConverged(s, Tables.documents(s, d))._2))
+  private final case class Timing(
+      name: String, median: Double, err: Option[String], reps: Vector[Double])
 
   /** 2-significant-digit fixed-point rendering (no exponents, valid JSON
     * numbers): 0.42 / 1.2 / 11 / 123. Bounded width keeps ~85 entries
@@ -56,6 +53,13 @@ object Bench {
     else if (v < 1) f"$v%.2f"
     else if (v < 10) f"$v%.1f"
     else f"$v%.0f"
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,7 +73,7 @@ object Bench {
     // stdout/stderr — kill logging outright for the bench run.
     spark.sparkContext.setLogLevel("OFF")
 
-    val queries = SparkEntry.queries ++ extras
+    val queries = SparkEntry.queries
 
     def runOnce(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -87,17 +91,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val names = queries.keys.toVector.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results: Vector[(String, Double, Option[String])] = names.map { n =>
+    val results: Vector[Timing] = names.map { n =>
       val out = runOnce(n) match {
-        case (_, Some(err)) => (n, -1.0, Some(err))
+        case (_, Some(err)) => Timing(n, -1.0, Some(err), Vector.empty)
         case (warmSec, None) =>
           val reps = if (warmSec > slowCutoffSec) 1 else 3
           val timed = Vector.fill(reps)(runOnce(n))
           timed.collectFirst { case (_, Some(err)) => err } match {
-            case Some(err) => (n, -1.0, Some(err))
+            case Some(err) => Timing(n, -1.0, Some(err), Vector.empty)
             case None =>
               val sorted = timed.map(_._1).sorted
-              (n, sorted(sorted.size / 2), None)
+              Timing(n, sorted(sorted.size / 2), None, sorted)
           }
       }
       // Clear between QUERIES, not between reps: iterative queries persist
@@ -109,36 +113,47 @@ object Bench {
       out
     }
 
-    val errs = results
-      .collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    // "sf0.1" → 0.1 so the field costs 3 bytes, not a 25-byte path.
-    val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+    // "sf0.1" → 0.1 so the field costs 3 bytes, not a 25-byte path. The
+    // pattern requires a well-formed number ("sf0." must NOT emit the
+    // invalid JSON `0.`); the path fallback is escaped as a JSON string.
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + jsonEscape(sfDir) + "\"")
 
-    def line(rs: Vector[(String, Double, Option[String])]): String = {
-      val qs = rs.map { case (k, v, _) => "\"" + k + "\":" + fmt2(v) }
+    // total and errors are computed FROM THE SUBSET a line reports, so a
+    // shed fallback line stays self-consistent (headline value == sum of
+    // the listed queries; r8's closed-over total silently included shed
+    // entries).
+    def line(rs: Vector[Timing]): String = {
+      val qs = rs.map(t => "\"" + t.name + "\":" + fmt2(t.median))
         .mkString("{", ",", "}")
+      val errs = rs.collect { case Timing(k, _, Some(e), _) =>
+        "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+      val total = rs.collect { case Timing(_, v, None, _) => v }.sum
       val errField = if (errs == "{}") "" else s""","errors":$errs"""
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errField,"sf":$sf}"""
     }
 
-    // Full precision for every entry (including the converged extras) —
-    // the artifact for humans and for cross-round comparisons.
-    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // Full precision for every entry, plus the raw per-rep spread — the
+    // artifact for humans and for cross-round noise-aware comparisons.
+    val fullQs = results.map(t => "\"" + t.name + "\":" + t.median)
+      .mkString("{", ",", "}")
+    val fullErrs = results.collect { case Timing(k, _, Some(e), _) =>
+      "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val fullTotal = results.collect { case Timing(_, v, None, _) => v }.sum
+    val spread = results.filter(_.reps.nonEmpty)
+      .map(t => "\"" + t.name + "\":" + t.reps.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":$sf,"cpus":$cpus,"sfDir":"$sfDir"}"""
+      s"""{"metric":"total","value":$fullTotal,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"spread":$spread,"sf":$sf,"cpus":$cpus,"sfDir":"${jsonEscape(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
 
     // The guarded final line: if the full inventory overflows the tail
-    // window, shed the bench-only extras first (they stay in
-    // bench_full.json); gate-registered queries are never dropped.
+    // window, shed the converged-mode extras first (their full numbers
+    // stay in bench_full.json); oracle-checked queries are never dropped.
     val compact = line(results)
     val out =
       if (compact.length <= maxLineChars) compact
-      else line(results.filterNot { case (k, _, _) => extras.contains(k) })
+      else line(results.filterNot(_.name.endsWith("_conv")))
     println(full)
     println(out)
     System.out.flush()

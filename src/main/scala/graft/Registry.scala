@@ -613,6 +613,19 @@ object Registry {
     // reason; AnnSpec pins the recall floor).
     rowsOnly("ann_recall_ivf")(AnnOps.annRecallIvf),
 
+    // ---- Converged iterative modes (the documented 100×-scale paths) ----
+    // Iteration count is data-dependent (each round ends in a scalar
+    // convergence action), so like the MLlib fits these are not
+    // oracle-SQL-expressible — rows-only here. Their fixed-iteration
+    // twins above stay the oracle-checked entries; GraphSpec and
+    // PipelineOpsSpec pin converged-vs-fixed agreement at test SF.
+    rowsOnly("pagerank_conv")((s, d) => GraphOps.pagerankConverged(s, d)._2),
+    rowsOnly("components_conv")((s, d) =>
+      GraphOps.connectedComponentsConverged(s, d)._2),
+    rowsOnly("kcore_conv")((s, d) => GraphOps.kcoreConverged(s, d)._2),
+    rowsOnly("clusters_conv")((s, d) =>
+      DedupClusterOps.clustersConverged(s, Tables.documents(s, d))._2),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.streaming._
+
+/** Streaming-tier throughput bench: drives the stateful streaming
+  * components with an in-memory source and reports rows/s per component
+  * as one JSON line (plus `streaming_bench.json`).
+  *
+  * Methodology: rows are generated on the driver (deterministic, seeded
+  * by row index — no clocks, no RNG), pre-loaded into a [[MemoryStream]]
+  * in chunks, and the query drains them to the `noop` sink with
+  * `processAllAvailable`. Timing covers query start → fully drained, so
+  * stream init + state-store writes + watermark bookkeeping are all
+  * inside the measurement — the number a capacity plan actually needs.
+  * Throughput = input rows / elapsed. MemoryStream + noop isolates
+  * OPERATOR cost: no source parsing or sink I/O in the measurement, the
+  * same reason the batch bench writes to noop.
+  *
+  * Components measured (the stateful tier — stateless streaming stages
+  * are the identical codegen'd Column algebra the batch bench already
+  * times): curation (filter→redact→watermark dedup), stateful sessions
+  * (flatMapGroupsWithState), exact dedup (dropDuplicatesWithinWatermark),
+  * windowed aggregation (tumbling window + watermark).
+  */
+object StreamBench {
+
+  private val t0 = 1700000000000L // fixed epoch millis — no wall clock
+
+  /** ~45-token quality-passing document text; every 10th row repeats the
+    * base verbatim (planted duplicates keep the dedup state store honest)
+    * while the rest carry a unique tail token.
+    */
+  private def docText(i: Long): String = {
+    val base = "the quick brown fox is one of the lazy dogs and it runs " +
+      "to the old mill near the wide river bank while the sun is high " +
+      "over the field of ripe wheat and the wind is low in the trees"
+    if (i % 10 == 0) base else s"$base tag$i"
+  }
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  final case class Event(ts: Timestamp, event_type: String, value: Double)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    val spark = GraftSession.build(cpus, "graft-stream-bench")
+    spark.sparkContext.setLogLevel("OFF")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val scratch =
+      s"/tmp/graft-streambench-${ProcessHandle.current().pid()}"
+
+    /** Drain `writer` (already configured with the transformed stream),
+      * timing start → all pre-loaded chunks processed.
+      */
+    def drain[T](name: String, rows: Long, writer: DataStreamWriter[T]): (String, String) = {
+      val query = writer
+        .format("noop")
+        .option("checkpointLocation", s"$scratch/$name")
+        .start()
+      val start = System.nanoTime()
+      try {
+        query.processAllAvailable()
+        val sec = (System.nanoTime() - start) / 1e9
+        val rps = rows / sec
+        (name,
+          f"""{"rows":$rows,"sec":$sec%.2f,"rows_per_sec":${rps.toLong}}""")
+      } finally query.stop()
+    }
+
+    val chunk = 20000
+
+    // 1) Streaming curation: quality filter → PII redact → watermarked
+    // first-seen dedup on the cleaned digest.
+    val curationRows = 100000L
+    val curationIn = MemoryStream[Doc]
+    (0L until curationRows).grouped(chunk).foreach { ids =>
+      curationIn.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+    }
+    val curation = drain("curation", curationRows,
+      StreamingCuration.curate(curationIn.toDF()).writeStream.outputMode("append"))
+
+    // 2) Stateful sessionization (flatMapGroupsWithState): 5000 users,
+    // consecutive events per user arrive > gap apart, so nearly every
+    // event closes a session — worst-case state churn.
+    val sessionRows = 200000L
+    val sessionIn = MemoryStream[SessionEvent]
+    (0L until sessionRows).grouped(chunk).foreach { ids =>
+      sessionIn.addData(ids.map(i =>
+        SessionEvent(i % 5000, new Timestamp(t0 + i * 1000), (i % 100).toDouble)))
+    }
+    val sessions = drain("stateful_sessions", sessionRows,
+      StatefulSessions.sessions(spark, sessionIn.toDS()).writeStream.outputMode("append"))
+
+    // 3) Streaming exact dedup alone (the state-heaviest single stage).
+    val dedupRows = 200000L
+    val dedupIn = MemoryStream[Doc]
+    (0L until dedupRows).grouped(chunk).foreach { ids =>
+      dedupIn.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+    }
+    val dedup = drain("dedup", dedupRows,
+      StreamingDedup.firstSeen(dedupIn.toDF()).writeStream.outputMode("append"))
+
+    // 4) Watermarked tumbling-window aggregation.
+    val aggRows = 500000L
+    val aggIn = MemoryStream[Event]
+    (0L until aggRows).grouped(chunk).foreach { ids =>
+      aggIn.addData(ids.map(i =>
+        Event(new Timestamp(t0 + i * 100), s"type${i % 5}", (i % 100).toDouble)))
+    }
+    val agg = drain("windowed_agg", aggRows,
+      StreamingAggregates.windowedTypeCounts(aggIn.toDF())
+        .writeStream.outputMode("append"))
+
+    val comps = Seq(curation, sessions, dedup, agg)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val out =
+      s"""{"metric":"streaming_throughput","unit":"rows_per_sec","components":$comps,"cpus":$cpus}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("streaming_bench.json"), out + "\n")
+    println(out)
+    System.out.flush()
+    spark.stop()
+  }
+}

@@ -53,22 +53,32 @@ object JoinOps {
         col("o_orderpriority").asc_nulls_first)
 
   /** CUBE aggregate over return-flag × line-status: all four grouping
-    * sets (detail, each single-axis subtotal, grand total) in ONE pass —
-    * Spark expands the grouping sets before the exchange, so the cost is
-    * one scan + one aggregation shuffle regardless of how many sets the
-    * cube spans (vs four separate scans a naive UNION ALL would pay).
+    * sets (detail, each single-axis subtotal, grand total) from ONE scan.
     * `grouping_id` disambiguates subtotal rows from genuine NULL keys and
     * makes (gid, flag, status) a unique deterministic sort key; both
     * engines use first-listed-column-as-MSB bitmask semantics.
+    *
+    * Shape: Spark's native `.cube` runs Expand BEFORE the partial
+    * aggregate, so every input row is materialized ×4 through the hash
+    * aggregate. Here the detail aggregate (count + decimal sum per
+    * (flag, status)) runs FIRST — the full scan flows through a plain
+    * partial agg — and the grouping-sets expand applies to the collapsed
+    * per-pair frame (~|flag|×|status| rows, dozens at any scale). Counts
+    * re-sum and decimal sums re-add exactly, so results are identical to
+    * the direct cube; the ×N expand multiplier now touches a frame whose
+    * size is key-cardinality-bounded, not row-bounded.
     */
   def lineitemCube(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("li"),
+        sum(col("l_extendedprice").cast("decimal(25,10)")).as("tp"))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("line_items"),
-        round(sum(col("l_extendedprice").cast("decimal(25,10)")).cast("double"), 2)
-          .as("total_price"))
+        sum(col("li")).as("line_items"),
+        round(sum(col("tp")).cast("double"), 2).as("total_price"))
       .select(
         col("gid"), col("l_returnflag"), col("l_linestatus"),
         col("line_items"), col("total_price"))

@@ -286,16 +286,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Registered query: 5-gram decontamination of the non-eval corpus
-    * against the same deterministic 10% eval carve `decontamination_stats`
-    * uses (train = the other 90%, so eval self-matches don't drown the
-    * signal; hits are real cross-document overlap — planted near-dups
-    * whose twin fell in the carve).
+  /** Fixed eval-carve size for the registered `decontamination_ngram`
+    * entry: the K documents with the smallest (fingerprint, doc_id).
+    * CORPUS-INDEPENDENT by construction — real eval suites are fixed-size
+    * regardless of how big the training corpus grows, so the registered
+    * plan's broadcast eval-gram set must be bounded too (a %-of-corpus
+    * carve grows the broadcast linearly with N and OOMs executors at
+    * 100×). K documents → the gram set is O(K · tokens-per-doc), constant
+    * at any scale.
+    */
+  val EvalCarveDocs: Int = 64
+
+  /** Registered query: 5-gram decontamination of the corpus against a
+    * deterministic FIXED-SIZE eval carve — the [[EvalCarveDocs]] docs with
+    * the smallest (fingerprint, doc_id), selected via a bounded top-k
+    * (TakeOrderedAndProject, never a global sort). Train = everything
+    * else, so eval self-matches don't drown the signal; hits are real
+    * cross-document overlap (exact/near dups whose twin fell in the
+    * carve). Same plan shape as production use: the eval side collapses
+    * to a broadcast gram set, the corpus side never shuffles.
     */
   def decontaminationNgram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val fp = graft.functions.GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
-    decontaminateNgram(docs.filter(fp % 10 =!= 0), docs.filter(fp % 10 === 0))
+    val evalSet = docs.withColumn("fp", fp)
+      .orderBy(col("fp"), col("doc_id")).limit(EvalCarveDocs)
+    val train = docs.join(
+      broadcast(evalSet.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    decontaminateNgram(train, evalSet.drop("fp"))
   }
 
   val DecontaminationNgramOracleSql: String =
@@ -303,11 +321,13 @@ object TextOps {
        | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
        |  ${SampleOps.FingerprintSql} AS fp
        | FROM documents),
+       |ev_ids AS (SELECT doc_id FROM tok ORDER BY fp, doc_id LIMIT $EvalCarveDocs),
        |ev AS (
        | SELECT DISTINCT unnest([array_to_string(toks[i:i+4], ' ')
        |   for i in range(1, len(toks) - 3)]) AS g
-       | FROM tok WHERE fp % 10 = 0 AND len(toks) >= 5),
-       |tr AS (SELECT doc_id, toks FROM tok WHERE fp % 10 <> 0),
+       | FROM tok WHERE doc_id IN (SELECT doc_id FROM ev_ids) AND len(toks) >= 5),
+       |tr AS (SELECT doc_id, toks FROM tok
+       | WHERE doc_id NOT IN (SELECT doc_id FROM ev_ids)),
        |x AS (
        | SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
        |   for i in range(1, len(toks) - 3)])) AS g

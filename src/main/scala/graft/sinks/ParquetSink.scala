@@ -47,8 +47,12 @@ object ParquetSink {
     * the bench times write + read-back, not just the final aggregate.
     */
   def roundtripAudit(s: SparkSession, dir: String): DataFrame = {
+    // PID-suffixed scratch: a correctness-gate process and a bench process
+    // running concurrently on the same SF must not overwrite each other's
+    // roundtrip mid-read (same-process reps still reuse one path).
     val scratch =
-      s"/tmp/graft-sink-roundtrip/${new java.io.File(dir).getName}/documents"
+      s"/tmp/graft-sink-roundtrip/${new java.io.File(dir).getName}-" +
+        s"${ProcessHandle.current().pid()}/documents"
     writePartitioned(
       Tables.documents(s, dir), scratch,
       partitionBy = Seq("lang"), sortWithin = Seq("doc_id"))

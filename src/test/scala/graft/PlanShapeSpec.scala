@@ -62,6 +62,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // shuffles its small gram set.)
     assert("BroadcastHashJoin \\[g#".r.findFirstIn(plan).isDefined,
       s"gram join not broadcast in:\n$plan")
+    // r9: the registered eval side is a FIXED-SIZE carve ([[TextOps
+    // .EvalCarveDocs]] docs by smallest fingerprint), selected with a
+    // bounded TakeOrderedAndProject — never a global sort, never a
+    // %-of-corpus filter whose broadcast grows with N (the r8
+    // scale-killer). The carve also feeds the train anti-join as a
+    // broadcast build.
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"eval carve is not a bounded top-k in:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"train side not carved via anti-join in:\n$plan")
   }
 
   test("tfidf broadcasts the vocabulary-sized df table") {

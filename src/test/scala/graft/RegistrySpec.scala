@@ -21,11 +21,15 @@ class RegistrySpec extends AnyFunSuite {
 
   test("every registered query has an oracle or a documented omission") {
     val noOracle = Registry.queries.keySet -- Registry.oracleSql.keySet
-    // The sanctioned rows-only set: every member depends on an iterative
-    // MLlib KMeans fit, which is not oracle-SQL-expressible.
+    // The sanctioned rows-only set: the MLlib-KMeans-dependent entries
+    // (iterative fit, not oracle-SQL-expressible) plus the converged
+    // iterative modes (data-dependent round counts; their fixed-iteration
+    // twins are the oracle entries, and converged-vs-fixed agreement is
+    // pinned by GraphSpec/PipelineOpsSpec).
     assert(
       noOracle == Set(
-        "kmeans_sizes", "kmeans_centroids", "ann_ivf_topk", "ann_recall_ivf"),
+        "kmeans_sizes", "kmeans_centroids", "ann_ivf_topk", "ann_recall_ivf",
+        "pagerank_conv", "components_conv", "kcore_conv", "clusters_conv"),
       s"missing oracles: $noOracle")
   }
 
