@@ -124,16 +124,18 @@ object DedupClusterOps {
         .join(GraphOps.roundSide(labels.withColumnRenamed("doc_id", "src"), n), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("cluster").as("nbr"))
+      // Carry the previous label through the truncated frame so the
+      // changed-label check is a filter over cached data, not a
+      // per-round shuffle join of two node-sized frames (the
+      // [[GraphOps.connectedComponentsConverged]] stopping shape).
       val next = GraphOps.truncate(s, labels
         .join(GraphOps.roundSide(nbrMin, n), Seq("doc_id"), "left")
         .select(
           col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster")))
-      converged = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .isEmpty
-      labels = next
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
+          col("cluster").as("prev_cluster")))
+      converged = next.filter(col("cluster") =!= col("prev_cluster")).isEmpty
+      labels = next.select("doc_id", "cluster")
     }
     (iter, labels
       .select(

@@ -223,22 +223,27 @@ object GraphOps {
           expr(s"(85 * score) div (100 * out_degree)").as("contrib"))
         .groupBy("node")
         .agg(sum("contrib").as("contrib"))
-      val next = truncate(s, nodes
+      // Build next FROM the previous score frame (same node set as
+      // `nodes`), carrying the old score along — the convergence delta
+      // then reads the one truncated frame instead of shuffle-joining
+      // two node-sized frames per round.
+      val next = truncate(s, scores
+        .withColumnRenamed("score", "prev_score")
         .join(roundSide(contribs, n), Seq("node"), "left")
         .select(
           col("node"),
-          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score")))
+          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score"),
+          col("prev_score")))
       // decimal(38,0): squared fp deltas can exceed Long range at small n
-      val delta = next.as("n")
-        .join(scores.as("o"), "node")
+      val delta = next
         .select(
           sum(
-            (col("n.score") - col("o.score")).cast("decimal(38,0)") *
-              (col("n.score") - col("o.score")).cast("decimal(38,0)"))
+            (col("score") - col("prev_score")).cast("decimal(38,0)") *
+              (col("score") - col("prev_score")).cast("decimal(38,0)"))
             .as("d2"))
         .head().getDecimal(0)
       converged = delta.compareTo(new java.math.BigDecimal(thresholdFp2)) < 0
-      scores = next
+      scores = next.select("node", "score")
     }
     (iter, scores.select(col("node"), col("score").as("score_fp")).orderBy("node"))
   }
@@ -309,15 +314,16 @@ object GraphOps {
         .join(roundSide(labels.withColumnRenamed("node", "src"), n), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("label").as("nbr_label"))
+      // Carry the previous label through the truncated frame so the
+      // changed-label check is a filter over cached data, not a
+      // per-round shuffle join of two node-sized frames.
       val next = truncate(s, labels
         .join(roundSide(neighborMin, n), Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
-      converged = next.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("prev_label")))
+      converged = next.filter(col("label") =!= col("prev_label")).isEmpty
+      labels = next.select("node", "label")
     }
     (iter, labels.orderBy("node"))
   }
