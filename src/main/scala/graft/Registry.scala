@@ -629,6 +629,9 @@ object Registry {
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.
+    // NOTE: roundtripAudit performs the parquet write EAGERLY when the
+    // DataFrame is constructed (to a PID-suffixed /tmp scratch path) —
+    // plan-only tooling (explain, schema dumps) still pays the write.
     q("sink_roundtrip", sinks.ParquetSink.roundtripOracleSql)(
       sinks.ParquetSink.roundtripAudit)
   )
