@@ -531,6 +531,11 @@ object Registry {
         | octet_length(encode(text)) // 64 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)(MultimodalOps.multimodalMeta),
 
+    // Frame-sample digests through the real binary path (blob substr +
+    // md5); the oracle re-derives them from the ASCII text column.
+    q("multimodal_frames", MultimodalOps.MultimodalFramesOracleSql)(
+      MultimodalOps.multimodalFrames),
+
     // Salted two-phase aggregation: the oracle is the PLAIN aggregate —
     // the salt must be semantically invisible.
     q("salted_user_stats",

@@ -98,4 +98,38 @@ object MultimodalOps {
         col("meta.height").cast("long").as("height"),
         col("meta.n_frames").cast("long").as("n_frames"))
       .orderBy("doc_id")
+
+  /** Registered query: every sampled frame's digest through the REAL
+    * binary path ([[withPayload]] → [[sampleFrames]]: binary `substr`
+    * + `md5` over the payload blob). The oracle reproduces the digests
+    * from the text column — byte-slicing == char-slicing because the
+    * synthetic corpus is pure ASCII (the gate would hash-mismatch the
+    * moment that assumption broke, which is the point of the audit).
+    */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(withPayload(Tables.documents(s, dir)))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** DuckDB oracle for [[multimodalFrames]]: same frame grid (inclusive
+    * `sequence(0, (len-1) div 64)`), `md5` over the text slice (ASCII ⇒
+    * identical bytes to the Spark side's binary slice). DuckDB `range`
+    * only accepts CONSTANT bounds (no lateral or subquery parameters),
+    * so the grid is a fixed 64-frame (4 KiB) ceiling filtered per row —
+    * far above the synthetic corpus's ~10-frame max, and a doc ever
+    * exceeding it would surface as a gate hash mismatch, not silence;
+    * `//` truncates like Spark `div`.
+    */
+  val MultimodalFramesOracleSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id, i AS frame_idx,
+       |  md5(substring(text, CAST(i * $FrameBytes + 1 AS BIGINT), $FrameBytes)) AS frame_hash
+       | FROM documents, range(0, 64) t(i)
+       | WHERE i <= (octet_length(encode(text)) - 1) // $FrameBytes)
+       |SELECT doc_id, frame_idx, frame_hash FROM f
+       |WHERE frame_idx % 4 = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
 }
