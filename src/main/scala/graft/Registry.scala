@@ -536,6 +536,10 @@ object Registry {
     q("multimodal_frames", MultimodalOps.MultimodalFramesOracleSql)(
       MultimodalOps.multimodalFrames),
 
+    // The mapPartitions decode-stub path, oracle-gated end to end.
+    q("multimodal_features", MultimodalOps.MultimodalFeaturesOracleSql)(
+      MultimodalOps.multimodalFeatures),
+
     // Salted two-phase aggregation: the oracle is the PLAIN aggregate —
     // the salt must be semantically invisible.
     q("salted_user_stats",

@@ -132,4 +132,37 @@ object MultimodalOps {
        |SELECT doc_id, frame_idx, frame_hash FROM f
        |WHERE frame_idx % 4 = 0
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Registered query: the [[extractFeatures]] decode-stub path itself —
+    * the one `mapPartitions` in the library — so the stub's PLUMBING
+    * (typed Dataset round-trip, per-partition iterator, schema) is
+    * oracle-gated, not just scalatested. Output is the deterministic
+    * byte statistics the stub computes.
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(s, withPayload(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("doc_id"), col("byte_len"), col("head_hash"), col("bytes_mean_milli"))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle for [[multimodalFeatures]]: re-derives the stub's
+    * byte stats from the ASCII text column — `unicode()` of a 1-char
+    * slice == the byte value, summed over a constant-bound char grid
+    * (same 1024-byte ceiling rationale as the frame oracle); head
+    * digest is `md5` of the first $FrameBytes chars; `//` truncates
+    * toward zero exactly like the stub's Long division.
+    */
+  val MultimodalFeaturesOracleSql: String =
+    s"""WITH b AS (
+       | SELECT doc_id,
+       |  sum(unicode(substring(text, CAST(j + 1 AS BIGINT), 1))) AS bsum
+       | FROM documents, range(0, 1024) t(j)
+       | WHERE j < octet_length(encode(text))
+       | GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+       | md5(substring(d.text, 1, $FrameBytes)) AS head_hash,
+       | CAST(b.bsum * 1000 // octet_length(encode(d.text)) AS BIGINT) AS bytes_mean_milli
+       |FROM documents d JOIN b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }
