@@ -371,6 +371,13 @@ object Registry {
     // the corpus. Oracle-gated end to end (both sides SQL-expressible).
     q("ann_recall_lsh", AnnOps.annRecallLshOracleSql())(AnnOps.annRecallLsh),
 
+    // Product-quantization ADC search — the compressed-store scale path
+    // (8-byte codes vs 256-byte vectors). All fixed-point integers, so
+    // unlike the MLlib-backed IVF twin this path is oracle-gated end to
+    // end, as is its recall@k audit against the exact baseline.
+    q("ann_pq_topk", PqOps.pqOracleSql())((s, d) => PqOps.annPqTopK(s, d)),
+    q("ann_recall_pq", PqOps.annRecallPqOracleSql())(PqOps.annRecallPq),
+
     // Exact inverted-index n-gram Jaccard: same output contract as
     // dedup_minhash (and the same oracle), but with no probabilistic stage.
     q("dedup_ngram",

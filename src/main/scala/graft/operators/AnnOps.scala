@@ -76,7 +76,7 @@ object AnnOps {
   /** Bounded per-query ranking of a scored (q_id, c_id, cosine_r6) frame:
     * the shared tail of all three ANN paths.
     */
-  private def rankTopK(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     scored
       .as[(Long, Long, Double)]
@@ -138,7 +138,7 @@ object AnnOps {
     * score lists). Both inputs are tiny (nQueries × k rows), so the join
     * is a broadcast regardless of corpus size.
     */
-  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
+  private[operators] def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("q_id"), col("c_id"))
       .join(
         approx.select(col("q_id").as("aq"), col("c_id").as("ac")),

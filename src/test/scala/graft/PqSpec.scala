@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnOps, PqOps}
+
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private lazy val codes = PqOps.pqEncode(spark, sf).collect()
+  private lazy val pq = PqOps.annPqTopK(spark, sf).collect()
+
+  test("every vector gets SubSpaces codes, each within the codebook range") {
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == PqOps.SubSpaces, s"vec ${r.getLong(0)}")
+      cs.foreach(c => assert(c >= 0 && c < PqOps.CodebookK, s"vec ${r.getLong(0)} code $c"))
+    }
+  }
+
+  test("codebook exemplars encode to their own entry in every sub-space") {
+    // Exemplar j's sub-vector distance to entry j is exactly 0, and the
+    // fixed-point argmin tie-breaks to the lowest index — so a drifting
+    // quantizer or off-by-one in the sub-space slicing shows up here.
+    codes.filter(_.getLong(0) < PqOps.CodebookK).foreach { r =>
+      val j = r.getLong(0).toInt
+      assert(r.getSeq[Int](1).forall(_ == j), s"exemplar $j: ${r.getSeq[Int](1)}")
+    }
+  }
+
+  test("ADC distances are nonnegative, ranks dense, results bounded per query") {
+    val byQ = pq.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 10, s"q=$q")
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq, s"q=$q ranks")
+      assert(rows.forall(_.getLong(3) >= 0L), s"q=$q negative adist")
+      // ascending distance in rank order, id tie-breaks
+      val inRank = rows.sortBy(_.getLong(2)).map(_.getLong(3)).toSeq
+      assert(inRank == inRank.sorted, s"q=$q not distance-ordered")
+    }
+  }
+
+  test("PQ recall@10 vs the exact baseline clears the untrained-codebook floor") {
+    val rec = PqOps.annRecallPq(spark, sf).collect()
+    assert(rec.length == PqOps.DefaultQueries)
+    val meanMilli = rec.map(_.getLong(3)).sum / rec.length
+    // Exemplar (untrained) codebooks on this corpus measure ~340 milli
+    // mean recall@10; the floor guards against a silent collapse (e.g. a
+    // broken code/table index alignment scores ~uniform-random ≈ 20).
+    assert(meanMilli >= 150, s"mean recall_milli=$meanMilli")
+    rec.foreach(r => assert(r.getLong(1) == 10L, "audit must compare full top-10 lists"))
+  }
+
+  test("encode and search are deterministic across runs") {
+    val again = PqOps.annPqTopK(spark, sf).collect()
+    assert(pq.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("ADC equals a local replay of table lookups from the encoded corpus") {
+    // Rebuild the distance tables locally from the quantized exemplars and
+    // replay adist for every returned pair — pins the element_at index
+    // arithmetic (1-based array, 0-based code) the SQL expressions use.
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1048576.0).toLong))
+      .toMap
+    val codeMap = codes.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def subDist(a: Seq[Long], b: Seq[Long], m: Int): Long =
+      (0 until PqOps.SubDim).map { d =>
+        val diff = a(m * PqOps.SubDim + d) - b(m * PqOps.SubDim + d); diff * diff
+      }.sum
+    pq.foreach { r =>
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      val expected = (0 until PqOps.SubSpaces).map { m =>
+        subDist(emb(q), emb(codeMap(c)(m).toLong), m)
+      }.sum
+      assert(r.getLong(3) == expected, s"pair ($q,$c)")
+    }
+  }
+}
