@@ -469,6 +469,11 @@ object Registry {
     // groups — same shuffle contract as dedup_exact.
     q("dedup_normalized", TextOps.DedupNormalizedOracleSql)(TextOps.dedupNormalized),
 
+    // Batch-vs-corpus incremental dedup: the ingest-time shape (anti-join
+    // a new batch against the corpus's distinct-hash index; never re-pair
+    // the corpus with itself).
+    q("dedup_incremental", TextOps.DedupIncrementalOracleSql)(TextOps.dedupIncremental),
+
     // Integer-exact TF-IDF keyword extraction: vocabulary-sized df table
     // broadcast onto term rows, per-doc bounded ranking window.
     q("tfidf_top_terms", TfIdfOps.oracleSql())(

@@ -363,6 +363,60 @@ object TextOps {
       |SELECT norm_hash, count(*) AS copies, min(doc_id) AS survivor_id
       |FROM n GROUP BY norm_hash ORDER BY norm_hash""".stripMargin
 
+  /** Incremental (batch-vs-snapshot) dedup — the shape every growing
+    * training corpus actually runs: a NEW ingest batch is deduped against
+    * the EXISTING corpus's fingerprint index without ever re-pairing the
+    * corpus with itself. The registered entry carves the `documents`
+    * table deterministically (doc_id mod 10: 0-7 = existing corpus,
+    * 8-9 = incoming batch) and reports, per language: batch size, rows
+    * rejected because their normalized hash already exists in the corpus,
+    * rows rejected as later copies within the batch itself, and rows
+    * admitted.
+    *
+    * Scale shape: the corpus side collapses to DISTINCT hashes before the
+    * join — a narrow 32-byte column, the persisted "fingerprint index" of
+    * a production pipeline (at 100 TB it lives hash-bucketed on disk, so
+    * only the new batch shuffles; rewriting it is an append). The batch
+    * side pre-aggregates per (hash, lang) — map-side combine — so the
+    * anti/semi probe and both exchanges carry hash-level rows, never
+    * document bodies. Work per ingest is O(batch + matched index
+    * partitions), independent of total corpus size.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      sha2(normalizeText(col("text")), 256).as("h"))
+    val corpusHashes = docs.filter(col("doc_id") % 10 < 8).select("h").distinct()
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+      .groupBy("h", "lang").agg(count(lit(1)).as("cnt"))
+    batch
+      .join(corpusHashes.withColumn("in_corpus", lit(1)), Seq("h"), "left")
+      .groupBy("lang")
+      .agg(
+        sum("cnt").as("batch_docs"),
+        sum(when(col("in_corpus").isNotNull, col("cnt")).otherwise(0L)).as("corpus_dups"),
+        sum(when(col("in_corpus").isNull, col("cnt") - 1).otherwise(0L)).as("batch_dups"),
+        sum(when(col("in_corpus").isNull, 1L).otherwise(0L)).as("admitted"))
+      .orderBy("lang")
+  }
+
+  val DedupIncrementalOracleSql: String =
+    """WITH n AS (
+      | SELECT doc_id, lang,
+      |  sha256(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+      |   '\s+', ' ', 'g'))) AS h
+      | FROM documents),
+      |corpus AS (SELECT DISTINCT h FROM n WHERE doc_id % 10 < 8),
+      |b AS (SELECT h, lang, count(*) AS cnt FROM n WHERE doc_id % 10 >= 8 GROUP BY 1, 2),
+      |f AS (SELECT b.*, (c.h IS NOT NULL) AS in_corpus
+      | FROM b LEFT JOIN corpus c ON b.h = c.h)
+      |SELECT lang,
+      | CAST(sum(cnt) AS BIGINT) AS batch_docs,
+      | CAST(sum(CASE WHEN in_corpus THEN cnt ELSE 0 END) AS BIGINT) AS corpus_dups,
+      | CAST(sum(CASE WHEN in_corpus THEN 0 ELSE cnt - 1 END) AS BIGINT) AS batch_dups,
+      | CAST(sum(CASE WHEN in_corpus THEN 0 ELSE 1 END) AS BIGINT) AS admitted
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Per-document token/quality statistics, all integral:
     * token count, non-whitespace chars, punctuation count, stopword count,
     * mean token length and stopword ratio in fixed-point milli units.

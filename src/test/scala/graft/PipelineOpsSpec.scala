@@ -158,4 +158,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     val chars = docs.agg(sum("n_chars")).head().getLong(0)
     assert(plan.map(_.getLong(2)).sum == chars)
   }
+
+  test("incremental dedup: statuses partition the batch; admitted = new hashes") {
+    val rows = TextOps.dedupIncremental(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Every batch row lands in exactly one bucket.
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"lang ${r.getString(0)}")
+    }
+    // Totals agree with the carve itself.
+    assert(rows.map(_.getLong(1)).sum == docs.filter(col("doc_id") % 10 >= 8).count())
+    // Independent re-derivation of 'admitted': distinct batch hashes that
+    // are absent from the corpus's distinct-hash index.
+    val hashed = docs.select(col("doc_id"),
+      sha2(TextOps.normalizeText(col("text")), 256).as("h"))
+    val fresh = hashed.filter(col("doc_id") % 10 >= 8).select("h").distinct()
+      .except(hashed.filter(col("doc_id") % 10 < 8).select("h").distinct())
+      .count()
+    assert(rows.map(_.getLong(4)).sum == fresh)
+  }
 }
