@@ -97,4 +97,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executedPlan(graft.operators.StatsOps.outlierEvents(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$plan")
   }
+
+  test("PQ encode is a zero-shuffle map over the corpus (codebook broadcast)") {
+    val plan = executedPlan(graft.operators.PqOps.pqEncode(spark, sf))
+    // The single-row codebook arrives via a broadcast nested-loop join;
+    // encoding itself must introduce no exchange at all.
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"codebook not broadcast in:\n$plan")
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges.isEmpty, s"unexpected exchanges $exchanges in:\n$plan")
+  }
+
+  test("PQ search broadcasts queries+tables; only the bounded top-k shuffles") {
+    val plan = executedPlan(graft.operators.PqOps.annPqTopK(spark, sf))
+    // Scoring streams the coded corpus against broadcast query tables —
+    // the only hash exchange is the nQueries-keyed partial-agg top-k
+    // (objectHashAggregate over q_id), never a corpus-wide repartition.
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query tables not broadcast in:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashExchanges.forall(_.startsWith("value")) || hashExchanges.forall(_.startsWith("q_id")),
+      s"unexpected hash exchanges on $hashExchanges in:\n$plan")
+  }
 }
