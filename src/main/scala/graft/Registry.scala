@@ -590,6 +590,12 @@ object Registry {
     // prunes (narrow min/max on BOTH columns per file).
     q("zorder_plan", LayoutOps.oracleSql())((s, d) => LayoutOps.zorderPlan(s, d)),
 
+    // LLM-pretraining sequence packing: hierarchical token prefix sum
+    // cuts the concatenated doc stream into fixed-length sequences; the
+    // oracle is the flat serial window (independent algorithm).
+    q("pack_sequences", LayoutOps.packSequencesOracleSql())(
+      (s, d) => LayoutOps.packSequences(s, d)),
+
     // Bloom pre-filter decontamination audit: broadcast bit-set probe,
     // exact verify only on bloom-positives; demo-small m so the
     // false-positive column is non-trivially exercised.

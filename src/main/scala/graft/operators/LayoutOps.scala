@@ -89,4 +89,76 @@ object LayoutOps {
        | min(y) AS y_min, max(y) AS y_max
        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
   }
+
+  /** Default context length for [[packSequences]] (tokens per training
+    * sequence) and the carry-bucket width (docs per prefix-sum bucket).
+    */
+  val DefaultSeqLen = 2048L
+  val DefaultPackBucket = 64L
+
+  /** Sequence-packing plan: concatenate documents in a deterministic
+    * global order (doc_id) and cut the token stream every `seqLen`
+    * tokens — the standard LLM-pretraining packing step. Emits, per
+    * document, the training sequence its first token lands in, its
+    * offset inside that sequence, and whether it straddles a sequence
+    * boundary (the rows a masking-aware loader needs).
+    *
+    * Scale shape: the global token prefix sum runs HIERARCHICALLY, the
+    * same pattern as [[WindowOps.peakConcurrency]] — per-bucket token
+    * sums (map-side combined) feed a carry-in window over N/bucket
+    * narrow rows, and the per-document running sum is windowed WITHIN
+    * each bucket, so no task ever sees the whole corpus ordered. Sizing
+    * bucket ~ √N balances the two levels (and a third level slots in the
+    * same way if N/bucket is still hot); the flat single-window oracle
+    * is the independent serial algorithm. All integer arithmetic.
+    */
+  def packSequences(
+      s: SparkSession,
+      dir: String,
+      seqLen: Long = DefaultSeqLen,
+      bucket: Long = DefaultPackBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .withColumn("b", expr(s"doc_id div $bucket"))
+    val carry = t.groupBy("b").agg(sum("n_tokens").as("bsum"))
+      .withColumn("carry_in",
+        coalesce(
+          sum("bsum").over(Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("b", "carry_in")
+    t.join(broadcast(carry), Seq("b"))
+      .withColumn("off",
+        col("carry_in") + coalesce(
+          sum("n_tokens").over(Window.partitionBy("b").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr(s"off div $seqLen").as("seq_id"),
+        expr(s"off % $seqLen").as("seq_offset"),
+        expr(s"cast((off div $seqLen) <> ((off + greatest(n_tokens, 1) - 1) div $seqLen) as bigint)")
+          .as("straddles"))
+      .orderBy("doc_id")
+  }
+
+  /** Flat single-window serial packing — an independent algorithm. */
+  def packSequencesOracleSql(seqLen: Long = DefaultSeqLen): String =
+    s"""WITH t AS (
+       | SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |r AS (
+       | SELECT doc_id, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       | FROM t)
+       |SELECT doc_id, n_tokens,
+       | CAST(off // $seqLen AS BIGINT) AS seq_id,
+       | CAST(off % $seqLen AS BIGINT) AS seq_offset,
+       | CAST((off // $seqLen) <> ((off + greatest(n_tokens, 1) - 1) // $seqLen) AS BIGINT) AS straddles
+       |FROM r ORDER BY doc_id""".stripMargin
 }

@@ -127,4 +127,25 @@ class ScalePatternSpec extends AnyFunSuite {
       assert(r.getLong(1) >= r.getLong(2))
     }
   }
+
+  test("sequence packing equals a serial replay and is bucket-size invariant") {
+    val rows = LayoutOps.packSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Serial driver-side replay of the token prefix sum — the hierarchical
+    // two-level sum must be indistinguishable from concatenating in doc_id
+    // order.
+    var off = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(2) == off / LayoutOps.DefaultSeqLen, s"doc ${r.getLong(0)} seq_id")
+      assert(r.getLong(3) == off % LayoutOps.DefaultSeqLen, s"doc ${r.getLong(0)} offset")
+      val straddles =
+        off / LayoutOps.DefaultSeqLen != (off + math.max(n, 1) - 1) / LayoutOps.DefaultSeqLen
+      assert(r.getLong(4) == (if (straddles) 1L else 0L), s"doc ${r.getLong(0)} straddle")
+      off += n
+    }
+    // The carry-bucket width is a pure parallelism knob, not a semantic one.
+    val other = LayoutOps.packSequences(spark, sf, bucket = 17L).collect()
+    assert(rows.map(_.toString).toSeq == other.map(_.toString).toSeq)
+  }
 }
