@@ -576,6 +576,11 @@ object Registry {
     // the independent row_number window formulation.
     q("latest_event_per_user", TopKOps.LatestOracleSql)(TopKOps.latestEventPerUser),
 
+    // CDC upsert: fold an update batch into a keyed snapshot, latest-wins
+    // with out-of-order updates classified (insert/update/stale/carry) —
+    // both sides reduced to one row per key before the single outer join.
+    q("cdc_merge", TopKOps.CdcMergeOracleSql)(TopKOps.cdcMerge),
+
     // Key-skew profile: the pre-flight diagnostic for choosing a skew
     // mitigation (top-k heaviest keys, share, ratio to mean).
     q("skew_profile", SkewOps.skewProfileOracleSql())(

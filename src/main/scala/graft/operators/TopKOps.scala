@@ -102,4 +102,82 @@ object TopKOps {
       | FROM events)
       |SELECT user_id, ts_us, event_id, event_type, value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** CDC merge (upsert): fold an update batch into a keyed snapshot with
+    * latest-wins conflict resolution — the lakehouse MERGE shape. The
+    * registered entry carves `events` deterministically (event_id mod 10:
+    * 0-7 = the standing snapshot's source rows, 8-9 = the incoming
+    * batch), reduces EACH side to its latest row per user, then resolves
+    * per key: `insert` (key new in the batch), `update` (batch row is
+    * newer), `stale_update` (batch row is older than the snapshot — the
+    * out-of-order delivery a naive overwrite corrupts), `carry` (no batch
+    * row; snapshot state flows through).
+    *
+    * Scale shape: both sides collapse via the same bounded max(struct)
+    * partial aggregation as [[latestEventPerUser]] — the shuffle carries
+    * one row per key per side, never the event log — and the resolve is
+    * ONE full-outer join on the key. A production snapshot is bucketed by
+    * key on disk, so its side joins exchange-free and the merge cost is
+    * O(batch keys + touched buckets), independent of snapshot size.
+    * Ordering compares (ts_us, event_id) — the struct's leading fields,
+    * unique per event — so the payload never decides a winner.
+    */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    def latest(df: DataFrame) = df.groupBy("user_id")
+      .agg(max(struct(
+        col("ts_us"), col("event_id"), col("event_type"), col("value"))).as("m"))
+    val ev = Tables.events(s, dir)
+    val snap = latest(ev.filter(col("event_id") % 10 < 8)).withColumnRenamed("m", "sm")
+    val upd = latest(ev.filter(col("event_id") % 10 >= 8)).withColumnRenamed("m", "um")
+    val updWins = col("sm").isNull || (col("um").isNotNull && col("um") > col("sm"))
+    val merged = when(updWins, col("um")).otherwise(col("sm"))
+    snap.join(upd, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        when(col("sm").isNull, lit("insert"))
+          .when(col("um").isNull, lit("carry"))
+          .when(col("um") > col("sm"), lit("update"))
+          .otherwise(lit("stale_update")).as("op"),
+        merged.getField("ts_us").as("ts_us"),
+        merged.getField("event_id").as("event_id"),
+        merged.getField("event_type").as("event_type"),
+        merged.getField("value").as("value"))
+      .orderBy("user_id")
+  }
+
+  val CdcMergeOracleSql: String =
+    """WITH e AS (
+      | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+      | FROM events),
+      |snap AS (
+      | SELECT user_id, ts_us, event_id, event_type, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |   ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM e WHERE event_id % 10 < 8) WHERE rn = 1),
+      |upd AS (
+      | SELECT user_id, ts_us, event_id, event_type, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |   ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM e WHERE event_id % 10 >= 8) WHERE rn = 1),
+      |m AS (
+      | SELECT coalesce(s.user_id, u.user_id) AS user_id,
+      |  CASE WHEN s.user_id IS NULL THEN 'insert'
+      |   WHEN u.user_id IS NULL THEN 'carry'
+      |   WHEN (u.ts_us, u.event_id) > (s.ts_us, s.event_id) THEN 'update'
+      |   ELSE 'stale_update' END AS op,
+      |  CASE WHEN s.user_id IS NULL
+      |    OR (u.user_id IS NOT NULL AND (u.ts_us, u.event_id) > (s.ts_us, s.event_id))
+      |   THEN u.ts_us ELSE s.ts_us END AS ts_us,
+      |  CASE WHEN s.user_id IS NULL
+      |    OR (u.user_id IS NOT NULL AND (u.ts_us, u.event_id) > (s.ts_us, s.event_id))
+      |   THEN u.event_id ELSE s.event_id END AS event_id,
+      |  CASE WHEN s.user_id IS NULL
+      |    OR (u.user_id IS NOT NULL AND (u.ts_us, u.event_id) > (s.ts_us, s.event_id))
+      |   THEN u.event_type ELSE s.event_type END AS event_type,
+      |  CASE WHEN s.user_id IS NULL
+      |    OR (u.user_id IS NOT NULL AND (u.ts_us, u.event_id) > (s.ts_us, s.event_id))
+      |   THEN u.value ELSE s.value END AS value
+      | FROM snap s FULL OUTER JOIN upd u ON s.user_id = u.user_id)
+      |SELECT user_id, op, ts_us, event_id, event_type, value
+      |FROM m ORDER BY user_id""".stripMargin
 }

@@ -106,4 +106,35 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .toSeq.sortBy { case (b, c) => (-c, b) }.take(20)
     assert(out.toSeq == naive)
   }
+
+  test("cdc merge resolves to the global latest state with consistent ops") {
+    import graft.operators.TopKOps
+    val merged = TopKOps.cdcMerge(spark, sf).collect()
+    // Latest-wins over (snapshot ∪ batch) must equal latest over the whole
+    // log — latestEventPerUser is the independent oracle for the payload.
+    val latest = TopKOps.latestEventPerUser(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged.length == latest.size)
+    merged.foreach { r =>
+      assert(latest(r.getLong(0)) == (r.getLong(2), r.getLong(3)), s"user ${r.getLong(0)}")
+    }
+    // Op classification agrees with which carve each user appears in.
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val inSnap = ev.filter(_._2 % 10 < 8).map(_._1).toSet
+    val inUpd = ev.filter(_._2 % 10 >= 8).map(_._1).toSet
+    merged.foreach { r =>
+      val (u, op) = (r.getLong(0), r.getString(1))
+      assert(Set("insert", "update", "stale_update", "carry")(op), op)
+      if (op == "insert") assert(!inSnap(u) && inUpd(u), s"user $u")
+      if (op == "carry") assert(inSnap(u) && !inUpd(u), s"user $u")
+      if (op == "update" || op == "stale_update") assert(inSnap(u) && inUpd(u), s"user $u")
+      // An update wins exactly when the global latest row is a batch row.
+      if (inSnap(u) && inUpd(u)) {
+        val latestIsBatch = latest(u)._2 % 10 >= 8
+        assert((op == "update") == latestIsBatch, s"user $u op $op")
+      }
+    }
+  }
 }
