@@ -119,7 +119,21 @@ object StreamBench {
       StreamingAggregates.windowedTypeCounts(aggIn.toDF())
         .writeStream.outputMode("append"))
 
-    val comps = Seq(curation, sessions, dedup, agg)
+    // 5) Streaming CDC upsert changelog (mapGroups latest-state store):
+    // 5000 keys, every batch touches every key, 1-in-3 rows out of order.
+    val upsertRows = 200000L
+    val upsertIn = MemoryStream[UpsertEvent]
+    (0L until upsertRows).grouped(chunk).foreach { ids =>
+      upsertIn.addData(ids.map { i =>
+        val shuffled = if (i % 3 == 0) i / 2 else i // out-of-order arrivals
+        UpsertEvent(i % 5000, new Timestamp(t0 + shuffled * 100), i,
+          s"type${i % 5}", (i % 100).toDouble)
+      })
+    }
+    val upsert = drain("cdc_upsert", upsertRows,
+      StreamingUpsert.changelog(spark, upsertIn.toDS()).writeStream.outputMode("append"))
+
+    val comps = Seq(curation, sessions, dedup, agg, upsert)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"streaming_throughput","unit":"rows_per_sec","components":$comps,"cpus":$cpus}"""
