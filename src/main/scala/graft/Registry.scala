@@ -461,6 +461,12 @@ object Registry {
     q("decontamination_ngram", TextOps.DecontaminationNgramOracleSql)(
       (s, d) => TextOps.decontaminationNgram(s, d)),
 
+    // Multi-suite decontamination: 3 disjoint eval carves screened in ONE
+    // corpus pass — per-suite shared-gram columns off one tagged
+    // broadcast gram set (K corpus scans collapse to 1).
+    q("decontamination_multi", TextOps.decontaminationNgramMultiOracleSql())(
+      (s, d) => TextOps.decontaminationNgramMulti(s, d)),
+
     // PII scrub audit: typed counts + redacted digest per document over a
     // deterministic planted-PII corpus (ordered RE2-safe replacements).
     q("pii_redact", PiiOps.OracleSql)(PiiOps.piiRedact),

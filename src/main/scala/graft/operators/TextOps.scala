@@ -316,6 +316,100 @@ object TextOps {
     decontaminateNgram(train, evalSet.drop("fp"))
   }
 
+  /** Multi-suite n-gram decontamination: screen the corpus against K
+    * eval suites in ONE pass — the production shape (a pipeline checks
+    * dozens of benchmarks before a training run, and K separate
+    * decontamination scans of a 100 TB corpus would cost K corpus
+    * reads). Per-suite distinct gram sets are tagged with their suite id
+    * and travel as ONE broadcast; the corpus explodes its grams once,
+    * the matched rows aggregate per (doc, suite) into static per-suite
+    * columns. Broadcast size is O(Σ suite grams) — suites are fixed-size
+    * — and the corpus side still never shuffles.
+    *
+    * The registered entry carves 3 disjoint [[EvalCarveDocs]]-doc suites
+    * from the (fingerprint, doc_id) rank order — same corpus-independent
+    * bound as `decontamination_ngram`; the rank window runs over the
+    * 192-row carve, never the corpus.
+    */
+  def decontaminationNgramMulti(
+      s: SparkSession,
+      dir: String,
+      nSuites: Int = 3,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val fp = graft.functions.GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
+    val carve = docs.withColumn("fp", fp)
+      .orderBy(col("fp"), col("doc_id")).limit(nSuites * EvalCarveDocs)
+      .withColumn("rn", row_number().over(Window.orderBy(col("fp"), col("doc_id"))))
+      .withColumn("suite_id", expr(s"cast((rn - 1) div $EvalCarveDocs as int)"))
+    val train = docs.join(
+      broadcast(carve.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    val suiteGrams = carve
+      .select(col("suite_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("suite_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
+        .as("g"))
+      .distinct()
+    val trainGrams = train
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
+        .as("g"))
+    val aggCols = (0 until nSuites).map(k =>
+      sum(when(col("suite_id") === k, 1L).otherwise(0L)).as(s"shared_s$k"))
+    val matched = trainGrams
+      .join(broadcast(suiteGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val sharedCols = (0 until nSuites).map(k =>
+      coalesce(col(s"shared_s$k"), lit(0L)).as(s"shared_s$k"))
+    val anyShared = (0 until nSuites)
+      .map(k => coalesce(col(s"shared_s$k"), lit(0L)))
+      .reduce(_ + _)
+    train.select("doc_id")
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id") +: sharedCols :+
+        (anyShared > 0).cast("long").as("contaminated_any"): _*)
+      .orderBy("doc_id")
+  }
+
+  def decontaminationNgramMultiOracleSql(nSuites: Int = 3): String = {
+    val shared = (0 until nSuites).map(k =>
+      s"CAST(coalesce(max(CASE WHEN suite_id = $k THEN c END), 0) AS BIGINT) AS shared_s$k")
+      .mkString(",\n | ")
+    val anySum = (0 until nSuites).map(k =>
+      s"coalesce(max(CASE WHEN suite_id = $k THEN c END), 0)").mkString(" + ")
+    s"""WITH tok AS (
+       | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+       |  ${SampleOps.FingerprintSql} AS fp
+       | FROM documents),
+       |ev AS (
+       | SELECT doc_id, toks, row_number() OVER (ORDER BY fp, doc_id) AS rn
+       | FROM tok ORDER BY fp, doc_id LIMIT ${nSuites * EvalCarveDocs}),
+       |evs AS (SELECT CAST((rn - 1) // $EvalCarveDocs AS INT) AS suite_id, doc_id, toks FROM ev),
+       |eg AS (
+       | SELECT DISTINCT suite_id, unnest([array_to_string(toks[i:i+4], ' ')
+       |   for i in range(1, len(toks) - 3)]) AS g
+       | FROM evs WHERE len(toks) >= 5),
+       |tr AS (SELECT doc_id, toks FROM tok
+       | WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+       |x AS (
+       | SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+       |   for i in range(1, len(toks) - 3)])) AS g
+       | FROM tr WHERE len(toks) >= 5),
+       |m AS (
+       | SELECT doc_id, suite_id, count(*) AS c FROM x JOIN eg USING (g)
+       | GROUP BY doc_id, suite_id)
+       |SELECT tr.doc_id,
+       | $shared,
+       | CAST(($anySum) > 0 AS BIGINT) AS contaminated_any
+       |FROM tr LEFT JOIN m ON tr.doc_id = m.doc_id
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+  }
+
   val DecontaminationNgramOracleSql: String =
     s"""WITH tok AS (
        | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,

@@ -107,6 +107,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == naive)
   }
 
+  test("multi-suite decontamination equals K independent single-suite passes") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val multi = TextOps.decontaminationNgramMulti(spark, sf).collect()
+    assert(multi.nonEmpty)
+    // Rebuild the registered carve and run the single-suite operator per
+    // suite — the one-pass tagged-broadcast fold must be indistinguishable.
+    val docs = Tables.documents(spark, sf)
+    val fp = graft.functions.GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
+    val carve = docs.withColumn("fp", fp)
+      .orderBy(col("fp"), col("doc_id")).limit(3 * TextOps.EvalCarveDocs)
+      .withColumn("rn", row_number().over(Window.orderBy(col("fp"), col("doc_id"))))
+      .withColumn("suite_id", expr(s"cast((rn - 1) div ${TextOps.EvalCarveDocs} as int)"))
+    val train = docs.join(broadcast(carve.select("doc_id")), Seq("doc_id"), "left_anti")
+    (0 until 3).foreach { k =>
+      val single = TextOps.decontaminateNgram(
+        train, carve.filter(col("suite_id") === k).drop("fp", "rn", "suite_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      multi.foreach { r =>
+        assert(r.getLong(1 + k) == single(r.getLong(0)),
+          s"doc ${r.getLong(0)} suite $k")
+      }
+    }
+    multi.foreach { r =>
+      val any = (1 to 3).map(r.getLong).sum > 0
+      assert(r.getLong(4) == (if (any) 1L else 0L), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("cdc merge resolves to the global latest state with consistent ops") {
     import graft.operators.TopKOps
     val merged = TopKOps.cdcMerge(spark, sf).collect()
