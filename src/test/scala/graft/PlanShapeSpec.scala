@@ -98,6 +98,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"stats not broadcast in:\n$plan")
   }
 
+  test("multi-suite decontamination broadcasts the tagged gram set in one pass") {
+    val plan = executedPlan(TextOps.decontaminationNgramMulti(spark, sf))
+    // One broadcast build of the (suite_id, gram) set; the corpus-side
+    // exploded grams stream through map-side — no exchange keyed on the
+    // gram column, and only ONE scan pass over the train side's grams
+    // (K suites must not multiply corpus work).
+    assert("BroadcastHashJoin \\[g#".r.findFirstIn(plan).isDefined,
+      s"gram join not broadcast in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(g#"),
+      s"corpus grams shuffled on the gram key in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"train side not carved in:\n$plan")
+  }
+
   test("PQ encode is a zero-shuffle map over the corpus (codebook broadcast)") {
     val plan = executedPlan(graft.operators.PqOps.pqEncode(spark, sf))
     // The single-row codebook arrives via a broadcast nested-loop join;
