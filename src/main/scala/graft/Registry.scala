@@ -378,6 +378,13 @@ object Registry {
     q("ann_pq_topk", PqOps.pqOracleSql())((s, d) => PqOps.annPqTopK(s, d)),
     q("ann_recall_pq", PqOps.annRecallPqOracleSql())(PqOps.annRecallPq),
 
+    // Two-tier ANN (LSH bucket pruning + PQ-compressed ADC scoring): the
+    // hot path reads 8-byte codes, never raw vectors — the 100 TB search
+    // shape — and both tiers are fixed-point, so the whole composition
+    // plus its recall audit stays oracle-gated.
+    q("ann_lshpq_topk", PqOps.lshPqOracleSql())((s, d) => PqOps.annLshPqTopK(s, d)),
+    q("ann_recall_lshpq", PqOps.annRecallLshPqOracleSql())(PqOps.annRecallLshPq),
+
     // Exact inverted-index n-gram Jaccard: same output contract as
     // dedup_minhash (and the same oracle), but with no probabilistic stage.
     q("dedup_ngram",

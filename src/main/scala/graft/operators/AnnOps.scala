@@ -238,7 +238,7 @@ object AnnOps {
   /** The quantize + sign-bit-sum CTEs shared by every bucketed oracle:
     * `codes(vec_id, code)` mirroring [[simhashCode]] verbatim.
     */
-  private def codesSql(bits: Int): String = {
+  private[operators] def codesSql(bits: Int): String = {
     val bitSum = (0 until bits)
       .map(h => s"(CASE WHEN ${projSql(h)} >= 0 THEN ${1L << h} ELSE 0 END)")
       .mkString(" + ")
@@ -398,6 +398,13 @@ object AnnOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** The Hamming<=2 multi-probe mask set shared by the LSH paths. */
+  private[operators] def probeMasks(bits: Int): Seq[Long] =
+    Seq(0L) ++
+      (0 until bits).map(1L << _) ++
+      (for { i <- 0 until bits; j <- i + 1 until bits }
+        yield (1L << i) | (1L << j))
+
   def annLshTopK(
       s: SparkSession,
       dir: String,
@@ -410,11 +417,7 @@ object AnnOps {
 
     // Probe masks: the query's own code plus all Hamming-1 and Hamming-2
     // neighbor codes (fixed literal mask set, built once).
-    val masks: Seq[Long] =
-      Seq(0L) ++
-        (0 until bits).map(1L << _) ++
-        (for { i <- 0 until bits; j <- i + 1 until bits }
-          yield (1L << i) | (1L << j))
+    val masks: Seq[Long] = probeMasks(bits)
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("probe"))

@@ -110,34 +110,93 @@ object PqOps {
     * ascending with id tie-breaks through the bounded top-k Aggregator.
     * Output: (q_id, c_id, rank, adist) — all exact integers.
     */
-  def annPqTopK(
-      s: SparkSession,
-      dir: String,
-      k: Int = DefaultK,
-      nQueries: Int = DefaultQueries): DataFrame = {
+  /** Per-query ADC distance tables: (q_id, dtab) with dtab[m][j] = the
+    * integer L2² between the query's sub-vector m and codebook entry j —
+    * M×K ints per query, broadcast-size for any real query batch.
+    */
+  private def queryTables(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
     val xq = quantized(s, dir)
     val dtabSql =
       s"""transform(sequence(0, ${SubSpaces - 1}), m ->
          | transform(cb, e -> ${subDistSql("qv", "e.cqv")}))""".stripMargin
-    val queries = xq.filter(col("vec_id") < nQueries)
+    xq.filter(col("vec_id") < nQueries)
       .crossJoin(broadcast(codebook(xq)))
       .select(col("vec_id").as("q_id"), expr(dtabSql).as("dtab"))
+  }
 
-    val adistSql =
-      s"""aggregate(sequence(0, ${SubSpaces - 1}), CAST(0 AS BIGINT),
-         | (a, m) -> a + element_at(element_at(dtab, m + 1), element_at(codes, m + 1) + 1))""".stripMargin
-    // ADC distances fit in 2^48 (< 2^53), so the double round-trip through
-    // the shared (cosine-desc) ranking aggregator is exact; negate to turn
-    // its descending order into ascending distance.
-    val scored = pqEncode(s, dir)
-      .crossJoin(broadcast(queries))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"),
-        (-expr(adistSql)).cast("double").as("neg_adist"))
+  /** ADC lookup sum for a row carrying `dtab` and `codes`. */
+  private val AdistSql =
+    s"""aggregate(sequence(0, ${SubSpaces - 1}), CAST(0 AS BIGINT),
+       | (a, m) -> a + element_at(element_at(dtab, m + 1), element_at(codes, m + 1) + 1))""".stripMargin
+
+  /** Rank a (q_id, c_id, adist-expr-ready) frame: ADC distances fit in
+    * 2^48 (< 2^53), so the double round-trip through the shared
+    * (cosine-desc) ranking aggregator is exact; negate to turn its
+    * descending order into ascending distance.
+    */
+  private def rankByAdist(s: SparkSession, withCodes: DataFrame, k: Int): DataFrame = {
+    val scored = withCodes.select(col("q_id"), col("c_id"),
+      (-expr(AdistSql)).cast("double").as("neg_adist"))
     AnnOps.rankTopK(s, scored, k)
       .select(col("q_id"), col("c_id"), col("rank"),
         (-col("cosine_r6")).cast("long").as("adist"))
   }
+
+  def annPqTopK(
+      s: SparkSession,
+      dir: String,
+      k: Int = DefaultK,
+      nQueries: Int = DefaultQueries): DataFrame =
+    rankByAdist(s,
+      pqEncode(s, dir)
+        .crossJoin(broadcast(queryTables(s, dir, nQueries)))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("c_id", col("vec_id")),
+      k)
+
+  /** Two-tier ANN: LSH bucket pruning + PQ-compressed scoring — the
+    * shape a 100 TB search actually runs. Tier 1 draws candidates from
+    * the query's SimHash bucket and its Hamming<=2 neighbors (identical
+    * probe set to [[AnnOps.annLshTopK]]) — work scales with bucket
+    * occupancy, not N. Tier 2 scores those candidates with integer ADC
+    * table lookups over the 8-byte PQ codes — the scan never touches a
+    * raw 256-byte vector, so the hot path reads ~32× fewer bytes than
+    * the exact re-rank variant and stays cache-resident. Both tiers are
+    * fixed-point, so unlike FAISS-style floats the whole composition is
+    * oracle-gated; recall vs the exact baseline is audited by
+    * [[annRecallLshPq]] (the cost of compressed scoring is visible
+    * there, not hidden).
+    */
+  def annLshPqTopK(
+      s: SparkSession,
+      dir: String,
+      k: Int = DefaultK,
+      nQueries: Int = DefaultQueries,
+      bits: Int = AnnOps.DefaultEmbedBits): DataFrame = {
+    val coded = Tables.embeddings(s, dir)
+      .select(col("vec_id"), AnnOps.simhashCode(col("embedding"), bits).as("code"))
+    val probes = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(array(AnnOps.probeMasks(bits).map(m =>
+          col("code").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val cand = probes
+      .join(coded.select(col("vec_id").as("c_id"), col("code").as("c_code")),
+        col("probe") === col("c_code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id")
+      .distinct()
+    rankByAdist(s,
+      cand
+        .join(pqEncode(s, dir).withColumnRenamed("vec_id", "c_id"), Seq("c_id"))
+        .join(broadcast(queryTables(s, dir, nQueries)), Seq("q_id")),
+      k)
+  }
+
+  /** Integer recall@k of the two-tier LSH+PQ path vs the exact cosine
+    * baseline — oracle-gated end to end.
+    */
+  def annRecallLshPq(s: SparkSession, dir: String): DataFrame =
+    AnnOps.recallOf(AnnOps.annTopK(s, dir), annLshPqTopK(s, dir))
 
   /** Integer recall@k of the PQ path against the exact cosine baseline —
     * oracle-gated end to end (both sides SQL-expressible), the same audit
@@ -192,6 +251,63 @@ object PqOps {
   def annRecallPqOracleSql(): String =
     s"""WITH exact AS (${AnnOps.annTopkOracleSql()}),
        |approx AS (${pqOracleSql()})
+       |SELECT e.q_id, count(*) AS k,
+       | CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       | CAST((1000 * sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_milli
+       |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
+  /** The integer L2² between sub-space `m` of `$v.q` and codebook row
+    * `$c.cqv`, in DuckDB list syntax (1-based). */
+  private def duckSubDist(v: String, m: String, c: String): String =
+    s"""list_sum(list_transform(range(1, ${SubDim + 1}), d ->
+       |   ($v.q[CAST($m * $SubDim + d AS INT)] - $c.cqv[CAST($m * $SubDim + d AS INT)])
+       |   * ($v.q[CAST($m * $SubDim + d AS INT)] - $c.cqv[CAST($m * $SubDim + d AS INT)])))""".stripMargin
+
+  /** DuckDB oracle for [[annLshPqTopK]]: the LSH code/probe CTEs from
+    * [[AnnOps.codesSql]] (shared constants with the Spark side) feed PQ
+    * CTEs built on the same fixed-point quantization (`xq.q` IS the PQ
+    * `qv`), so both tiers of the composition are mirrored verbatim.
+    */
+  def lshPqOracleSql(
+      k: Int = DefaultK,
+      nQueries: Int = DefaultQueries,
+      bits: Int = AnnOps.DefaultEmbedBits): String = {
+    val masks = AnnOps.probeMasks(bits).mkString("[", ", ", "]")
+    s"""WITH ${AnnOps.codesSql(bits)},
+       |pcb AS (SELECT vec_id AS j, q AS cqv FROM xq WHERE vec_id < $CodebookK),
+       |psub AS (
+       | SELECT x.vec_id, m.m, c.j, ${duckSubDist("x", "m.m", "c")} AS dist
+       | FROM xq x, range(0, $SubSpaces) m(m), pcb c),
+       |pcodes AS (
+       | SELECT vec_id, m, j FROM (
+       |  SELECT vec_id, m, j,
+       |   row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+       |  FROM psub) WHERE rn = 1),
+       |qs AS (SELECT vec_id AS q_id, code FROM codes WHERE vec_id < $nQueries),
+       |probes AS (SELECT q_id, xor(code, unnest($masks)) AS probe FROM qs),
+       |cand AS (SELECT DISTINCT a.q_id, b.vec_id AS c_id
+       | FROM probes a JOIN codes b ON a.probe = b.code AND a.q_id <> b.vec_id),
+       |ad AS (
+       | SELECT c.q_id, c.c_id,
+       |  CAST(sum(${duckSubDist("q", "co.m", "cb")}) AS BIGINT) AS adist
+       | FROM cand c
+       | JOIN xq q ON q.vec_id = c.q_id
+       | JOIN pcodes co ON co.vec_id = c.c_id
+       | JOIN pcb cb ON co.j = cb.j
+       | GROUP BY 1, 2),
+       |r AS (
+       | SELECT q_id, c_id, adist,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS BIGINT) AS rank
+       | FROM ad)
+       |SELECT q_id, c_id, rank, adist FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB oracle for [[annRecallLshPq]]. */
+  def annRecallLshPqOracleSql(): String =
+    s"""WITH exact AS (${AnnOps.annTopkOracleSql()}),
+       |approx AS (${lshPqOracleSql()})
        |SELECT e.q_id, count(*) AS k,
        | CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        | CAST((1000 * sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_milli

@@ -58,6 +58,28 @@ class PqSpec extends AnyFunSuite {
     assert(pq.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("two-tier LSH+PQ scores agree with brute-force PQ on shared pairs") {
+    val lshpq = PqOps.annLshPqTopK(spark, sf).collect()
+    assert(lshpq.nonEmpty)
+    // Same codes, same tables — a pair surviving both paths must carry
+    // the identical integer ADC distance.
+    val brute = pq.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    lshpq.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(d => assert(d == r.getLong(3), s"pair (${r.getLong(0)},${r.getLong(1)})"))
+    }
+    // Tier-1 pruning can only shrink each query's candidate set, so no
+    // query returns more rows than the brute-force PQ path.
+    lshpq.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 10, s"q=$q")
+    }
+    // Compressed-tier recall floor: worse than exact re-rank by design,
+    // but a code/table misalignment would crater it to ~random (~20).
+    val rec = PqOps.annRecallLshPq(spark, sf).collect()
+    val meanMilli = rec.map(_.getLong(3)).sum / rec.length
+    assert(meanMilli >= 100, s"mean recall_milli=$meanMilli")
+  }
+
   test("ADC equals a local replay of table lookups from the encoded corpus") {
     // Rebuild the distance tables locally from the quantized exemplars and
     // replay adist for every returned pair — pins the element_at index
