@@ -162,17 +162,24 @@ object AnnOps {
   def annRecallIvf(s: SparkSession, dir: String): DataFrame =
     recallOf(annTopK(s, dir), annIvfTopK(s, dir))
 
-  /** DuckDB oracle for [[annRecallLsh]]: the exact and LSH oracles as
-    * nested CTEs, joined on recovered ids.
+  /** The recall-audit join+count SQL shared by EVERY approximate path's
+    * oracle ([[annRecallLshOracleSql]], PqOps' two audits) — one copy of
+    * the formula, parameterized by the exact/approx CTE bodies.
     */
-  def annRecallLshOracleSql(): String =
-    s"""WITH exact AS (${annTopkOracleSql()}),
-       |approx AS (${annLshOracleSql()})
+  private[operators] def recallAuditSql(exactCte: String, approxCte: String): String =
+    s"""WITH exact AS ($exactCte),
+       |approx AS ($approxCte)
        |SELECT e.q_id, count(*) AS k,
        | CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        | CAST((1000 * sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_milli
        |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
+  /** DuckDB oracle for [[annRecallLsh]]: the exact and LSH oracles as
+    * nested CTEs, joined on recovered ids.
+    */
+  def annRecallLshOracleSql(): String =
+    recallAuditSql(annTopkOracleSql(), annLshOracleSql())
 
   /** Default code width for the registered `dedup_embed` query — the
     * oracle SQL is generated from the same constant, so the two sides run

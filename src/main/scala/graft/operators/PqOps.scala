@@ -104,12 +104,6 @@ object PqOps {
       .select(col("vec_id"), expr(codesSql).as("codes"))
   }
 
-  /** Approximate top-k by ADC: per query, distance table dtab[m][j] =
-    * integer L2² between the query's sub-vector m and codebook entry j;
-    * a candidate's distance is the M-lookup sum over its codes. Ranked
-    * ascending with id tie-breaks through the bounded top-k Aggregator.
-    * Output: (q_id, c_id, rank, adist) — all exact integers.
-    */
   /** Per-query ADC distance tables: (q_id, dtab) with dtab[m][j] = the
     * integer L2² between the query's sub-vector m and codebook entry j —
     * M×K ints per query, broadcast-size for any real query batch.
@@ -142,6 +136,11 @@ object PqOps {
         (-col("cosine_r6")).cast("long").as("adist"))
   }
 
+  /** Approximate top-k by ADC: a candidate's distance is the M-lookup
+    * sum over its codes against the query's distance table, ranked
+    * ascending with id tie-breaks through the bounded top-k Aggregator.
+    * Output: (q_id, c_id, rank, adist) — all exact integers.
+    */
   def annPqTopK(
       s: SparkSession,
       dir: String,
@@ -244,18 +243,11 @@ object PqOps {
        |SELECT q_id, c_id, rank, adist FROM r WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
-  /** DuckDB oracle for [[annRecallPq]] — the exact and PQ oracles as
-    * nested CTEs, joined on recovered ids (same text shape as
-    * [[AnnOps.annRecallLshOracleSql]]).
+  /** DuckDB oracle for [[annRecallPq]] — the shared recall-audit formula
+    * over the exact and PQ oracles as nested CTEs.
     */
   def annRecallPqOracleSql(): String =
-    s"""WITH exact AS (${AnnOps.annTopkOracleSql()}),
-       |approx AS (${pqOracleSql()})
-       |SELECT e.q_id, count(*) AS k,
-       | CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-       | CAST((1000 * sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_milli
-       |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
-       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+    AnnOps.recallAuditSql(AnnOps.annTopkOracleSql(), pqOracleSql())
 
   /** The integer L2² between sub-space `m` of `$v.q` and codebook row
     * `$c.cqv`, in DuckDB list syntax (1-based). */
@@ -306,11 +298,5 @@ object PqOps {
 
   /** DuckDB oracle for [[annRecallLshPq]]. */
   def annRecallLshPqOracleSql(): String =
-    s"""WITH exact AS (${AnnOps.annTopkOracleSql()}),
-       |approx AS (${lshPqOracleSql()})
-       |SELECT e.q_id, count(*) AS k,
-       | CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-       | CAST((1000 * sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_milli
-       |FROM exact e LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
-       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+    AnnOps.recallAuditSql(AnnOps.annTopkOracleSql(), lshPqOracleSql())
 }

@@ -265,15 +265,20 @@ object TextOps {
     * exchange is the per-doc count aggregation over MATCHED rows, which
     * is bounded by eval-gram hits, not corpus size.
     */
+  /** Per-row distinct token n-grams, keyed by `keyCol`: the one copy of
+    * the gram-boundary expression every decontamination path shares (a
+    * tokenization fix lands everywhere at once).
+    */
+  private def distinctGrams(df: DataFrame, keyCol: String, n: Int): DataFrame =
+    df.select(col(keyCol), tokens.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(keyCol), explode(array_distinct(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
+        .as("g"))
+
   def decontaminateNgram(train: DataFrame, evalDocs: DataFrame, n: Int = 5): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), tokens.as("toks"))
-        .filter(size(col("toks")) >= n)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
-          .as("g"))
-    val evalGrams = grams(evalDocs).select("g").distinct()
-    val matched = grams(train)
+    val evalGrams = distinctGrams(evalDocs, "doc_id", n).select("g").distinct()
+    val matched = distinctGrams(train, "doc_id", n)
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("shared_ngrams"))
@@ -345,19 +350,8 @@ object TextOps {
       .withColumn("suite_id", expr(s"cast((rn - 1) div $EvalCarveDocs as int)"))
     val train = docs.join(
       broadcast(carve.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-    val suiteGrams = carve
-      .select(col("suite_id"), tokens.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("suite_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
-        .as("g"))
-      .distinct()
-    val trainGrams = train
-      .select(col("doc_id"), tokens.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
-        .as("g"))
+    val suiteGrams = distinctGrams(carve, "suite_id", n).distinct()
+    val trainGrams = distinctGrams(train, "doc_id", n)
     val aggCols = (0 until nSuites).map(k =>
       sum(when(col("suite_id") === k, 1L).otherwise(0L)).as(s"shared_s$k"))
     val matched = trainGrams
@@ -471,10 +465,17 @@ object TextOps {
     * join — a narrow 32-byte column, the persisted "fingerprint index" of
     * a production pipeline (at 100 TB it lives hash-bucketed on disk, so
     * only the new batch shuffles; rewriting it is an append). The batch
-    * side pre-aggregates per (hash, lang) — map-side combine — so the
-    * anti/semi probe and both exchanges carry hash-level rows, never
-    * document bodies. Work per ingest is O(batch + matched index
+    * side reduces to one survivor id per hash (map-side combined min),
+    * then classifies each batch ROW against that and the corpus index —
+    * every exchange keys on the hash and carries hash-level rows, never
+    * document bodies, and the survivor-join reuses the same
+    * h-partitioning. Work per ingest is O(batch + matched index
     * partitions), independent of total corpus size.
+    *
+    * Dedup groups are hash-level across language tags: a batch document
+    * duplicated under two `lang` values admits ONCE (the min-doc_id row,
+    * attributed to its own language); the copy counts as a batch dup in
+    * its language. Language never fragments a dedup group.
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(
@@ -482,15 +483,18 @@ object TextOps {
       sha2(normalizeText(col("text")), 256).as("h"))
     val corpusHashes = docs.filter(col("doc_id") % 10 < 8).select("h").distinct()
     val batch = docs.filter(col("doc_id") % 10 >= 8)
-      .groupBy("h", "lang").agg(count(lit(1)).as("cnt"))
+    val survivors = batch.groupBy("h").agg(min("doc_id").as("survivor_id"))
     batch
+      .join(survivors, Seq("h"))
       .join(corpusHashes.withColumn("in_corpus", lit(1)), Seq("h"), "left")
       .groupBy("lang")
       .agg(
-        sum("cnt").as("batch_docs"),
-        sum(when(col("in_corpus").isNotNull, col("cnt")).otherwise(0L)).as("corpus_dups"),
-        sum(when(col("in_corpus").isNull, col("cnt") - 1).otherwise(0L)).as("batch_dups"),
-        sum(when(col("in_corpus").isNull, 1L).otherwise(0L)).as("admitted"))
+        count(lit(1)).as("batch_docs"),
+        sum(when(col("in_corpus").isNotNull, 1L).otherwise(0L)).as("corpus_dups"),
+        sum(when(col("in_corpus").isNull && col("doc_id") =!= col("survivor_id"), 1L)
+          .otherwise(0L)).as("batch_dups"),
+        sum(when(col("in_corpus").isNull && col("doc_id") === col("survivor_id"), 1L)
+          .otherwise(0L)).as("admitted"))
       .orderBy("lang")
   }
 
@@ -501,14 +505,15 @@ object TextOps {
       |   '\s+', ' ', 'g'))) AS h
       | FROM documents),
       |corpus AS (SELECT DISTINCT h FROM n WHERE doc_id % 10 < 8),
-      |b AS (SELECT h, lang, count(*) AS cnt FROM n WHERE doc_id % 10 >= 8 GROUP BY 1, 2),
-      |f AS (SELECT b.*, (c.h IS NOT NULL) AS in_corpus
-      | FROM b LEFT JOIN corpus c ON b.h = c.h)
+      |b AS (SELECT doc_id, lang, h FROM n WHERE doc_id % 10 >= 8),
+      |s AS (SELECT h, min(doc_id) AS survivor_id FROM b GROUP BY h),
+      |f AS (SELECT b.lang, b.doc_id, s.survivor_id, (c.h IS NOT NULL) AS in_corpus
+      | FROM b JOIN s ON b.h = s.h LEFT JOIN corpus c ON b.h = c.h)
       |SELECT lang,
-      | CAST(sum(cnt) AS BIGINT) AS batch_docs,
-      | CAST(sum(CASE WHEN in_corpus THEN cnt ELSE 0 END) AS BIGINT) AS corpus_dups,
-      | CAST(sum(CASE WHEN in_corpus THEN 0 ELSE cnt - 1 END) AS BIGINT) AS batch_dups,
-      | CAST(sum(CASE WHEN in_corpus THEN 0 ELSE 1 END) AS BIGINT) AS admitted
+      | CAST(count(*) AS BIGINT) AS batch_docs,
+      | CAST(sum(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT) AS corpus_dups,
+      | CAST(sum(CASE WHEN NOT in_corpus AND doc_id <> survivor_id THEN 1 ELSE 0 END) AS BIGINT) AS batch_dups,
+      | CAST(sum(CASE WHEN NOT in_corpus AND doc_id = survivor_id THEN 1 ELSE 0 END) AS BIGINT) AS admitted
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Per-document token/quality statistics, all integral:

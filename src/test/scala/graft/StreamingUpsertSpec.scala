@@ -32,7 +32,27 @@ class StreamingUpsertSpec extends AnyFunSuite {
   test("mergeBatch folds an unordered batch to its (ts, id) maximum") {
     val batch = Seq(ev(1L, 30, 2), ev(1L, 10, 9), ev(1L, 30, 4))
     val (c, s) = StreamingUpsert.mergeBatch(1L, batch, None)
-    assert(c.op == "insert" && s.event_id == 4L && s.tsMs == ts(30).getTime)
+    assert(c.op == "insert" && s.event_id == 4L && s.tsUs == ts(30).getTime * 1000L)
+  }
+
+  test("ordering is microsecond-precise, matching the batch twin's ts_us grain") {
+    // Two events in the same millisecond: 1500µs then 1200µs after t0
+    // (t0 is on an exact second, so the whole fraction lives in nanos).
+    def tsUs(us: Long) = {
+      val t = new Timestamp(t0)
+      t.setNanos((us * 1000).toInt)
+      t
+    }
+    val a = UpsertEvent(1L, tsUs(1500), 1L, "view", 1.0)
+    val b = UpsertEvent(1L, tsUs(1200), 2L, "view", 1.0)
+    assert(StreamingUpsert.micros(a.ts) == StreamingUpsert.micros(b.ts) + 300)
+    val (_, s1) = StreamingUpsert.mergeBatch(1L, Seq(a), None)
+    // b is µs-older despite the higher event_id and equal millisecond:
+    // a ms-grain comparison would classify it 'update' and regress state.
+    val (c, s2) = StreamingUpsert.mergeBatch(1L, Seq(b), Some(s1))
+    assert(c.op == "stale_update" && s2 == s1)
+    // The retained row's emitted timestamp is the ORIGINAL (no µs loss).
+    assert(c.ts == a.ts)
   }
 
   test("changelog emits one classified row per touched key per micro-batch") {
