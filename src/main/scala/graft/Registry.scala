@@ -232,6 +232,21 @@ object Registry {
         |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin)(JoinOps.customerOrderCensus),
 
+    // ---- Full star schema: the part/supplier arms (StarOps) ----
+    // Two broadcast-hinted bounded dims (nation, supplier) + part left
+    // to Catalyst/AQE (auto-broadcast at bench SF, shuffle join at
+    // 100 TB where part exceeds the threshold).
+    q("star_brand_margin", StarOps.BrandNationMarginOracleSql)(
+      StarOps.brandNationMargin),
+
+    // Q3-shaped top-k with exact milli fixed-point ordering; both date
+    // predicates reach the scans as pushed parquet filters.
+    q("star_ship_priority", StarOps.ShippingPriorityOracleSql)(
+      StarOps.shippingPriority),
+
+    // Q14-shaped promo share in integer basis points (milli div milli).
+    q("star_promo_share", StarOps.PromoShareOracleSql)(StarOps.promoShare),
+
     // Keyless range join via interval bucketing (bucket width = interval
     // width; each interval probes <= 2 buckets). The oracle is DuckDB's
     // native range join — an independent algorithm, so this is a true

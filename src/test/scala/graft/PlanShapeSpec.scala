@@ -133,4 +133,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashExchanges.forall(_.startsWith("value")) || hashExchanges.forall(_.startsWith("q_id")),
       s"unexpected hash exchanges on $hashExchanges in:\n$plan")
   }
+
+  test("star_ship_priority pushes both date cutoffs into the parquet scans") {
+    val df = graft.operators.StarOps.shippingPriority(spark, sf)
+    df.collect()
+    // Pushed filters live on the FileSourceScan nodes; an NTZ-vs-LTZ cast
+    // on the column side would silently drop them (the r9 bug this pins).
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(p => p.contains("o_orderdate") && p.contains("LessThan")),
+      s"orders cutoff not pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(p => p.contains("l_shipdate") && p.contains("GreaterThan")),
+      s"lineitem cutoff not pushed:\n${scans.mkString("\n")}")
+  }
+
+  test("star_brand_margin broadcasts every dimension arm") {
+    val plan = executedPlan(graft.operators.StarOps.brandNationMargin(spark, sf))
+    // nation + supplier are hint-broadcast; part auto-broadcasts at test
+    // SF (at 100 TB it exceeds the threshold and AQE keeps a shuffle
+    // join — that path is exercised by the threshold config, not here).
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected 3 broadcast joins, got $bhj in:\n$plan")
+    // The fact scan must not be repartitioned before the joins: the only
+    // hash exchange keys are the grouping columns.
+    assert(!plan.contains("Exchange hashpartitioning(l_partkey") &&
+      !plan.contains("Exchange hashpartitioning(l_suppkey"),
+      s"fact side shuffled for a dim join in:\n$plan")
+  }
 }
