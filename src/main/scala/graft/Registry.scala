@@ -693,7 +693,19 @@ object Registry {
     // DataFrame is constructed (to a PID-suffixed /tmp scratch path) —
     // plan-only tooling (explain, schema dumps) still pays the write.
     q("sink_roundtrip", sinks.ParquetSink.roundtripOracleSql)(
-      sinks.ParquetSink.roundtripAudit)
+      (s, d) => sinks.ParquetSink.roundtripAudit(s, d)),
+
+    // Zone-map (file footer min/max) pruning audit: ingest-ordered vs
+    // date-sorted simulated file layouts against a one-month predicate —
+    // the data-skipping half of the layout story next to zorder_plan.
+    q("zonemap_audit", LayoutOps.ZoneMapOracleSql)(
+      (s, d) => LayoutOps.zoneMapAudit(s, d)),
+
+    // Same write→read-back fidelity gate through the ORC path (second
+    // columnar format; the oracle digest of the ORIGINAL table is
+    // format-independent, so any ORC round-trip loss breaks the hash).
+    q("sink_roundtrip_orc", sinks.ParquetSink.roundtripOracleSql)(
+      (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "orc"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

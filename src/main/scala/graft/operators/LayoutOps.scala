@@ -161,4 +161,82 @@ object LayoutOps {
        | CAST(off % $seqLen AS BIGINT) AS seq_offset,
        | CAST((off // $seqLen) <> ((off + greatest(n_tokens, 1) - 1) // $seqLen) AS BIGINT) AS straddles
        |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Zone-map pruning audit defaults: simulated rows-per-file for the
+    * ingest-ordered layout, days-per-file for the date-sorted layout,
+    * and the one-month probe predicate (integral epoch days for
+    * [1998-06-01, 1998-07-01) — pure integer arithmetic end to end).
+    */
+  val ZoneRowsPerFile = 2048L
+  val ZoneDaysPerFile = 30L
+  val ZoneDayLo = 10378L
+  val ZoneDayHi = 10408L
+
+  /** Zone-map (file min/max) pruning audit: how many simulated files a
+    * one-month date predicate must read under two write layouts —
+    * `ingest` (files cut every [[ZoneRowsPerFile]] rows of arrival
+    * order, i.e. o_orderkey ranges) vs `datesort` (files cut by
+    * [[ZoneDaysPerFile]]-day ranges of the filter column, the layout a
+    * date-sorted writer produces). A file is read iff its [min, max]
+    * day range intersects the predicate — exactly the footer-stats
+    * skipping a parquet/ORC reader does. `read_amp_bp` is rows-read
+    * over rows-matching in basis points: ~10000 means the layout is
+    * perfectly aligned with the predicate; ingest order pays whatever
+    * date-vs-arrival correlation the data happens to have.
+    *
+    * Scale shape: one fact scan; `stack` emits both layout assignments
+    * per row (2× narrow intermediate, no second scan), then two
+    * key-cardinality-bounded aggregations (per-file, then per-layout).
+    * Nothing driver-side, nothing row-bounded after the first agg.
+    */
+  def zoneMapAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("d"))
+      .selectExpr(
+        s"stack(2, 'ingest', o_orderkey div $ZoneRowsPerFile, " +
+          s"'datesort', d div $ZoneDaysPerFile) as (layout, file_id)",
+        "d")
+      .groupBy(col("layout"), col("file_id"))
+      .agg(
+        count(lit(1)).as("rows"),
+        min("d").as("d_min"), max("d").as("d_max"),
+        sum(when(col("d") >= ZoneDayLo && col("d") < ZoneDayHi, 1L)
+          .otherwise(0L)).as("match_rows"))
+      .withColumn("is_read",
+        (col("d_min") < ZoneDayHi && col("d_max") >= ZoneDayLo)
+          .cast("long"))
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("files_total"),
+        sum(col("is_read")).as("files_read"),
+        sum(col("rows")).as("rows_total"),
+        sum(col("is_read") * col("rows")).as("rows_read"),
+        sum(col("match_rows")).as("rows_match"))
+      .withColumn("read_amp_bp",
+        expr("(rows_read * 10000) div greatest(rows_match, 1)"))
+      .orderBy("layout")
+
+  val ZoneMapOracleSql: String =
+    s"""WITH d AS (
+       | SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS d
+       | FROM orders),
+       |assigned AS (
+       | SELECT 'ingest' AS layout, o_orderkey // $ZoneRowsPerFile AS file_id, d FROM d
+       | UNION ALL
+       | SELECT 'datesort' AS layout, d // $ZoneDaysPerFile AS file_id, d FROM d),
+       |perfile AS (
+       | SELECT layout, file_id, count(*) AS rows,
+       |  min(d) AS d_min, max(d) AS d_max,
+       |  CAST(sum(CASE WHEN d >= $ZoneDayLo AND d < $ZoneDayHi THEN 1 ELSE 0 END) AS BIGINT) AS match_rows,
+       |  CAST(min(d) < $ZoneDayHi AND max(d) >= $ZoneDayLo AS BIGINT) AS is_read
+       | FROM assigned GROUP BY layout, file_id)
+       |SELECT layout, count(*) AS files_total,
+       | CAST(sum(is_read) AS BIGINT) AS files_read,
+       | CAST(sum(rows) AS BIGINT) AS rows_total,
+       | CAST(sum(is_read * rows) AS BIGINT) AS rows_read,
+       | CAST(sum(match_rows) AS BIGINT) AS rows_match,
+       | (CAST(sum(is_read * rows) AS BIGINT) * 10000) // greatest(CAST(sum(match_rows) AS BIGINT), 1) AS read_amp_bp
+       |FROM perfile GROUP BY layout ORDER BY layout""".stripMargin
 }

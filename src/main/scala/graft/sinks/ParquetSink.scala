@@ -24,7 +24,8 @@ object ParquetSink {
       path: String,
       partitionBy: Seq[String],
       sortWithin: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      format: String = "parquet"): Unit = {
     val sorted =
       if (sortWithin.nonEmpty) df.sortWithinPartitions(sortWithin.map(df.col): _*)
       else df
@@ -32,7 +33,8 @@ object ParquetSink {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionBy: _*)
       .mode("overwrite")
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 
   /** Registered load-phase gate (reference: analysis/etl_spark.py:250-259
@@ -46,18 +48,19 @@ object ParquetSink {
     * hash compare. The write itself executes when the query is built, so
     * the bench times write + read-back, not just the final aggregate.
     */
-  def roundtripAudit(s: SparkSession, dir: String): DataFrame = {
+  def roundtripAudit(s: SparkSession, dir: String, format: String = "parquet"): DataFrame = {
     // PID-suffixed scratch: a correctness-gate process and a bench process
     // running concurrently on the same SF must not overwrite each other's
-    // roundtrip mid-read (same-process reps still reuse one path).
+    // roundtrip mid-read (same-process reps still reuse one path). The
+    // format lands in the path so the parquet and ORC audits never collide.
     val scratch =
       s"/tmp/graft-sink-roundtrip/${new java.io.File(dir).getName}-" +
-        s"${ProcessHandle.current().pid()}/documents"
+        s"${ProcessHandle.current().pid()}/documents-$format"
     writePartitioned(
       Tables.documents(s, dir), scratch,
-      partitionBy = Seq("lang"), sortWithin = Seq("doc_id"))
+      partitionBy = Seq("lang"), sortWithin = Seq("doc_id"), format = format)
     def fp(c: org.apache.spark.sql.Column) = GraftFunctions.poly_hash(c, 31, 1000000007L)
-    s.read.parquet(scratch)
+    s.read.format(format).load(scratch)
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
