@@ -140,6 +140,16 @@ object Registry {
     q("peak_concurrency", WindowOps.PeakConcurrencyOracleSql)(
       WindowOps.peakConcurrency),
 
+    // Exact NTILE(4) per-language length quartiles via hierarchical rank
+    // (no single-partition window) vs the oracle's native NTILE.
+    q("length_quartiles", WindowOps.LengthQuartilesOracleSql)(
+      WindowOps.lengthQuartiles),
+
+    // Cross-source 5-gram overlap matrix: inverted-index self-join,
+    // fan-out bounded by |sources|² per gram.
+    q("source_overlap", TextOps.SourceOverlapOracleSql)(
+      (s, d) => TextOps.sourceNgramOverlap(s, d)),
+
     // ---- Window functions / sessionization ----
     q("window_funcs",
       """SELECT event_id, user_id,

@@ -640,4 +640,38 @@ object TextOps {
         graft.functions.GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
           .as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Cross-source n-gram overlap matrix: for every pair of document
+    * sources, how many distinct 5-grams they share — the
+    * leakage-between-corpora diagnostic a mixture curator reads before
+    * weighting sources (two "independent" crawls sharing most of their
+    * grams are one source for dedup purposes).
+    *
+    * Scale shape: the per-source distinct gram set is an inverted-index
+    * build ([[distinctGrams]] + distinct — one shuffle keyed on
+    * (source, gram)); the self-join shuffles on the gram key, and each
+    * gram's fan-out is bounded by |sources|² pairs, a constant — so
+    * total join work is O(distinct grams × pairs-per-gram), never
+    * all-pairs over documents. Output is ≤ C(|sources|, 2) rows.
+    */
+  def sourceNgramOverlap(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = distinctGrams(Tables.documents(s, dir), "source", n).distinct()
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val SourceOverlapOracleSql: String =
+    """WITH tok AS (
+      | SELECT source, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |g AS (
+      | SELECT DISTINCT source, unnest([array_to_string(toks[i:i+4], ' ')
+      |   for i in range(1, len(toks) - 3)]) AS g
+      | FROM tok WHERE len(toks) >= 5)
+      |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_ngrams
+      |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 }

@@ -267,4 +267,62 @@ object WindowOps {
        |SELECT CAST(day AS BIGINT) AS epoch_day,
        | CAST(max(run) AS BIGINT) AS peak_concurrent
        |FROM r GROUP BY day ORDER BY epoch_day""".stripMargin
+
+  /** Exact NTILE(4) length-quartile binning per language — which length
+    * band each document falls in, with NTILE's exact bucket-size
+    * contract (first `cnt % 4` buckets get the extra row), summarized
+    * per (lang, quartile).
+    *
+    * Scale shape: a naive `ntile(4) over (partition by lang order by …)`
+    * sorts each language through ONE task — the single-partition-window
+    * trap at 100 TB. Here the global per-lang rank is HIERARCHICAL
+    * (same pattern as [[peakConcurrency]]): value-bucket counts
+    * (map-side combined) → a langs×buckets-row carry-in window → per
+    * (lang, bucket) row_number, so no task ever sorts a whole language.
+    * The quartile then falls out of the NTILE arithmetic on (rank,
+    * per-lang count) — pure integer CASE, broadcast totals. The ORACLE
+    * runs native NTILE — an independent algorithm, so this is a true
+    * cross-check of the rank math.
+    */
+  def lengthQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val vbWidth = 16L
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("vb", expr(s"n_chars div $vbWidth"))
+    val carry = docs.groupBy("lang", "vb")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("carry_in",
+        coalesce(
+          sum("c").over(Window.partitionBy("lang").orderBy("vb")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("lang", "vb", "carry_in")
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    docs.join(carry, Seq("lang", "vb"))
+      .withColumn("rk",
+        col("carry_in") + row_number().over(
+          Window.partitionBy("lang", "vb").orderBy("n_chars", "doc_id")))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("quartile", expr(
+        """CASE WHEN rk <= (cnt div 4 + 1) * (cnt % 4)
+          | THEN (rk - 1) div (cnt div 4 + 1) + 1
+          | ELSE (cnt % 4) + (rk - 1 - (cnt div 4 + 1) * (cnt % 4)) div (cnt div 4) + 1
+          |END""".stripMargin).cast("long"))
+      .groupBy("lang", "quartile")
+      .agg(
+        count(lit(1)).as("docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang", "quartile")
+  }
+
+  /** Native NTILE — independent of the hierarchical rank formulation. */
+  val LengthQuartilesOracleSql: String =
+    """WITH q AS (
+      | SELECT lang, n_chars,
+      |  NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS quartile
+      | FROM documents)
+      |SELECT lang, CAST(quartile AS BIGINT) AS quartile, count(*) AS docs,
+      | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM q GROUP BY 1, 2 ORDER BY lang, quartile""".stripMargin
 }

@@ -134,6 +134,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected hash exchanges on $hashExchanges in:\n$plan")
   }
 
+  test("length_quartiles never funnels a language through one task") {
+    val plan = executedPlan(WindowOps.lengthQuartiles(spark, sf))
+    // The naive ntile-over-(partition by lang) formulation plans an
+    // Exchange SinglePartition (or a lang-only hash partitioning feeding
+    // a full-language sort). The hierarchical rank must shuffle on
+    // (lang, vb) — every window partition is value-bucket-bounded.
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition window in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(lang") &&
+      plan.contains("vb"), s"rank not bucket-partitioned in:\n$plan")
+  }
+
   test("star_ship_priority pushes both date cutoffs into the parquet scans") {
     val df = graft.operators.StarOps.shippingPriority(spark, sf)
     df.collect()
