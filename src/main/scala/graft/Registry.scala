@@ -386,6 +386,11 @@ object Registry {
     // ---- LLM-pipeline: similarity search over embeddings ----
     q("ann_topk", AnnOps.annTopkOracleSql())((s, d) => AnnOps.annTopK(s, d)),
 
+    // Metadata-filtered exact ANN: candidates pre-filtered to the
+    // query's label before scoring (never a post-filtered top-k).
+    q("ann_topk_filtered", AnnOps.annTopkFilteredOracleSql())(
+      (s, d) => AnnOps.annTopKFiltered(s, d)),
+
     // The LSH scale path for ANN as a first-class checked query: same
     // output contract as ann_topk, oracle generated from the identical
     // fixed-point code/probe constants (no recall mismatch possible).
@@ -529,6 +534,11 @@ object Registry {
     // Boilerplate probe: corpus-wide top-20 bigram heavy hitters.
     q("top_bigrams", TextOps.topBigramsOracleSql())(
       (s, d) => TextOps.topBigrams(s, d)),
+
+    // Vocabulary coverage: frequency-induced fixed-size vocab (bounded
+    // top-K) broadcast against the token stream; per-lang OOV share.
+    q("vocab_oov", TextOps.VocabOovOracleSql)(
+      (s, d) => TextOps.vocabOovAudit(s, d)),
 
     q("token_count_bpe",
       """WITH t AS (

@@ -108,6 +108,50 @@ object AnnOps {
     rankTopK(s, scored, k)
   }
 
+  /** Metadata-filtered exact top-k: neighbors restricted to candidates
+    * sharing the query's `label` — the filtered-ANN shape every retrieval
+    * pipeline needs (search within a class / tenant / shard). PRE-filter,
+    * not post-filter: the label equi-condition joins before scoring, so
+    * only same-label pairs are ever scored (a post-filter top-k under-
+    * fills k whenever the filter is selective). The label join is a
+    * broadcast hash join on the tiny query side — the candidate scan
+    * never shuffles, and per-candidate work drops by the filter's
+    * selectivity vs the unfiltered path.
+    */
+  def annTopKFiltered(s: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+      col("label").as("c_label"))
+    val scored = cand
+      .join(broadcast(q), col("q_label") === col("c_label") &&
+        col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
+    rankTopK(s, scored, k)
+  }
+
+  def annTopkFilteredOracleSql(k: Int = 10, nQueries: Int = 5): String =
+    s"""WITH q AS (
+       | SELECT vec_id AS q_id, embedding AS qv, label AS ql
+       | FROM embeddings WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv, label AS cl FROM embeddings),
+       |p AS (
+       | SELECT q_id, c_id,
+       |  round(
+       |   list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform(qv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(cv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS cosine_r6
+       | FROM q, c WHERE q_id <> c_id AND ql = cl),
+       |r AS (
+       | SELECT q_id, c_id, cosine_r6,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+       | FROM p)
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   /** DuckDB oracle for [[annTopK]]: brute-force rounded-cosine ranking
     * with id tie-breaks (moved here from the registry so the recall-audit
     * oracle composes from the same text).

@@ -664,6 +664,46 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Vocabulary coverage / OOV-rate audit: induce a frequency-ranked
+    * vocabulary of [[VocabSize]] tokens from the corpus itself (count
+    * desc, token asc at the boundary — deterministic), then report each
+    * language's out-of-vocabulary token share in basis points — the
+    * pre-tokenizer-training check that tells you which languages a
+    * shared vocab will shortchange.
+    *
+    * Scale shape: the vocab build is a token-count aggregation (map-side
+    * combined) collapsed through a bounded top-K (TakeOrderedAndProject,
+    * never a global sort), and the coverage pass joins the corpus's
+    * token stream against the BROADCAST vocab — fixed-size by
+    * construction — so the second pass is map-side only.
+    */
+  val VocabSize: Int = 1000
+
+  def vocabOovAudit(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(VocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_bp", expr("(oov_tokens * 10000) div tokens"))
+      .orderBy("lang")
+  }
+
+  val VocabOovOracleSql: String =
+    s"""WITH t AS (
+       | SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+       |v AS (SELECT tok FROM t GROUP BY tok ORDER BY count(*) DESC, tok LIMIT $VocabSize)
+       |SELECT lang, count(*) AS tokens,
+       | CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS oov_tokens,
+       | (CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS BIGINT) * 10000) // count(*) AS oov_bp
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val SourceOverlapOracleSql: String =
     """WITH tok AS (
       | SELECT source, regexp_extract_all(text, '\S+') AS toks FROM documents),
