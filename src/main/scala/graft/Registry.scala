@@ -150,6 +150,11 @@ object Registry {
     q("source_overlap", TextOps.SourceOverlapOracleSql)(
       (s, d) => TextOps.sourceNgramOverlap(s, d)),
 
+    // Per-source distinctive-token lift (support-floored, integer bp):
+    // what a mixture reweighting would amplify per source.
+    q("token_lift", TextOps.TokenLiftOracleSql)(
+      (s, d) => TextOps.tokenLiftProfile(s, d)),
+
     // ---- Window functions / sessionization ----
     q("window_funcs",
       """SELECT event_id, user_id,

@@ -104,13 +104,19 @@ object LayoutOps {
     * boundary (the rows a masking-aware loader needs).
     *
     * Scale shape: the global token prefix sum runs HIERARCHICALLY, the
-    * same pattern as [[WindowOps.peakConcurrency]] — per-bucket token
-    * sums (map-side combined) feed a carry-in window over N/bucket
-    * narrow rows, and the per-document running sum is windowed WITHIN
-    * each bucket, so no task ever sees the whole corpus ordered. Sizing
-    * bucket ~ √N balances the two levels (and a third level slots in the
-    * same way if N/bucket is still hot); the flat single-window oracle
-    * is the independent serial algorithm. All integer arithmetic.
+    * same pattern as [[WindowOps.peakConcurrency]] — but THREE levels
+    * deep (r9): per-bucket token sums (map-side combined) roll up again
+    * into superbuckets of `bucket` buckets, the only partition-less
+    * serial window runs over the N/bucket² superbucket rows, each
+    * bucket's carry-in is windowed WITHIN its superbucket, and the
+    * per-document running sum is windowed within its bucket — so the
+    * serial tail shrinks from N/bucket to N/bucket² (64 → 4096× at the
+    * default width), and a fourth level slots in the same way. The
+    * bucket→document carry join is NOT hint-broadcast: the carry frame
+    * is O(N/bucket) rows, so AQE broadcasts it while it is small and
+    * keeps the shuffle join once it isn't — the decision that scales.
+    * The flat single-window oracle is the independent serial algorithm.
+    * All integer arithmetic.
     */
   def packSequences(
       s: SparkSession,
@@ -123,14 +129,23 @@ object LayoutOps {
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
           .cast("long").as("n_tokens"))
       .withColumn("b", expr(s"doc_id div $bucket"))
-    val carry = t.groupBy("b").agg(sum("n_tokens").as("bsum"))
-      .withColumn("carry_in",
+    val bsums = t.groupBy("b").agg(sum("n_tokens").as("bsum"))
+      .withColumn("sb", expr(s"b div $bucket"))
+    val sbCarry = bsums.groupBy("sb").agg(sum("bsum").as("sbsum"))
+      .withColumn("sb_carry",
         coalesce(
-          sum("bsum").over(Window.orderBy("b")
+          sum("sbsum").over(Window.orderBy("sb")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("sb", "sb_carry")
+    val carry = bsums.join(sbCarry, Seq("sb"))
+      .withColumn("carry_in",
+        col("sb_carry") + coalesce(
+          sum("bsum").over(Window.partitionBy("sb").orderBy("b")
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select("b", "carry_in")
-    t.join(broadcast(carry), Seq("b"))
+    t.join(carry, Seq("b"))
       .withColumn("off",
         col("carry_in") + coalesce(
           sum("n_tokens").over(Window.partitionBy("b").orderBy("doc_id")

@@ -704,6 +704,65 @@ object TextOps {
        | (CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS BIGINT) * 10000) // count(*) AS oov_bp
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Distinctive-token profile per source: each source's top-k tokens by
+    * LIFT — P(tok | source) / P(tok), in integer basis points — with a
+    * minimum-support floor so rare-token noise can't dominate. The
+    * mixture-curation companion to [[sourceNgramOverlap]]: overlap says
+    * how much two sources share, lift says what makes each one distinct
+    * (the tokens a reweighting would amplify or suppress).
+    *
+    * Scale shape: all four frames reduce through map-side-combined
+    * aggregations of the SAME (source, tok) count frame — the raw token
+    * stream is shuffled once; corpus totals re-aggregate the collapsed
+    * counts. Per-source totals and the grand total broadcast (|sources|
+    * rows / 1 row); the rank window partitions by source over its
+    * vocab-bounded, support-floored token rows, never raw text. Lift is
+    * integer `div` end to end — no float ratio crosses the oracle.
+    */
+  def tokenLiftProfile(
+      s: SparkSession,
+      dir: String,
+      k: Int = 3,
+      minCount: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens).as("tok"))
+    val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_src"))
+    val byTok = bySrc.groupBy("tok").agg(sum("c_src").as("c_all"))
+    val bySrcTotal = bySrc.groupBy("source").agg(sum("c_src").as("s_src"))
+    val grand = bySrc.agg(sum("c_src").as("s_all"))
+    bySrc.filter(col("c_src") >= minCount)
+      .join(byTok, Seq("tok"))
+      .join(broadcast(bySrcTotal), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn("lift_bp", expr("(c_src * s_all * 10000) div (c_all * s_src)"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("lift_bp").desc, col("tok"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("tok"), col("c_src"), col("lift_bp"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  val TokenLiftOracleSql: String =
+    """WITH t AS (
+      | SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+      |bs AS (SELECT source, tok, count(*) AS c_src FROM t GROUP BY 1, 2),
+      |bt AS (SELECT tok, CAST(sum(c_src) AS BIGINT) AS c_all FROM bs GROUP BY 1),
+      |st AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS s_src FROM bs GROUP BY 1),
+      |g AS (SELECT CAST(sum(c_src) AS BIGINT) AS s_all FROM bs),
+      |l AS (
+      | SELECT source, tok, c_src,
+      |  (c_src * s_all * 10000) // (c_all * s_src) AS lift_bp
+      | FROM bs CROSS JOIN g JOIN bt USING (tok) JOIN st USING (source)
+      | WHERE c_src >= 10),
+      |r AS (
+      | SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |   ORDER BY lift_bp DESC, tok) AS BIGINT) AS rk
+      | FROM l)
+      |SELECT source, tok, c_src, lift_bp, rk FROM r WHERE rk <= 3
+      |ORDER BY source, rk""".stripMargin
+
   val SourceOverlapOracleSql: String =
     """WITH tok AS (
       | SELECT source, regexp_extract_all(text, '\S+') AS toks FROM documents),
