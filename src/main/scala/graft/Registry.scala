@@ -730,7 +730,14 @@ object Registry {
     // columnar format; the oracle digest of the ORIGINAL table is
     // format-independent, so any ORC round-trip loss breaks the hash).
     q("sink_roundtrip_orc", sinks.ParquetSink.roundtripOracleSql)(
-      (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "orc"))
+      (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "orc")),
+
+    // Third format arm: JSONL. The digest's poly-hash over every text
+    // byte is exactly what catches JSON string-escaping loss; the
+    // read-back pays JSON's schema-inference scan, which is the
+    // documented cost of the format, not a harness artifact.
+    q("sink_roundtrip_jsonl", sinks.ParquetSink.roundtripOracleSql)(
+      (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "json"))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
