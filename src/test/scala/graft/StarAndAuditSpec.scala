@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnOps, LayoutOps, StarOps, TextOps}
+
+/** Behavioral invariants for the late-r9 additions — the tier below the
+  * DuckDB oracle gate: properties that must hold on ANY corpus, so a
+  * future data or code change that silently breaks semantics fails here
+  * even if it happens to keep hash-matching its oracle.
+  */
+class StarAndAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("zonemap audit conserves rows and never reads fewer rows than match") {
+    val rows = LayoutOps.zoneMapAudit(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("ingest", "datesort"))
+    val totals = rows.map(_.getLong(3)).toSet
+    assert(totals.size == 1, s"layouts disagree on rows_total: $totals")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "files_read > files_total")
+      assert(r.getLong(4) <= r.getLong(3), "rows_read > rows_total")
+      assert(r.getLong(4) >= r.getLong(5), "pruning dropped matching rows")
+      assert(r.getLong(6) >= 10000 || r.getLong(5) == 0L,
+        "read amplification below 1x with matches present")
+    }
+    // The point of the audit: sorting by the filter column prunes at
+    // least as well as arrival order.
+    val byLayout = rows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(byLayout("datesort") <= byLayout("ingest"))
+  }
+
+  test("token lift ranks at most k in-support tokens per source, lift positive") {
+    val rows = TextOps.tokenLiftProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 3, s"$src has ${rs.length} ranked tokens")
+      assert(rs.map(_.getLong(4)).sorted.sameElements(1L to rs.length), src)
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 10, "support floor violated")
+      assert(r.getLong(3) > 0, "non-positive lift ranked")
+    }
+  }
+
+  test("vocab OOV shares are valid basis points") {
+    val rows = TextOps.vocabOovAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "oov_tokens > tokens")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000, "oov_bp out of range")
+    }
+  }
+
+  test("filtered ANN returns only same-label neighbors") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = AnnOps.annTopKFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"query ${r.getLong(0)} matched cross-label candidate ${r.getLong(1)}")
+    }
+  }
+
+  test("promo share is a valid fraction of total revenue") {
+    val rows = StarOps.promoShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(3),
+        "promo revenue outside [0, total]")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000, "share_bp out of range")
+    }
+  }
+
+  test("source overlap emits each unordered pair once") {
+    val rows = TextOps.sourceNgramOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.forall { case (a, b) => a < b }, "unordered pair emitted")
+    assert(pairs.distinct.length == pairs.length, "duplicate pair")
+    rows.foreach(r => assert(r.getLong(2) > 0))
+  }
+}
