@@ -247,6 +247,15 @@ object Registry {
         |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin)(JoinOps.customerOrderCensus),
 
+    // Referential-integrity audit: five FK relationships, one pass per
+    // fact table, null-count existence joins — the pre-publish contract.
+    q("ri_audit", JoinOps.RiAuditOracleSql)((s, d) => JoinOps.riAudit(s, d)),
+
+    // Shard-merge aggregation vs the oracle's DIRECT aggregate: proves
+    // partial-agg maintenance is exactly associative (decimal partials).
+    q("agg_shard_merge", EtlOps.ShardMergeOracleSql)(
+      (s, d) => EtlOps.shardMergeAgg(s, d)),
+
     // ---- Full star schema: the part/supplier arms (StarOps) ----
     // Two broadcast-hinted bounded dims (nation, supplier) + part left
     // to Catalyst/AQE (auto-broadcast at bench SF, shuffle join at

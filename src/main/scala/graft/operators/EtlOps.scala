@@ -215,4 +215,45 @@ object EtlOps {
        | $cols
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** Shard-merge aggregation: compute per-(day, type) partial aggregates
+    * on two disjoint event shards, union the partials, and re-aggregate —
+    * the incremental-maintenance shape of every 100 TB metrics pipeline
+    * (yesterday's compacted partials + today's increment re-aggregate
+    * instead of rescanning history). The ORACLE computes the aggregate
+    * DIRECTLY over the unsharded table, so the gate proves the merge is
+    * exactly associative: counts re-sum and decimal sums re-add with no
+    * drift (the property that fails if someone "optimizes" the partial
+    * to a rounded double).
+    *
+    * Scale shape: each shard's partial agg is map-side combined and
+    * keyed on (day, type); the merge re-aggregates frames whose size is
+    * key-cardinality-bounded, not row-bounded.
+    */
+  def shardMergeAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      expr("ts_us div 86400000000").as("epoch_day"),
+      col("event_type"), col("event_id"), col("value"))
+    val shards = (0L to 1L).map { k =>
+      ev.filter(col("event_id") % 2 === k)
+        .groupBy("epoch_day", "event_type")
+        .agg(
+          count(lit(1)).as("c"),
+          sum(col("value").cast("decimal(25,10)")).as("v"))
+    }
+    shards.reduce(_ union _)
+      .groupBy("epoch_day", "event_type")
+      .agg(
+        sum("c").as("events"),
+        floor(coalesce(sum("v"), lit(0).cast("decimal(25,10)")) * 1000)
+          .cast("long").as("value_milli"))
+      .orderBy("epoch_day", "event_type")
+  }
+
+  /** Direct unsharded aggregate — the independent formulation. */
+  val ShardMergeOracleSql: String =
+    """SELECT epoch_us(ts) // 86400000000 AS epoch_day, event_type,
+      | count(*) AS events,
+      | CAST(floor(coalesce(sum(CAST(value AS DECIMAL(25,10))), 0) * 1000) AS BIGINT) AS value_milli
+      |FROM events GROUP BY 1, 2 ORDER BY epoch_day, event_type""".stripMargin
 }

@@ -94,6 +94,79 @@ object JoinOps {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Referential-integrity audit across the star: orphan counts for the
+    * five foreign-key relationships (lineitem→orders/part/supplier,
+    * orders→customer, customer→nation) — the data-contract check an
+    * ingest pipeline runs before publishing a snapshot.
+    *
+    * Scale shape: ONE pass per fact table, not one per relationship —
+    * lineitem resolves all three of its lookups in a single plan
+    * (orders by shuffle key join at scale, part/supplier marked
+    * existence joins), and each check is a null-count aggregate, so the
+    * shuffle carries keys only. The dimension existence sides carry one
+    * key column each. Output is one row per relationship — fixed.
+    */
+  def riAudit(s: SparkSession, dir: String): DataFrame = {
+    def exists(df: DataFrame, key: String, flag: String): DataFrame =
+      df.select(col(key)).distinct().withColumn(flag, lit(1))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(exists(Tables.orders(s, dir), "o_orderkey", "has_o"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(exists(Tables.part(s, dir), "p_partkey", "has_p")),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(exists(Tables.supplier(s, dir), "s_suppkey", "has_s")),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("has_o").isNull, 1L).otherwise(0L)).as("orph_o"),
+        sum(when(col("has_p").isNull, 1L).otherwise(0L)).as("orph_p"),
+        sum(when(col("has_s").isNull, 1L).otherwise(0L)).as("orph_s"))
+      .selectExpr(
+        """stack(3,
+          | 'lineitem->orders',   n, orph_o,
+          | 'lineitem->part',     n, orph_p,
+          | 'lineitem->supplier', n, orph_s) as (relationship, fact_rows, orphans)""".stripMargin)
+    val ord = Tables.orders(s, dir).select(col("o_custkey"))
+      .join(exists(Tables.customer(s, dir), "c_custkey", "has_c"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("fact_rows"),
+        sum(when(col("has_c").isNull, 1L).otherwise(0L)).as("orphans"))
+      .select(lit("orders->customer").as("relationship"),
+        col("fact_rows"), col("orphans"))
+    val cust = Tables.customer(s, dir).select(col("c_nationkey"))
+      .join(broadcast(exists(Tables.nation(s, dir), "n_nationkey", "has_n")),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .agg(count(lit(1)).as("fact_rows"),
+        sum(when(col("has_n").isNull, 1L).otherwise(0L)).as("orphans"))
+      .select(lit("customer->nation").as("relationship"),
+        col("fact_rows"), col("orphans"))
+    li.union(ord).union(cust).orderBy("relationship")
+  }
+
+  val RiAuditOracleSql: String =
+    """SELECT * FROM (
+      | SELECT 'lineitem->orders' AS relationship, count(*) AS fact_rows,
+      |  CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM orders) THEN 0 ELSE 1 END) AS BIGINT) AS orphans
+      | FROM lineitem
+      | UNION ALL
+      | SELECT 'lineitem->part', count(*),
+      |  CAST(sum(CASE WHEN l_partkey IN (SELECT p_partkey FROM part) THEN 0 ELSE 1 END) AS BIGINT)
+      | FROM lineitem
+      | UNION ALL
+      | SELECT 'lineitem->supplier', count(*),
+      |  CAST(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM supplier) THEN 0 ELSE 1 END) AS BIGINT)
+      | FROM lineitem
+      | UNION ALL
+      | SELECT 'orders->customer', count(*),
+      |  CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 0 ELSE 1 END) AS BIGINT)
+      | FROM orders
+      | UNION ALL
+      | SELECT 'customer->nation', count(*),
+      |  CAST(sum(CASE WHEN c_nationkey IN (SELECT n_nationkey FROM nation) THEN 0 ELSE 1 END) AS BIGINT)
+      | FROM customer)
+      |ORDER BY relationship""".stripMargin
+
   /** Semi/anti join census: per market segment, customers with and
     * without any order — `left_semi` and `left_anti` against the fact
     * table (both shuffle only the key column).
