@@ -295,6 +295,11 @@ object Registry {
 
     q("pagerank", GraphOps.pagerankOracleSql(10))((s, d) => GraphOps.pagerank(s, d, 10)),
 
+    // Weighted PageRank: rank mass split by co-purchase multiplicity
+    // over out-strength; same exchange-free loop, unrolled oracle.
+    q("pagerank_weighted", GraphOps.pagerankWeightedOracleSql(10))(
+      (s, d) => GraphOps.pagerankWeighted(s, d, 10)),
+
     // The reference's headline PageRank artifact: top-N nodes by score
     // (pagerank_spark.py:204). Fixed-point scores make the ranking exact.
     q("pagerank_topk", GraphOps.pagerankTopKOracleSql(10, 20))(

@@ -167,6 +167,58 @@ object GraphOps {
     scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
   }
 
+  /** Weighted PageRank: co-purchase multiplicity as edge weight, each
+    * node's rank mass split proportionally to edge weight over its
+    * out-STRENGTH (sum of weights) instead of uniformly over degree —
+    * the variant that matters when edges carry counts (a pair
+    * co-purchased 50× should pull more rank than a one-off). Same
+    * fixed-point integer contract and the SAME loop discipline as
+    * [[pagerank]]: dst-partitioned weighted-edge cache built once,
+    * size-guarded broadcast of the per-round score frame (zero exchanges
+    * inside the loop), per-round lineage truncation. Contribution is
+    * `(85 · score · w) div (100 · strength)` — exact in both engines;
+    * the oracle unrolls the identical recurrence.
+    */
+  def pagerankWeighted(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val und = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val dirEdges = und.select(col("src"), col("dst"), col("w"))
+      .union(und.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val strength = dirEdges.groupBy("src").agg(sum("w").as("strength"))
+    val edgesW = dirEdges
+      .join(strength, "src")
+      .select(col("src"), col("dst"), col("w"), col("strength"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val teleport = (15L * Scale) / (100L * n)
+
+    var scores = nodes.withColumn("score", lit(Scale / n))
+    for (i <- 1 to iters) {
+      val contribs = edgesW
+        .join(roundSide(scores.withColumnRenamed("node", "src"), n), "src")
+        .select(
+          col("dst").as("node"),
+          expr(s"(85 * score * w) div (100 * strength)").as("contrib"))
+        .groupBy("node")
+        .agg(sum("contrib").as("contrib"))
+      scores = nodes
+        .join(roundSide(contribs, n), Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score"))
+      if (i < iters) scores = truncate(s, scores)
+    }
+    scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
+  }
+
   /** Top-k nodes by PageRank score — the reference's headline artifact
     * (reference: analysis/pagerank_spark.py:204 prints the top-N nodes by
     * score). Fixed-point scores make the ranking exact; ties break by
@@ -523,6 +575,39 @@ object GraphOps {
     pagerankChainSql(iters) + s"""
       |SELECT node, CAST(score AS BIGINT) AS score_fp FROM r$iters
       |ORDER BY score DESC, node LIMIT $k""".stripMargin
+
+  /** DuckDB oracle for [[pagerankWeighted]] — the identical weighted
+    * recurrence, unrolled.
+    */
+  def pagerankWeightedOracleSql(iters: Int = 10): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH und AS MATERIALIZED (
+        | SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2),
+        |edges AS MATERIALIZED (SELECT src, dst, w FROM und UNION ALL SELECT dst AS src, src AS dst, w FROM und),
+        |deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS strength FROM edges GROUP BY src),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        |r0 AS MATERIALIZED (SELECT node, 1000000000000 // (SELECT n FROM nn) AS score FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |r$i AS MATERIALIZED (
+        | SELECT nd.node,
+        |  (15::BIGINT * 1000000000000) // (100::BIGINT * (SELECT n FROM nn))
+        |   + coalesce(c.contrib, 0) AS score
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT e.dst AS node,
+        |   CAST(sum((85::BIGINT * r.score * e.w) // (100::BIGINT * d.strength)) AS BIGINT) AS contrib
+        |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, CAST(score AS BIGINT) AS score_fp FROM r$iters ORDER BY node""".stripMargin)
+    sb.toString
+  }
 
   private def pagerankChainSql(iters: Int): String = {
     val sb = new StringBuilder
