@@ -256,6 +256,11 @@ object Registry {
     q("agg_shard_merge", EtlOps.ShardMergeOracleSql)(
       (s, d) => EtlOps.shardMergeAgg(s, d)),
 
+    // RFM segmentation: three exact-NTILE quartile dimensions via the
+    // hierarchical rank helper (no single-partition windows) vs three
+    // native-NTILE oracle windows.
+    q("rfm_segments", RfmOps.RfmOracleSql)((s, d) => RfmOps.rfmSegments(s, d)),
+
     // ---- Full star schema: the part/supplier arms (StarOps) ----
     // Two broadcast-hinted bounded dims (nation, supplier) + part left
     // to Catalyst/AQE (auto-broadcast at bench SF, shuffle join at

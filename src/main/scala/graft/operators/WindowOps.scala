@@ -285,29 +285,13 @@ object WindowOps {
     * cross-check of the rank math.
     */
   def lengthQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val vbWidth = 16L
     val docs = Tables.documents(s, dir)
       .select(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("vb", expr(s"n_chars div $vbWidth"))
-    val carry = docs.groupBy("lang", "vb")
-      .agg(count(lit(1)).as("c"))
-      .withColumn("carry_in",
-        coalesce(
-          sum("c").over(Window.partitionBy("lang").orderBy("vb")
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("lang", "vb", "carry_in")
     val totals = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-    docs.join(carry, Seq("lang", "vb"))
-      .withColumn("rk",
-        col("carry_in") + row_number().over(
-          Window.partitionBy("lang", "vb").orderBy("n_chars", "doc_id")))
+    RankOps.withHierarchicalRank(docs, Seq("lang"), "n_chars", "doc_id",
+        "n_chars div 16", "rk")
       .join(broadcast(totals), Seq("lang"))
-      .withColumn("quartile", expr(
-        """CASE WHEN rk <= (cnt div 4 + 1) * (cnt % 4)
-          | THEN (rk - 1) div (cnt div 4 + 1) + 1
-          | ELSE (cnt % 4) + (rk - 1 - (cnt div 4 + 1) * (cnt % 4)) div (cnt div 4) + 1
-          |END""".stripMargin).cast("long"))
+      .withColumn("quartile", RankOps.ntileOf("rk", "cnt", 4).cast("long"))
       .groupBy("lang", "quartile")
       .agg(
         count(lit(1)).as("docs"),
