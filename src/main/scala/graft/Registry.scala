@@ -439,6 +439,11 @@ object Registry {
     q("ann_lshpq_topk", PqOps.lshPqOracleSql())((s, d) => PqOps.annLshPqTopK(s, d)),
     q("ann_recall_lshpq", PqOps.annRecallLshPqOracleSql())(PqOps.annRecallLshPq),
 
+    // Sub-document span duplication map: positional 8-token spans shared
+    // with another doc, per-doc boilerplate fraction in bp.
+    q("span_dedup", TextOps.SpanDedupOracleSql)(
+      (s, d) => TextOps.spanDedup(s, d)),
+
     // Exact inverted-index n-gram Jaccard: same output contract as
     // dedup_minhash (and the same oracle), but with no probabilistic stage.
     q("dedup_ngram",

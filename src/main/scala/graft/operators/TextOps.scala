@@ -664,6 +664,55 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** Span-level duplication map: for every document, how many of its
+    * positional `n`-token spans (rolling, NOT per-doc-distinct) appear
+    * verbatim in at least one OTHER document — the sub-document
+    * exact-substring dedup signal (doc-level Jaccard says "these two
+    * docs are similar"; this says "42% of THIS doc's token positions
+    * are boilerplate shared with the rest of the corpus", the number a
+    * span-removal pass acts on).
+    *
+    * Scale shape: the positional explode is O(corpus tokens) narrow
+    * rows; the multi-doc gram set comes from a (doc, gram)-distinct
+    * aggregation (map-side combined) and joins back by gram key — work
+    * scales with true cross-document collisions, the same contract as
+    * the n-gram dedup family. No broadcast of anything corpus-sized.
+    */
+  def spanDedup(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = toks.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))"))
+      .as("g"))
+    val multi = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("dc"))
+      .filter(col("dc") >= 2)
+      .select(col("g"), lit(1L).as("dup"))
+    grams.join(multi, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_bp", expr("(dup_spans * 10000) div n_spans"))
+      .orderBy("doc_id")
+  }
+
+  val SpanDedupOracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |g AS (
+      | SELECT doc_id, unnest([array_to_string(toks[i:i+7], ' ')
+      |   for i in range(1, len(toks) - 6)]) AS g
+      | FROM tok WHERE len(toks) >= 8),
+      |multi AS (
+      | SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g
+      | HAVING count(*) >= 2)
+      |SELECT doc_id, count(*) AS n_spans,
+      | CAST(sum(CASE WHEN g IN (SELECT g FROM multi) THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+      | (CAST(sum(CASE WHEN g IN (SELECT g FROM multi) THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS dup_bp
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Vocabulary coverage / OOV-rate audit: induce a frequency-ranked
     * vocabulary of [[VocabSize]] tokens from the corpus itself (count
     * desc, token asc at the boundary — deterministic), then report each
