@@ -202,11 +202,16 @@ object GraphOps {
 
     var scores = nodes.withColumn("score", lit(Scale / n))
     for (i <- 1 to iters) {
+      // STAGED: (score·w) div strength first (≤ score, since w ≤
+      // strength), then the 85/100 damping — the single monomial
+      // 85·score·w overflows BIGINT once a hot pair's multiplicity
+      // passes ~10⁶ at fixed-point scale 10¹²; staged, the bound is
+      // w ≤ ~9×10⁶ per edge. The oracle stages identically.
       val contribs = edgesW
         .join(roundSide(scores.withColumnRenamed("node", "src"), n), "src")
         .select(
           col("dst").as("node"),
-          expr(s"(85 * score * w) div (100 * strength)").as("contrib"))
+          expr(s"(85 * ((score * w) div strength)) div 100").as("contrib"))
         .groupBy("node")
         .agg(sum("contrib").as("contrib"))
       scores = nodes
@@ -600,7 +605,7 @@ object GraphOps {
         |   + coalesce(c.contrib, 0) AS score
         | FROM nodes nd LEFT JOIN (
         |  SELECT e.dst AS node,
-        |   CAST(sum((85::BIGINT * r.score * e.w) // (100::BIGINT * d.strength)) AS BIGINT) AS contrib
+        |   CAST(sum((85::BIGINT * ((r.score * e.w) // d.strength)) // 100::BIGINT) AS BIGINT) AS contrib
         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
         |  GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin)
     }

@@ -122,7 +122,10 @@ object StarOps {
     * The share is integer basis points — milli-revenue of the promo
     * slice `div` milli-revenue of the whole month — so no raw double
     * division reaches the output. One fact scan; `part` contributes two
-    * columns through the join.
+    * columns through the join. Overflow headroom: the bp numerator is
+    * monthly-milli-revenue × 10⁴, which stays inside BIGINT until a
+    * single month clears ~9×10¹⁴ currency units — not a 100 TB concern
+    * because the month grouping bounds the summand.
     */
   def promoShare(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

