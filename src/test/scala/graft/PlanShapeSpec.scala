@@ -134,6 +134,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected hash exchanges on $hashExchanges in:\n$plan")
   }
 
+  test("ri_audit existence joins never repartition a fact table") {
+    val plan = executedPlan(graft.operators.JoinOps.riAudit(spark, sf))
+    // part/supplier/nation existence sides broadcast; the only hash
+    // exchanges allowed are on join keys of the orders-side lookups and
+    // the dimension-distinct aggregations — never a fact repartition
+    // for a broadcast-able dim.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"existence joins not broadcast in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_partkey") &&
+      !plan.contains("Exchange hashpartitioning(l_suppkey"),
+      s"lineitem repartitioned for a dim lookup in:\n$plan")
+  }
+
   test("length_quartiles never funnels a language through one task") {
     val plan = executedPlan(WindowOps.lengthQuartiles(spark, sf))
     // The naive ntile-over-(partition by lang) formulation plans an

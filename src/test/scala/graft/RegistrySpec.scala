@@ -13,6 +13,12 @@ class RegistrySpec extends AnyFunSuite {
   private lazy val results: Map[String, Array[org.apache.spark.sql.Row]] =
     Registry.queries.map { case (name, fn) => name -> fn(spark, sf).collect() }
 
+  test("registered query names are unique (Map conversion would shadow dups)") {
+    val names = Registry.all.map(_.name)
+    val dups = names.diff(names.distinct)
+    assert(dups.isEmpty, s"duplicate registry names: $dups")
+  }
+
   test("every registered query returns rows at sf0.001") {
     results.foreach { case (name, rows) =>
       assert(rows.nonEmpty, s"$name returned no rows")
