@@ -744,6 +744,12 @@ object Registry {
     q("sink_roundtrip", sinks.ParquetSink.roundtripOracleSql)(
       (s, d) => sinks.ParquetSink.roundtripAudit(s, d)),
 
+    // Equi-depth range-partition boundaries via the hierarchical rank
+    // (exact, reproducible repartitionByRange planning) vs a native
+    // flat row_number oracle.
+    q("range_boundaries", LayoutOps.RangeBoundariesOracleSql)(
+      (s, d) => LayoutOps.rangeBoundaries(s, d)),
+
     // Zone-map (file footer min/max) pruning audit: ingest-ordered vs
     // date-sorted simulated file layouts against a one-month predicate —
     // the data-skipping half of the layout story next to zorder_plan.

@@ -177,6 +177,49 @@ object LayoutOps {
        | CAST((off // $seqLen) <> ((off + greatest(n_tokens, 1) - 1) // $seqLen) AS BIGINT) AS straddles
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Equi-depth range-partition boundary export: the B row-count-balanced
+    * split points of the event stream's time axis — what
+    * `repartitionByRange` / a time-range table layout needs planned
+    * AHEAD of a 100 TB write (Spark's own range partitioner samples;
+    * this is the exact, reproducible version). A row is a boundary iff
+    * its global rank crosses an i·N/B threshold; emitted per boundary:
+    * its ordinal, timestamp, and exact rank.
+    *
+    * Scale shape: the global rank is [[RankOps.withHierarchicalRank]]
+    * over per-day value buckets — bucket counts collapse map-side, the
+    * serial carry window touches only the day domain, and row ranks are
+    * per-(day)-windowed. The boundary filter is a codegen predicate on
+    * (rank, broadcast total). Output is exactly B rows. The oracle runs
+    * a native flat row_number — independent algorithm.
+    */
+  val RangeBuckets = 32L
+
+  def rangeBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("ts_us"), col("event_id"))
+    val cnt = ev.agg(count(lit(1)).as("cnt"))
+    RankOps.withHierarchicalRank(ev, Seq.empty, "ts_us", "event_id",
+        "ts_us div 86400000000", "rk")
+      .crossJoin(broadcast(cnt))
+      .filter(expr(
+        s"(rk * $RangeBuckets) div cnt > ((rk - 1) * $RangeBuckets) div cnt"))
+      .select(
+        expr(s"(rk * $RangeBuckets) div cnt").as("boundary_id"),
+        col("ts_us").as("boundary_ts_us"), col("rk").as("rank"))
+      .orderBy("boundary_id")
+  }
+
+  val RangeBoundariesOracleSql: String =
+    s"""WITH e AS (
+       | SELECT epoch_us(ts) AS ts_us, event_id,
+       |  CAST(row_number() OVER (ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rk
+       | FROM events),
+       |n AS (SELECT count(*) AS cnt FROM e)
+       |SELECT (rk * $RangeBuckets) // cnt AS boundary_id,
+       | ts_us AS boundary_ts_us, rk AS rank
+       |FROM e CROSS JOIN n
+       |WHERE (rk * $RangeBuckets) // cnt > ((rk - 1) * $RangeBuckets) // cnt
+       |ORDER BY boundary_id""".stripMargin
+
   /** Zone-map pruning audit defaults: simulated rows-per-file for the
     * ingest-ordered layout, days-per-file for the date-sorted layout,
     * and the one-month probe predicate (integral epoch days for
