@@ -305,6 +305,11 @@ object Registry {
     q("pagerank_weighted", GraphOps.pagerankWeightedOracleSql(10))(
       (s, d) => GraphOps.pagerankWeighted(s, d, 10)),
 
+    // HITS hubs/authorities over the bipartite purchase graph: integer
+    // L1-normalized rounds, twice-partitioned edge caches, unrolled
+    // oracle of the identical recurrence.
+    q("hits", GraphOps.hitsOracleSql(10))((s, d) => GraphOps.hits(s, d, 10)),
+
     // The reference's headline PageRank artifact: top-N nodes by score
     // (pagerank_spark.py:204). Fixed-point scores make the ranking exact.
     q("pagerank_topk", GraphOps.pagerankTopKOracleSql(10, 20))(

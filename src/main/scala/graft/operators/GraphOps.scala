@@ -224,6 +224,98 @@ object GraphOps {
     scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
   }
 
+  /** Fixed-point scale for HITS scores (1.0 == 1e6). Deliberately
+    * smaller than PageRank's [[Scale]]: each HITS round multiplies a
+    * degree-summed raw score by the scale before the normalizing `div`,
+    * so 1e6 keeps every intermediate under ~1e16 at million-degree
+    * hubs — inside BIGINT with three orders of headroom.
+    */
+  val HitsScale: Long = 1000000L
+
+  /** HITS hubs & authorities over the DIRECTED bipartite purchase graph
+    * (customer → part via orders⋈lineitem) — the mutually-recursive
+    * twin of PageRank: a part is authoritative if strong hubs buy it, a
+    * customer is a strong hub if they buy authoritative parts. On this
+    * bipartite graph the two sides are genuinely different (HITS on the
+    * symmetric co-purchase graph would degenerate to hub == authority).
+    * Each round L1-normalizes both frames in integer fixed-point
+    * (`(raw · HitsScale) div Σraw`), so scores are permutation-exact
+    * and the oracle unrolls the identical recurrence.
+    *
+    * Scale shape: same loop discipline as [[pagerank]] — the edge frame
+    * is cached TWICE, partitioned by each round's aggregation key (p
+    * for the authority pass, c for the hub pass), the per-round score
+    * frames ride size-guarded broadcasts, the normalizing sums are
+    * single-row broadcast cross-joins, and lineage truncates per round.
+    * Zero exchanges inside the loop below the broadcast guard.
+    */
+  def hits(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val e = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val eByP = e.repartition(col("p")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eByC = e.repartition(col("c")).persist(StorageLevel.MEMORY_AND_DISK)
+    val custs = e.select("c").distinct()
+    val nC = custs.count()
+    val nP = e.select("p").distinct().count()
+
+    var h = custs.withColumn("score", lit(HitsScale))
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      val araw = eByP.join(roundSide(h, nC), "c")
+        .groupBy("p").agg(sum("score").as("raw"))
+      val asum = araw.agg(sum("raw").as("s"))
+      a = araw.crossJoin(broadcast(asum))
+        .select(col("p"), expr(s"(raw * $HitsScale) div s").as("score"))
+      val hraw = eByC.join(roundSide(a, nP), "p")
+        .groupBy("c").agg(sum("score").as("raw"))
+      val hsum = hraw.agg(sum("raw").as("s"))
+      h = hraw.crossJoin(broadcast(hsum))
+        .select(col("c"), expr(s"(raw * $HitsScale) div s").as("score"))
+      if (i < iters) { a = truncate(s, a); h = truncate(s, h) }
+    }
+    h.select(lit("hub").as("kind"), col("c").as("node"), col("score").as("score_fp"))
+      .union(a.select(lit("authority").as("kind"), col("p").as("node"),
+        col("score").as("score_fp")))
+      .orderBy("kind", "node")
+  }
+
+  /** DuckDB oracle for [[hits]] — the identical normalized recurrence,
+    * unrolled.
+    */
+  def hitsOracleSql(iters: Int = 10): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS MATERIALIZED (
+         | SELECT DISTINCT o_custkey AS c, l_partkey AS p
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS MATERIALIZED (SELECT DISTINCT c, ${HitsScale}::BIGINT AS score FROM e)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |ar$i AS MATERIALIZED (
+        | SELECT p, CAST(sum(h.score) AS BIGINT) AS raw
+        | FROM e JOIN h${i - 1} h USING (c) GROUP BY p),
+        |a$i AS MATERIALIZED (
+        | SELECT p, (raw * ${HitsScale}::BIGINT)
+        |  // CAST((SELECT sum(raw) FROM ar$i) AS BIGINT) AS score FROM ar$i),
+        |hr$i AS MATERIALIZED (
+        | SELECT c, CAST(sum(a.score) AS BIGINT) AS raw
+        | FROM e JOIN a$i a USING (p) GROUP BY c),
+        |h$i AS MATERIALIZED (
+        | SELECT c, (raw * ${HitsScale}::BIGINT)
+        |  // CAST((SELECT sum(raw) FROM hr$i) AS BIGINT) AS score FROM hr$i)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT kind, node, score_fp FROM (
+      | SELECT 'hub' AS kind, c AS node, CAST(score AS BIGINT) AS score_fp FROM h$iters
+      | UNION ALL
+      | SELECT 'authority' AS kind, p AS node, CAST(score AS BIGINT) AS score_fp FROM a$iters)
+      |ORDER BY kind, node""".stripMargin)
+    sb.toString
+  }
+
   /** Top-k nodes by PageRank score — the reference's headline artifact
     * (reference: analysis/pagerank_spark.py:204 prints the top-N nodes by
     * score). Fixed-point scores make the ranking exact; ties break by
