@@ -264,17 +264,22 @@ object GraphOps {
     var h = custs.withColumn("score", lit(HitsScale))
     var a: DataFrame = null
     for (i <- 1 to iters) {
-      val araw = eByP.join(roundSide(h, nC), "c")
-        .groupBy("p").agg(sum("score").as("raw"))
+      // Truncate the RAW frame, not the normalized one: the normalizing
+      // sum and the score projection both consume it, so an
+      // unmaterialized raw plan would execute its edge join TWICE per
+      // round (once under the broadcast sum, once directly — measured
+      // 2× on the whole query). Checkpointing here also bounds lineage,
+      // so no further per-round truncation is needed.
+      val araw = truncate(s, eByP.join(roundSide(h, nC), "c")
+        .groupBy("p").agg(sum("score").as("raw")))
       val asum = araw.agg(sum("raw").as("s"))
       a = araw.crossJoin(broadcast(asum))
         .select(col("p"), expr(s"(raw * $HitsScale) div s").as("score"))
-      val hraw = eByC.join(roundSide(a, nP), "p")
-        .groupBy("c").agg(sum("score").as("raw"))
+      val hraw = truncate(s, eByC.join(roundSide(a, nP), "p")
+        .groupBy("c").agg(sum("score").as("raw")))
       val hsum = hraw.agg(sum("raw").as("s"))
       h = hraw.crossJoin(broadcast(hsum))
         .select(col("c"), expr(s"(raw * $HitsScale) div s").as("score"))
-      if (i < iters) { a = truncate(s, a); h = truncate(s, h) }
     }
     h.select(lit("hub").as("kind"), col("c").as("node"), col("score").as("score_fp"))
       .union(a.select(lit("authority").as("kind"), col("p").as("node"),
