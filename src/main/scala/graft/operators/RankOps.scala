@@ -22,7 +22,11 @@ object RankOps {
     * value-bucket domain, never the rows). `bucketExpr` is a SQL
     * expression over the row that must be ascending-aligned with
     * `value` (same bucket ⇒ contiguous value range), e.g.
-    * `"n_chars div 16"`.
+    * `"n_chars div 16"`. CAVEAT: `div` truncates toward zero, so a
+    * plain `value div K` bucket is ascending-aligned only for
+    * NON-NEGATIVE values (−5 div 16 == +5 div 16 == 0 would merge the
+    * signs); every current caller ranks a non-negative measure — offset
+    * the value first if a signed domain ever needs ranking.
     */
   def withHierarchicalRank(
       df: DataFrame,
