@@ -420,6 +420,11 @@ object Registry {
     q("ann_topk_filtered", AnnOps.annTopkFilteredOracleSql())(
       (s, d) => AnnOps.annTopKFiltered(s, d)),
 
+    // Approximate k-NN graph: top-k neighbors of EVERY vector from its
+    // LSH bucket neighborhood — the semantic-dedup primitive; oracle
+    // runs the identical bucketed algorithm.
+    q("knn_graph", AnnOps.knnGraphOracleSql())((s, d) => AnnOps.knnGraph(s, d)),
+
     // The LSH scale path for ANN as a first-class checked query: same
     // output contract as ann_topk, oracle generated from the identical
     // fixed-point code/probe constants (no recall mismatch possible).

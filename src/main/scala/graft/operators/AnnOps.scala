@@ -314,6 +314,62 @@ object AnnOps {
        | (SELECT count(*) FROM p WHERE c >= $tau) AS dup_pairs""".stripMargin
   }
 
+  /** Approximate k-NN GRAPH: the top-k cosine neighbors of EVERY vector
+    * (not just a query set) from its SimHash bucket neighborhood — the
+    * primitive semantic dedup and cluster-balanced sampling build on
+    * (every vector needs its neighbors before you can prune or
+    * rebalance a corpus). Candidates are DIRECTED bucket pairs (each
+    * vector probes its own Hamming≤1 neighborhood), so every vector
+    * with bucket-mates gets ranked neighbors; the exact-cosine re-rank
+    * flows through the bounded top-k Aggregator (partial agg before the
+    * q_id shuffle).
+    *
+    * Scale: candidate work is Σ bucket-occupancy² — held flat by
+    * [[bitsFor]] growing the code width ~log₂(N); embeddings attach by
+    * id join AFTER candidate generation, so the candidate shuffle
+    * carries (id, id) pairs, never vectors. The oracle runs the
+    * IDENTICAL bucketed algorithm from shared constants.
+    */
+  def knnGraph(
+      s: SparkSession,
+      dir: String,
+      k: Int = 3,
+      bits: Int = DefaultEmbedBits): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val coded = emb.select(col("vec_id"), simhashCode(col("embedding"), bits).as("code"))
+    val masks: Seq[Long] = Seq(0L) ++ (0 until bits).map(1L << _)
+    val probes = coded.select(col("vec_id"),
+      explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("probe"))
+    val cand = probes.as("x")
+      .join(coded.as("y"),
+        col("x.probe") === col("y.code") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("c_id"))
+      .distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qv")), "q_id")
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("cv")), "c_id")
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("cosine_r6"))
+    rankTopK(s, scored, k)
+  }
+
+  def knnGraphOracleSql(k: Int = 3, bits: Int = DefaultEmbedBits): String = {
+    val masks = (Seq(0L) ++ (0 until bits).map(1L << _)).mkString("[", ", ", "]")
+    s"""WITH ${codesSql(bits)},
+       |probes AS (SELECT vec_id, xor(code, unnest($masks)) AS probe FROM codes),
+       |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+       | FROM probes a JOIN codes b ON a.probe = b.code AND a.vec_id <> b.vec_id),
+       |p AS (SELECT c.q_id, c.c_id,
+       | round(list_sum(list_transform(list_zip(x.embedding, y.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cosine_r6
+       | FROM cand c JOIN e x ON c.q_id = x.vec_id JOIN e y ON c.c_id = y.vec_id),
+       |r AS (SELECT q_id, c_id, cosine_r6,
+       | CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+       | FROM p)
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * assigns every vector to a cell; each query probes only its `nProbe`
     * closest cells and re-ranks exactly within them. The centroid table
