@@ -75,6 +75,36 @@ class StarAndAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: both score frames L1-normalize to ~HitsScale and stay positive") {
+    import graft.operators.GraphOps
+    val rows = GraphOps.hits(spark, sf, iters = 3).collect()
+    assert(rows.nonEmpty)
+    val byKind = rows.groupBy(_.getString(0))
+    assert(byKind.keySet == Set("hub", "authority"))
+    byKind.foreach { case (kind, rs) =>
+      rs.foreach(r => assert(r.getLong(2) >= 0, s"negative $kind score"))
+      val sum = rs.map(_.getLong(2)).sum
+      // Integer floor-div normalization loses < 1 unit per node.
+      assert(sum <= GraphOps.HitsScale && sum >= GraphOps.HitsScale - rs.length,
+        s"$kind scores sum to $sum (n=${rs.length})")
+    }
+  }
+
+  test("knn graph ranks are dense, per-vector bounded, and score-monotone") {
+    val rows = graft.operators.AnnOps.knnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.length <= 3, s"vec $q has ${sorted.length} neighbors")
+      assert(sorted.map(_.getLong(2)).sameElements(1L to sorted.length),
+        s"vec $q ranks not dense")
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"vec $q scores not descending")
+      rs.foreach(r => assert(r.getLong(1) != q, s"vec $q is its own neighbor"))
+    }
+  }
+
   test("source overlap emits each unordered pair once") {
     val rows = TextOps.sourceNgramOverlap(spark, sf).collect()
     assert(rows.nonEmpty)
