@@ -12,16 +12,32 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects by default; read it as an epoch-nanos long (the
-    * supported `nanosAsLong` path) and expose an exact epoch-micros column
-    * (`ts_us`, integral `div` — no doubles: epoch-nanos exceeds 2^53).
-    * This matches DuckDB's read of the same file, which truncates to
-    * microsecond TIMESTAMP, so `ts_us` == `epoch_us(ts)` bit-for-bit.
+  /** `events.ts` is parquet TIMESTAMP(NANOS). How Spark surfaces that column
+    * changed across engine versions, so branch on the *read* schema rather
+    * than trusting any conf:
+    *   - older engines with `spark.sql.legacy.parquet.nanosAsLong` honored:
+    *     `ts` arrives as epoch-nanos BIGINT → integral `div 1000` (no doubles:
+    *     epoch-nanos exceeds 2^53).
+    *   - Spark 4.1+: nanos read natively as `timestamp_ntz` (the legacy conf
+    *     still exists in SQLConf but no longer affects the read path) →
+    *     `unix_micros(cast(ts as timestamp))`. The session TZ is pinned UTC
+    *     (GraftSession), so the NTZ→LTZ cast is an exact relabel and the
+    *     nanos→micros truncation matches DuckDB's read of the same file.
+    * Either way the exposed `ts_us` is an epoch-micros BIGINT, bit-for-bit
+    * equal to DuckDB's `epoch_us(ts)`; every downstream operator keys off
+    * `ts_us` only.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+    val df = table(s, d, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("ts div 1000")
+      case _ =>
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
+    df.withColumn("ts_us", tsUs)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -529,7 +529,12 @@ object AnnOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         explode(array(masks.map(m => col("code").bitwiseXOR(lit(m))): _*)).as("probe"))
 
-    val scored = probes
+    // Explicitly broadcast the probe side: it is nQueries x |masks| rows by
+    // construction (bounded, ~1 MB), but post-explode the planner has no
+    // usable size estimate and can drift to a shuffle join on `c_code` —
+    // which shuffles the whole corpus for a 185-row probe set. Pinning the
+    // broadcast keeps the corpus side scan-local at any N.
+    val scored = broadcast(probes)
       .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
         col("code").as("c_code")), col("probe") === col("c_code"))
       .filter(col("q_id") =!= col("c_id"))

@@ -184,4 +184,20 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("Exchange hashpartitioning(l_suppkey"),
       s"fact side shuffled for a dim join in:\n$plan")
   }
+
+  test("ann_lsh_topk broadcasts the probe set — corpus side never shuffles for the bucket join") {
+    // The probe side is nQueries x |masks| rows by construction; a planner
+    // drift to a shuffle join on c_code would shuffle the whole corpus for
+    // a ~200-row probe set (a 28x regression was measured under exactly
+    // that drift on the r9 driver box). The broadcast is now pinned in
+    // AnnOps.annLshTopK; this asserts it structurally.
+    val df = graft.operators.AnnOps.annLshTopKRegistered(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set not broadcast in:\n$plan")
+    // The corpus (candidate) side must reach the bucket join scan-local:
+    // no hash exchange keyed on the simhash bucket code may exist.
+    assert(!"Exchange hashpartitioning\\(c_code".r.findFirstIn(plan).isDefined,
+      s"corpus shuffled on bucket code in:\n$plan")
+  }
 }
