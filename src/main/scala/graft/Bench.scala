@@ -110,6 +110,17 @@ object Bench {
       // medians into cold-cache numbers in r4); clearing here still keeps
       // the session from accumulating every query's persisted frames.
       spark.sharedState.cacheManager.clearCache()
+      // clearCache only drops SQL-cached plans. The iterative operators'
+      // lineage truncation (localCheckpoint) leaves RDD blocks in the
+      // BlockManager that no cacheManager entry references, and per-round
+      // broadcasts linger until the ContextCleaner's GC-driven sweep. Over
+      // a 114-query run those accumulate into storage-eviction churn that
+      // degraded late-alphabet queries up to 40x (a 2.4 s kcore measured
+      // 104 s mid-run; isolated reruns were clean). Release both here so
+      // every query starts from the same empty-storage state.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc() // lets the ContextCleaner reclaim dropped broadcasts
       out
     }
 

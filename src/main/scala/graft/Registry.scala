@@ -714,6 +714,25 @@ object Registry {
     // itself, not just its error bound.
     q("kmv_distinct_users", SketchOps.oracleSql())(SketchOps.kmvDistinctUsers),
 
+    // Fixed-point HyperLogLog with register-merge proof: the single-pass
+    // and per-shard-merged estimates must agree exactly (max-merge
+    // associativity — the property federated counting relies on), and
+    // every step is integer arithmetic so the sketch itself hash-matches.
+    q("hll_distinct_users", HllOps.oracleSql())(HllOps.hllDistinctUsers),
+
+    // Zero-filled (day × event_type) time-series spine — gap days emit
+    // explicit 0 rows; the spine generates from two scalar aggregates,
+    // never a corpus-sized shuffle.
+    q("gapfill_daily", WindowOps.gapfillDailyOracleSql)(
+      (s, d) => WindowOps.gapfillDaily(s, d)),
+
+    // Leakage-safe train/val/test assignment: splits hash the NEAR-DUP
+    // CLUSTER representative, so no near-dup pair straddles a boundary;
+    // the oracle recomputes clusters via the independent recursive
+    // fixpoint, so an under-merged cluster fails here too.
+    q("split_cluster_aware", SplitOps.oracleSql())(
+      (s, d) => SplitOps.splitStats(s, d)),
+
     // ---- ML: KMeans (reference: analysis/kmeans_spark.py:104-162) ----
     // Iterative MLlib fit is not oracle-SQL-expressible; the driver records
     // a rows-only check and the scalatest suite pins determinism at sf0.001.

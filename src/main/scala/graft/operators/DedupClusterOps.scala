@@ -148,7 +148,7 @@ object DedupClusterOps {
   /** Shared oracle prefix: exact n-gram Jaccard pairs (same CTEs as the
     * `dedup_ngram` oracle), symmetrized, plus the node set.
     */
-  private def pairGraphSql(thresholdMilli: Int): String =
+  private[operators] def pairGraphSql(thresholdMilli: Int): String =
     s""" tok AS MATERIALIZED (
        | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
        |sh AS MATERIALIZED (

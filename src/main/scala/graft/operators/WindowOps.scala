@@ -35,6 +35,63 @@ object WindowOps {
           .as("avg_value"))
       .orderBy("epoch_day")
 
+  /** Zero-filled daily time series per event type — the gap-fill / spine
+    * join every dashboard and forecasting feed needs: a day with no
+    * events of a type must emit an explicit 0 row, not be silently
+    * absent (downstream rate math and charting both break on gaps).
+    *
+    * Shape: the dense (day × type) spine is generated from two scalar
+    * aggregates (`sequence(min_day, max_day)` exploded, cross-joined
+    * with the distinct type set) — both sides are bounded (days by
+    * calendar span, types by the enum), so the cross join is a
+    * broadcast of metadata-sized frames no matter the corpus size. The
+    * fact aggregation shuffles once on the bounded (day, type) key
+    * space; the spine join is a broadcast left join onto it. Value sums
+    * run in decimal then round on the exact result (the [[dailyStats]]
+    * discipline), so gap rows are exactly 0.0 in both engines.
+    */
+  def gapfillDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000").as("epoch_day"),
+        col("event_type"), col("value"))
+    val spine = ev.agg(min("epoch_day").as("d0"), max("epoch_day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("epoch_day"))
+    val grid = spine.crossJoin(ev.select("event_type").distinct())
+    val counts = ev.groupBy("epoch_day", "event_type")
+      .agg(
+        count(lit(1)).as("events"),
+        round(sum(col("value").cast("decimal(25,10)")).cast("double"), 3)
+          .as("value_sum"))
+    // Broadcast the BUILD (right) side: hinting the stream side of a left
+    // outer join is unsupported and silently degrades to a shuffle. Both
+    // frames are bounded (days × types), so either could broadcast; the
+    // aggregated counts frame is the legal one.
+    grid.join(broadcast(counts), Seq("epoch_day", "event_type"), "left")
+      .select(
+        col("epoch_day"), col("event_type"),
+        coalesce(col("events"), lit(0L)).as("events"),
+        coalesce(col("value_sum"), lit(0.0)).as("value_sum"))
+      .orderBy("epoch_day", "event_type")
+  }
+
+  def gapfillDailyOracleSql: String =
+    """WITH b AS (
+      | SELECT min(epoch_us(ts) // 86400000000) AS d0,
+      |  max(epoch_us(ts) // 86400000000) AS d1 FROM events),
+      |spine AS (SELECT unnest(generate_series(d0, d1)) AS epoch_day FROM b),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |c AS (
+      | SELECT epoch_us(ts) // 86400000000 AS epoch_day, event_type,
+      |  count(*) AS events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE), 3) AS value_sum
+      | FROM events GROUP BY 1, 2)
+      |SELECT s.epoch_day, t.event_type,
+      | CAST(coalesce(c.events, 0) AS BIGINT) AS events,
+      | coalesce(c.value_sum, 0.0) AS value_sum
+      |FROM spine s CROSS JOIN t
+      |LEFT JOIN c ON c.epoch_day = s.epoch_day AND c.event_type = t.event_type
+      |ORDER BY s.epoch_day, t.event_type""".stripMargin
+
   /** Exact median (and quartile-free percentile machinery) over an
     * integral measure, per group: rank rows, select the middle one or
     * two, average them in integer arithmetic. No float interpolation —

@@ -93,4 +93,49 @@ class CurationOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(2), r.getLong(5))).toSeq
     assert(got == naive, s"got $got want $naive")
   }
+
+  test("cluster-aware split covers every document and leaks no near-dup pair") {
+    val assign = graft.operators.SplitOps.splitAssignments(spark, sf)
+      .persist()
+    assert(assign.count() == 500L) // every sf0.001 document assigned exactly once
+    assert(assign.select("doc_id").distinct().count() == 500L)
+    // The leakage invariant: both ends of every near-dup pair carry the
+    // same split (they share a cluster, and split is a function of the
+    // cluster representative).
+    val pairs = graft.operators.MinHashOps
+      .ngramJaccardPairs(Tables.documents(spark, sf),
+        graft.operators.DedupClusterOps.Threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val leaked = pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(leaked == 0L, s"$leaked near-dup pairs straddle a split boundary")
+    assign.unpersist()
+  }
+
+  test("hll estimate is shard-merge-exact and lands near the true cardinality") {
+    val r = graft.operators.HllOps.hllDistinctUsers(spark, sf).collect().head
+    val (est, merged, truth) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    // Register max-merge is associative: the sharded path must agree
+    // EXACTLY, not approximately — that is the property the query proves.
+    assert(est == merged, s"merged sketch diverged: $est != $merged")
+    // m=64 raw harmonic estimator: ~13% rel. stddev; allow 3 sigma plus
+    // small-range slack at the sf0.001 cardinality (~200 users).
+    assert(est > 0 && math.abs(est - truth) <= (truth * 2) / 5,
+      s"estimate $est too far from truth $truth")
+  }
+
+  test("gapfill emits a dense day-by-type grid whose counts sum to the corpus") {
+    val rows = graft.operators.WindowOps.gapfillDaily(spark, sf).collect()
+    val days = rows.map(_.getLong(0)).distinct.sorted
+    val types = rows.map(_.getString(1)).distinct
+    // Dense: every (day, type) cell present exactly once, days contiguous.
+    assert(rows.length == days.length * types.length)
+    assert(days.last - days.head + 1 == days.length, "day spine has holes")
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.events(spark, sf).count(),
+      "gap-filled counts lost or invented events")
+  }
 }
