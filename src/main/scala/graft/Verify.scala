@@ -16,7 +16,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.sharedState.cacheManager.clearCache()
+      finally {
+        spark.sharedState.cacheManager.clearCache()
+        // Also drop localCheckpoint RDD blocks (invisible to clearCache)
+        // — over a 117-query session they accumulate into storage churn
+        // (see Bench for the measured impact).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
