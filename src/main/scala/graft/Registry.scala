@@ -726,6 +726,18 @@ object Registry {
     q("gapfill_daily", WindowOps.gapfillDailyOracleSql)(
       (s, d) => WindowOps.gapfillDaily(s, d)),
 
+    // LOCF imputation over the same spine: gap days carry the last
+    // observed day's average forward (one ignoreNulls window pass over
+    // the metadata-sized grid, no self-join chain).
+    q("gapfill_ffill", WindowOps.gapfillForwardFillOracleSql)(
+      (s, d) => WindowOps.gapfillForwardFill(s, d)),
+
+    // Per-group HLL: one bounded 64-register sketch per event type (the
+    // per-tenant / per-source counting shape); shuffle carries at most
+    // groups x 64 register rows.
+    q("hll_distinct_by_type", HllOps.byTypeOracleSql())(
+      (s, d) => HllOps.hllDistinctByType(s, d)),
+
     // Leakage-safe train/val/test assignment: splits hash the NEAR-DUP
     // CLUSTER representative, so no near-dup pair straddles a boundary;
     // the oracle recomputes clusters via the independent recursive

@@ -133,6 +133,56 @@ object HllOps {
         col("true_distinct"))
   }
 
+  /** Per-group sketching — one bounded 64-register HLL per event type
+    * (the GROUP BY twin of [[hllDistinctUsers]], the shape a metrics
+    * pipeline runs per tenant / source / day). The register aggregation
+    * shuffles at most |groups|·64 rows of three longs regardless of
+    * corpus size; the exact truth column rides along per group.
+    */
+  def hllDistinctByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val keyed = ev.select(col("event_type"),
+        ((col("user_id") % P) * K % P).as("h"))
+      .select(col("event_type"), (col("h") % Buckets).as("b"),
+        expr(s"h div $Buckets").as("v"))
+      .select(col("event_type"), col("b"),
+        when(col("v") === 0L, ZeroSentinel).otherwise(expr("v & -v")).as("low"))
+    val stats = keyed
+      .groupBy("event_type", "b").agg(max("low").as("maxlow"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("np"),
+        sum(expr(s"$HarmonicOne div (2 * maxlow)")).as("sp"))
+    val truth = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("true_distinct"))
+    stats
+      .select(col("event_type"), expr(estSql("div")).cast("long").as("est_distinct"))
+      .join(truth, Seq("event_type"))
+      .orderBy("event_type")
+  }
+
+  def byTypeOracleSql(): String =
+    s"""WITH h AS (
+       | SELECT event_type, ((user_id % $P) * $K) % $P AS h FROM events),
+       |low AS (
+       | SELECT event_type, h % $Buckets AS b,
+       |  CASE WHEN h // $Buckets = 0 THEN $ZeroSentinel
+       |   ELSE (h // $Buckets) & -(h // $Buckets) END AS low
+       | FROM h),
+       |g AS (
+       | SELECT event_type, b, max(low) AS maxlow FROM low GROUP BY event_type, b),
+       |gs AS (
+       | SELECT event_type, count(*) AS np,
+       |  sum($HarmonicOne // (2 * maxlow)) AS sp
+       | FROM g GROUP BY event_type),
+       |e AS (
+       | SELECT event_type, CAST(${estSql("//")} AS BIGINT) AS est_distinct FROM gs),
+       |t AS (
+       | SELECT event_type, count(DISTINCT user_id) AS true_distinct
+       | FROM events GROUP BY event_type)
+       |SELECT e.event_type, e.est_distinct, t.true_distinct
+       |FROM e JOIN t ON e.event_type = t.event_type
+       |ORDER BY e.event_type""".stripMargin
+
   /** DuckDB oracle: the identical integer pipeline. */
   def oracleSql(): String =
     s"""WITH h AS (

@@ -74,6 +74,70 @@ object WindowOps {
       .orderBy("epoch_day", "event_type")
   }
 
+  /** Forward-fill (last observation carried forward) over the gap-filled
+    * daily grid: gap days inherit the most recent observed day's average
+    * value instead of an empty cell — the standard imputation for
+    * metrics/forecasting feeds where "no events" means "unchanged", not
+    * "zero". Built as `last(..., ignoreNulls)` over an UNBOUNDED
+    * PRECEDING row frame per event type — one pass, no self-join chain.
+    * The window partitions by event type over the METADATA-SIZED spine
+    * (days × types), so the single-partition-per-type frame is bounded
+    * by calendar span, never corpus size. Days before the first
+    * observation have nothing to carry and report -1 (an explicit
+    * sentinel both engines render identically; NULL would be fill-order
+    * ambiguous in the driver's stringified compare). The carried value
+    * is the day average in 1e-4 fixed point via `floor(x·10⁴ + 0.5)` —
+    * `round()` on the raw double division hit a half-tie the engines
+    * resolved differently (measured at sf0.001, day 19740 signup),
+    * exactly the boundary the floor form is bit-stable across.
+    */
+  def gapfillForwardFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000").as("epoch_day"),
+        col("event_type"), col("value"))
+    val spine = ev.agg(min("epoch_day").as("d0"), max("epoch_day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("epoch_day"))
+    val grid = spine.crossJoin(ev.select("event_type").distinct())
+    val daily = ev.groupBy("epoch_day", "event_type")
+      .agg(expr(
+        """CAST(floor(
+          | CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / count(1)
+          |  * 10000 + 0.5) AS BIGINT)""".stripMargin)
+        .as("avg_e4"))
+    val locf = Window.partitionBy("event_type").orderBy("epoch_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(daily), Seq("epoch_day", "event_type"), "left")
+      .withColumn("filled_avg_e4",
+        coalesce(last(col("avg_e4"), ignoreNulls = true).over(locf), lit(-1L)))
+      .select(col("epoch_day"), col("event_type"),
+        (col("avg_e4").isNotNull).cast("long").as("observed"),
+        col("filled_avg_e4"))
+      .orderBy("epoch_day", "event_type")
+  }
+
+  def gapfillForwardFillOracleSql: String =
+    """WITH b AS (
+      | SELECT min(epoch_us(ts) // 86400000000) AS d0,
+      |  max(epoch_us(ts) // 86400000000) AS d1 FROM events),
+      |spine AS (SELECT unnest(generate_series(d0, d1)) AS epoch_day FROM b),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |c AS (
+      | SELECT epoch_us(ts) // 86400000000 AS epoch_day, event_type,
+      |  CAST(floor(
+      |   CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / count(*)
+      |    * 10000 + 0.5) AS BIGINT) AS avg_e4
+      | FROM events GROUP BY 1, 2),
+      |g AS (
+      | SELECT s.epoch_day, t.event_type, c.avg_e4
+      | FROM spine s CROSS JOIN t
+      | LEFT JOIN c ON c.epoch_day = s.epoch_day AND c.event_type = t.event_type)
+      |SELECT epoch_day, event_type,
+      | CAST(avg_e4 IS NOT NULL AS BIGINT) AS observed,
+      | coalesce(last_value(avg_e4 IGNORE NULLS) OVER (
+      |  PARTITION BY event_type ORDER BY epoch_day
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS filled_avg_e4
+      |FROM g ORDER BY epoch_day, event_type""".stripMargin
+
   def gapfillDailyOracleSql: String =
     """WITH b AS (
       | SELECT min(epoch_us(ts) // 86400000000) AS d0,
