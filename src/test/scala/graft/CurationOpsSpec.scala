@@ -127,6 +127,30 @@ class CurationOpsSpec extends AnyFunSuite {
       s"estimate $est too far from truth $truth")
   }
 
+  test("forward-fill carries the last observed value and only across gaps") {
+    val rows = graft.operators.WindowOps.gapfillForwardFill(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (tpe, g) =>
+      val ordered = g.sortBy(_.getLong(0))
+      var carried = -1L
+      ordered.foreach { r =>
+        val (observed, filled) = (r.getLong(2), r.getLong(3))
+        if (observed == 1L) carried = filled // observed day defines the new carry
+        else assert(filled == carried,
+          s"$tpe day ${r.getLong(0)}: gap filled $filled != carried $carried")
+      }
+    }
+  }
+
+  test("per-type hll estimates land near each type's true cardinality") {
+    val rows = graft.operators.HllOps.hllDistinctByType(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tpe, est, truth) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est > 0 && math.abs(est - truth) <= (truth * 2) / 5,
+        s"$tpe: estimate $est too far from truth $truth")
+    }
+  }
+
   test("gapfill emits a dense day-by-type grid whose counts sum to the corpus") {
     val rows = graft.operators.WindowOps.gapfillDaily(spark, sf).collect()
     val days = rows.map(_.getLong(0)).distinct.sorted
