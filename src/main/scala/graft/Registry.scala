@@ -183,6 +183,12 @@ object Registry {
     q("outlier_events", StatsOps.outlierOracleSql())(
       (s, d) => StatsOps.outlierEvents(s, d)),
 
+    // Robust median/MAD twin: 50% breakdown point where mean/sigma
+    // masks under heavy tails; three scan passes, each collapsing to a
+    // bounded per-type value histogram.
+    q("outlier_events_robust", StatsOps.robustOracleSql())(
+      (s, d) => StatsOps.outlierEventsRobust(s, d)),
+
     // Per-label embedding centroids in micro fixed-point; sums go
     // negative, where Spark div and DuckDB // were verified to agree
     // (both truncate toward zero).

@@ -70,6 +70,107 @@ object StatsOps {
        | CAST(max(s // n) AS BIGINT) AS mean_milli
        |FROM fl GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-group exact median of an integral column via histogram
+    * rank-select (the [[WindowOps.medianDensityByFlag]] machinery,
+    * generalized): collapse to per-(group, value) counts first, so the
+    * cumulative window's partition is the bounded value domain — never
+    * row count — and the k-th smallest falls out of the first histogram
+    * cell whose cumulative count reaches k. `(lo + hi) div 2` averages
+    * the two middle values on even counts, all in integers.
+    */
+  private def histMedian(df: DataFrame, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("event_type")))
+    val lo = cum.filter(expr("cum >= (cnt + 1) div 2"))
+      .groupBy("event_type").agg(min("v").as("v_lo"))
+    val hi = cum.filter(expr("cum >= cnt div 2 + 1"))
+      .groupBy("event_type").agg(min("v").as("v_hi"))
+    lo.join(hi, "event_type")
+      .select(col("event_type"), expr("(v_lo + v_hi) div 2").as(out))
+  }
+
+  /** Robust per-type outlier audit: median/MAD instead of mean/σ — the
+    * estimator a heavy-tailed `value` distribution needs, since a single
+    * extreme deliverable drags μ and σ toward itself (masking) while the
+    * median and the median-absolute-deviation have a 50% breakdown
+    * point. Flags rows with `|v − median| > k·MAD` in milli fixed point;
+    * every comparison is integer arithmetic on the histogram medians.
+    *
+    * Scale shape: three scan passes (value median, deviation median,
+    * flag count), each collapsing into a bounded (type × value-domain)
+    * histogram shuffle; the two one-row-per-type stat frames ride
+    * broadcasts. No corpus-sized shuffle, no per-row window.
+    */
+  def outlierEventsRobust(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    robustOutliers(
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value")),
+      k)
+
+  /** Core of [[outlierEventsRobust]] over any (event_type, value) frame
+    * — split out so the masking property (robust flags what k-sigma
+    * misses under a dragged mean) is testable on planted data.
+    */
+  def robustOutliers(typedValues: DataFrame, k: Int): DataFrame = {
+    val ev = typedValues.select(col("event_type"),
+      expr("cast(floor(value * 1000 + 0.5) as long)").as("v"))
+    val med = histMedian(ev, "median_milli")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"),
+        abs(col("v") - col("median_milli")).as("d"))
+    val mad = histMedian(dev.select(col("event_type"), col("d").as("v")), "mad_milli")
+    ev.join(broadcast(med.join(mad, "event_type")), "event_type")
+      .select(col("event_type"), col("median_milli"), col("mad_milli"),
+        (abs(col("v") - col("median_milli")) > lit(k.toLong) * col("mad_milli"))
+          .cast("long").as("is_outlier"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max("median_milli").as("median_milli"),
+        max("mad_milli").as("mad_milli"),
+        sum("is_outlier").cast("long").as("outliers"))
+      .orderBy("event_type")
+  }
+
+  def robustOracleSql(k: Int = 3): String = {
+    def medianCte(src: String, tag: String, out: String): String =
+      s"""h$tag AS (SELECT event_type, v, count(*) AS c FROM $src GROUP BY 1, 2),
+         |c$tag AS (
+         | SELECT event_type, v,
+         |  sum(c) OVER (PARTITION BY event_type ORDER BY v
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(c) OVER (PARTITION BY event_type) AS cnt
+         | FROM h$tag),
+         |lo$tag AS (
+         | SELECT event_type, min(v) AS v_lo FROM c$tag
+         | WHERE cum >= (cnt + 1) // 2 GROUP BY 1),
+         |hi$tag AS (
+         | SELECT event_type, min(v) AS v_hi FROM c$tag
+         | WHERE cum >= cnt // 2 + 1 GROUP BY 1),
+         |$out AS (
+         | SELECT event_type, (v_lo + v_hi) // 2 AS m
+         | FROM lo$tag JOIN hi$tag USING (event_type))""".stripMargin
+    s"""WITH e AS (
+       | SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+       | FROM events WHERE value IS NOT NULL),
+       |${medianCte("e", "1", "med")},
+       |d AS (
+       | SELECT e.event_type, abs(e.v - med.m) AS v
+       | FROM e JOIN med USING (event_type)),
+       |${medianCte("d", "2", "mad")}
+       |SELECT e.event_type, count(*) AS n,
+       | max(med.m) AS median_milli, max(mad.m) AS mad_milli,
+       | CAST(sum(CAST(abs(e.v - med.m) > $k * mad.m AS BIGINT)) AS BIGINT)
+       |  AS outliers
+       |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+  }
+
   /** Embedding dimensionality of the `embeddings` table (TESTDATA.md:
     * FLOAT[64]); the oracle's dim-explode shares the constant.
     */

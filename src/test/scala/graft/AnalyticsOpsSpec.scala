@@ -167,4 +167,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("median/MAD outliers flag the extreme value a dragged mean would mask") {
+    import spark.implicits._
+    // 20 tight values + one extreme: the extreme drags the mean toward
+    // itself and inflates sigma (classic masking); the median and MAD
+    // barely move, so the robust test must flag exactly the one row.
+    val vals = (Seq.fill(10)(100.0) ++ Seq.fill(10)(102.0) :+ 10000.0)
+      .map(("a", _))
+    val r = graft.operators.StatsOps
+      .robustOutliers(vals.toDF("event_type", "value"), k = 3)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 21L) // n
+    assert(row.getLong(2) == 102000L) // median_milli: the 11th of 21 sorted values
+    assert(row.getLong(3) == 2000L) // mad_milli: deviations are {0 x10, 2000 x10, big}
+    assert(row.getLong(4) == 1L, s"expected exactly the planted extreme flagged: $row")
+  }
 }
