@@ -744,6 +744,35 @@ object Registry {
     q("hll_distinct_by_type", HllOps.byTypeOracleSql())(
       (s, d) => HllOps.hllDistinctByType(s, d)),
 
+    // Rolling 7-day distinct users — HLL register mergeability made
+    // load-bearing: per-day sketches collapse the corpus once, the
+    // trailing-window merge runs over the days x 64 register grid only.
+    // The oracle re-derives the merge by a range join (independent
+    // formulation); exact rolling distinct rides along for error context.
+    q("rolling_week_uniques", TemporalOps.rollingWeekOracleSql())(
+      (s, d) => TemporalOps.rollingWeekUniques(s, d)),
+
+    // SCD2-style state intervals: each event opens [ts, next ts) for its
+    // user; dwell time rolls up per state. One user-keyed exchange + lead.
+    q("time_in_state", TemporalOps.timeInStateOracleSql())(
+      (s, d) => TemporalOps.timeInState(s, d)),
+
+    // Sequence mining: most frequent 3-step event-type journeys (double
+    // lead per user, |types|^3-bounded count space, TakeOrdered top-k).
+    q("path_trigrams", TemporalOps.pathTrigramsOracleSql())(
+      (s, d) => TemporalOps.pathTrigrams(s, d)),
+
+    // Inter-arrival latency per event class (gap to the user's previous
+    // event, attributed to the later event's type; integer-div mean).
+    q("interarrival_stats", TemporalOps.interarrivalOracleSql())(
+      (s, d) => TemporalOps.interarrivalStats(s, d)),
+
+    // Two-sided CUSUM drift audit over the zero-filled daily spine —
+    // milli fixed-point deviations; the serial running sum walks the
+    // metadata-sized day grid, never event rows.
+    q("drift_cusum", TemporalOps.driftCusumOracleSql())(
+      (s, d) => TemporalOps.driftCusum(s, d)),
+
     // Leakage-safe train/val/test assignment: splits hash the NEAR-DUP
     // CLUSTER representative, so no near-dup pair straddles a boundary;
     // the oracle recomputes clusters via the independent recursive

@@ -78,7 +78,7 @@ object HllOps {
     * (`div` / `//`). Raw harmonic mean, with the linear-counting branch
     * when registers are empty and the raw estimate is small.
     */
-  private def estSql(idiv: String): String = {
+  private[operators] def estSql(idiv: String): String = {
     val raw = s"(${AlphaMilli * Buckets * Buckets} * $HarmonicOne) $idiv " +
       s"(1000 * (sp + ($Buckets - np) * $HarmonicOne))"
     val lnCase = (1L to Buckets)

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal / sequence analytics over the events stream table: rolling
+  * distinct-user windows via mergeable HLL registers, SCD2-style state
+  * intervals, inter-arrival statistics, ordered path mining, and
+  * change-point (CUSUM) drift detection over the daily spine.
+  *
+  * Shared scale discipline: every operator either (a) aggregates the
+  * corpus down to a METADATA-sized grid (days × registers, days × types)
+  * before any window/serial step runs, or (b) windows per user after one
+  * user-keyed exchange — no whole-corpus single-partition window anywhere.
+  */
+object TemporalOps {
+
+  import SketchOps.{K, P}
+  import HllOps.{Buckets, ZeroSentinel, HarmonicOne}
+
+  private val DayUs = 86400000000L
+
+  /** Dense day spine from the observed [min, max] event days — two scalar
+    * aggregates exploded into one row per day; never a corpus shuffle.
+    */
+  private def daySpine(ev: DataFrame): DataFrame =
+    ev.agg(
+        expr(s"min(ts_us div $DayUs)").as("mn"),
+        expr(s"max(ts_us div $DayUs)").as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("day"))
+
+  /** Rolling 7-day distinct users per day — THE showcase of HLL register
+    * mergeability ([[HllOps]]): per-day 64-register sketches collapse the
+    * corpus once (shuffle ≤ days·64 rows of two longs), then every day's
+    * 7-day estimate is a register-wise `max` over the trailing window of
+    * the days×64 grid — the window never touches event rows, so a year
+    * of 100 TB days rolls up in a metadata-sized window pass. The exact
+    * rolling distinct (from day-user pairs range-joined to the broadcast
+    * spine) rides along as `true_rolling7` for error context; the oracle
+    * recomputes the merge by a range JOIN over day registers — an
+    * independent formulation of the same merge algebra, so window-frame
+    * semantics are cross-checked engine to engine.
+    */
+  def rollingWeekUniques(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dayed = ev.select(
+      expr(s"ts_us div $DayUs").as("day"),
+      ((col("user_id") % P) * K % P).as("h"))
+    // Per-(day, register) max of the geometric observable (see HllOps).
+    val regs = dayed
+      .select(col("day"), (col("h") % Buckets).as("b"),
+        expr(s"h div $Buckets").as("v"))
+      .select(col("day"), col("b"),
+        when(col("v") === 0L, ZeroSentinel).otherwise(expr("v & -v")).as("low"))
+      .groupBy("day", "b").agg(max("low").as("maxlow"))
+
+    // Dense (day × register) grid so a register observed only earlier in
+    // the window still reaches days where it has no fresh row.
+    val grid = daySpine(ev)
+      .select(col("day"), explode(expr(s"sequence(0L, ${Buckets - 1}L)")).as("b"))
+    val merged = grid.join(regs, Seq("day", "b"), "left")
+      .withColumn("mlow",
+        max("maxlow").over(Window.partitionBy("b").orderBy("day")
+          .rangeBetween(-6, 0)))
+    val est = merged.groupBy("day")
+      .agg(
+        count(col("mlow")).as("np"),
+        coalesce(sum(expr(s"$HarmonicOne div (2 * mlow)")), lit(0L)).as("sp"))
+      .select(col("day"),
+        expr(HllOps.estSql("div")).cast("long").as("est_rolling7"))
+
+    val dayUsers = Tables.events(s, dir)
+      .select(expr(s"ts_us div $DayUs").as("uday"), col("user_id")).distinct()
+    val truth = dayUsers
+      .join(broadcast(daySpine(ev)),
+        col("uday").between(col("day") - 6, col("day")))
+      .groupBy("day").agg(countDistinct("user_id").as("true_rolling7"))
+
+    est.join(truth, Seq("day"), "left")
+      .select(col("day").as("epoch_day"), col("est_rolling7"),
+        coalesce(col("true_rolling7"), lit(0L)).as("true_rolling7"))
+      .orderBy("epoch_day")
+  }
+
+  def rollingWeekOracleSql(): String =
+    s"""WITH e AS (SELECT epoch_us(ts) // $DayUs AS day,
+       |  ((user_id % $P) * $K) % $P AS h, user_id FROM events),
+       |regs AS (
+       | SELECT day, h % $Buckets AS b,
+       |  max(CASE WHEN h // $Buckets = 0 THEN $ZeroSentinel
+       |   ELSE (h // $Buckets) & -(h // $Buckets) END) AS maxlow
+       | FROM e GROUP BY day, h % $Buckets),
+       |spine AS (
+       | SELECT unnest(generate_series(mn, mx)) AS day
+       | FROM (SELECT min(day) AS mn, max(day) AS mx FROM e)),
+       |m AS (
+       | SELECT s.day, r.b, max(r.maxlow) AS mlow
+       | FROM spine s JOIN regs r ON r.day BETWEEN s.day - 6 AND s.day
+       | GROUP BY s.day, r.b),
+       |gs AS (
+       | SELECT day, count(*) AS np,
+       |  coalesce(sum($HarmonicOne // (2 * mlow)), 0) AS sp
+       | FROM m GROUP BY day),
+       |est AS (
+       | SELECT s.day, coalesce(CAST(${HllOps.estSql("//")} AS BIGINT), 0) AS est_rolling7
+       | FROM spine s LEFT JOIN gs USING (day)),
+       |t AS (
+       | SELECT s.day, count(DISTINCT e.user_id) AS true_rolling7
+       | FROM spine s JOIN e ON e.day BETWEEN s.day - 6 AND s.day
+       | GROUP BY s.day)
+       |SELECT est.day AS epoch_day, est.est_rolling7,
+       | coalesce(t.true_rolling7, 0) AS true_rolling7
+       |FROM est LEFT JOIN t ON est.day = t.day
+       |ORDER BY epoch_day""".stripMargin
+
+  /** SCD2-style state intervals + time-in-state rollup: each event opens
+    * a validity interval `[ts_us, next event's ts_us)` for its user
+    * (deterministic tie order `(ts_us, event_id)`; the user's last event
+    * closes at their final timestamp, contributing 0), then total /
+    * mean dwell time aggregates per state. This is the
+    * slowly-changing-dimension interval build — the batch twin of a CDC
+    * history table — expressed as one user-keyed exchange, a per-user
+    * `lead`, and a map-side-combined aggregate.
+    */
+  def timeInState(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("dwell_us", lead("ts_us", 1).over(w) - col("ts_us"))
+      .filter(col("dwell_us").isNotNull)
+      .groupBy(col("event_type").as("state"))
+      .agg(
+        count(lit(1)).as("intervals"),
+        sum("dwell_us").as("total_us"),
+        expr("sum(dwell_us) div count(*)").as("avg_us"),
+        max("dwell_us").as("max_us"))
+      .orderBy("state")
+  }
+
+  def timeInStateOracleSql(): String =
+    """WITH iv AS (
+      | SELECT event_type AS state,
+      |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |   ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dwell_us
+      | FROM events)
+      |SELECT state, count(*) AS intervals,
+      | CAST(sum(dwell_us) AS BIGINT) AS total_us,
+      | CAST(sum(dwell_us) // count(*) AS BIGINT) AS avg_us,
+      | CAST(max(dwell_us) AS BIGINT) AS max_us
+      |FROM iv WHERE dwell_us IS NOT NULL
+      |GROUP BY state ORDER BY state""".stripMargin
+
+  /** Ordered path mining: the most frequent 3-step event-type journeys
+    * (per-user consecutive trigrams under `(ts_us, event_id)` order),
+    * global count per path, top 20. The sequence step is a per-user
+    * double `lead` after ONE user-keyed exchange; the path space is
+    * |types|³-bounded so the count aggregate collapses map-side and the
+    * top-k is a TakeOrdered, not a global sort.
+    */
+  def pathTrigrams(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("s1"),
+        lead("event_type", 1).over(w).as("s2"),
+        lead("event_type", 2).over(w).as("s3"))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy("s1", "s2", "s3")
+      .agg(count(lit(1)).as("journeys"))
+      .orderBy(desc("journeys"), col("s1"), col("s2"), col("s3"))
+      .limit(k)
+  }
+
+  def pathTrigramsOracleSql(k: Int = 20): String =
+    s"""WITH t AS (
+       | SELECT event_type AS s1,
+       |  lead(event_type, 1) OVER w AS s2,
+       |  lead(event_type, 2) OVER w AS s3
+       | FROM events
+       | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+       |SELECT s1, s2, s3, count(*) AS journeys
+       |FROM t WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+       |GROUP BY s1, s2, s3
+       |ORDER BY journeys DESC, s1, s2, s3 LIMIT $k""".stripMargin
+
+  /** Inter-arrival gap statistics per event type: the gap between each
+    * event and its user's previous event (any type), attributed to the
+    * LATER event's type — the latency signal a pipeline watches per
+    * event class. Integer-exact (`div` mean); one user exchange, one
+    * bounded aggregate.
+    */
+  def interarrivalStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("gaps"),
+        min("gap_us").as("min_us"),
+        max("gap_us").as("max_us"),
+        expr("sum(gap_us) div count(*)").as("avg_us"))
+      .orderBy("event_type")
+  }
+
+  def interarrivalOracleSql(): String =
+    """WITH g AS (
+      | SELECT event_type,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |   ORDER BY epoch_us(ts), event_id) AS gap_us
+      | FROM events)
+      |SELECT event_type, count(*) AS gaps,
+      | CAST(min(gap_us) AS BIGINT) AS min_us,
+      | CAST(max(gap_us) AS BIGINT) AS max_us,
+      | CAST(sum(gap_us) // count(*) AS BIGINT) AS avg_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Change-point (two-sided CUSUM) drift detection over the zero-filled
+    * daily event-count spine: cumulative milli-deviations from the global
+    * daily mean, flagging days where |CUSUM| exceeds 5% of total event
+    * mass — the "did volume drift" audit a feed monitor runs. The corpus
+    * collapses to per-day counts FIRST (one map-side-combined aggregate);
+    * the running sum then walks the metadata-sized spine (days, bounded
+    * by calendar time — ~4k rows a decade), so the serial window is over
+    * metadata, never data. All arithmetic is integer fixed-point
+    * (milli-counts), bit-identical in both engines.
+    */
+  def driftCusum(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = daySpine(ev)
+      .join(ev.groupBy(expr(s"ts_us div $DayUs").as("day"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val totals = daily.agg(
+      sum("cnt").as("total"), count(lit(1)).as("ndays"))
+    daily.crossJoin(broadcast(totals))
+      .withColumn("dev_milli",
+        col("cnt") * 1000L - expr("(1000 * total) div ndays"))
+      .withColumn("cusum_milli",
+        sum("dev_milli").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("drift_flag",
+        (abs(col("cusum_milli")) > expr("(1000 * total) div 20")).cast("int"))
+      .select(col("day").as("epoch_day"), col("cnt"), col("cusum_milli"),
+        col("drift_flag").cast("long").as("drift_flag"))
+      .orderBy("epoch_day")
+  }
+
+  def driftCusumOracleSql(): String =
+    s"""WITH e AS (SELECT epoch_us(ts) // $DayUs AS day FROM events),
+       |spine AS (
+       | SELECT unnest(generate_series(mn, mx)) AS day
+       | FROM (SELECT min(day) AS mn, max(day) AS mx FROM e)),
+       |daily AS (
+       | SELECT s.day, coalesce(c.cnt, 0) AS cnt
+       | FROM spine s LEFT JOIN (
+       |  SELECT day, count(*) AS cnt FROM e GROUP BY day) c USING (day)),
+       |t AS (SELECT sum(cnt) AS total, count(*) AS ndays FROM daily),
+       |r AS (
+       | SELECT day, cnt,
+       |  sum(cnt * 1000 - (1000 * t.total) // t.ndays)
+       |   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum_milli,
+       |  (1000 * t.total) // 20 AS thr
+       | FROM daily, t)
+       |SELECT CAST(day AS BIGINT) AS epoch_day, cnt,
+       | CAST(cusum_milli AS BIGINT) AS cusum_milli,
+       | CAST(CASE WHEN abs(cusum_milli) > thr THEN 1 ELSE 0 END AS BIGINT)
+       |  AS drift_flag
+       |FROM r ORDER BY epoch_day""".stripMargin
+}

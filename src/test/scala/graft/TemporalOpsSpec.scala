@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalOps
+
+/** Invariant checks for the temporal/sequence operators at sf0.001 —
+  * conservation laws and accuracy bounds that hold for ANY event corpus,
+  * independent of the DuckDB oracle gate.
+  */
+class TemporalOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private lazy val events = Tables.events(spark, sf).cache()
+  private lazy val nEvents = events.count()
+  private lazy val nUsers = events.select("user_id").distinct().count()
+
+  test("rolling week uniques: dense spine, truth dominates single day, HLL tracks truth") {
+    val rows = TemporalOps.rollingWeekUniques(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Dense day spine: consecutive days, no gaps.
+    val days = rows.map(_._1)
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 })
+    // The trailing-7 truth can never be below that single day's distinct.
+    val single = events
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (day, est, truth) =>
+      assert(truth >= single.getOrElse(day, 0L), s"day $day window < single day")
+      // m=64 HLL: relative standard error 1.04/8 = 13%; allow 3.5 sigma.
+      assert(math.abs(est - truth) <= math.max(8L, (truth * 45) / 100),
+        s"day $day est $est vs truth $truth outside HLL error budget")
+    }
+    // Rolling-7 truth is also monotone vs the window's max single day.
+    assert(rows.map(_._3).max >= single.values.max)
+  }
+
+  test("time in state: interval count conservation (events minus users)") {
+    val rows = TemporalOps.timeInState(spark, sf).collect()
+    val totalIntervals = rows.map(_.getLong(1)).sum
+    // Every user with n events contributes exactly n-1 closed intervals.
+    assert(totalIntervals == nEvents - nUsers,
+      s"intervals $totalIntervals != events $nEvents - users $nUsers")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L)                    // total_us
+      assert(r.getLong(3) <= r.getLong(4))          // avg <= max
+      assert(r.getLong(3) == r.getLong(2) / r.getLong(1)) // integer-div mean
+    }
+  }
+
+  test("path trigrams: descending counts, deterministic tie order, bounded mass") {
+    val rows = TemporalOps.pathTrigrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a._4 > b._4 ||
+        (a._4 == b._4 && (a._1, a._2, a._3).toString <= (b._1, b._2, b._3).toString))
+    }
+    // A user with n events yields n-2 trigrams; total mass is bounded by
+    // events - 2*users (exact when every user has >= 2 events).
+    assert(rows.map(_._4).sum <= nEvents)
+  }
+
+  test("interarrival stats: gap conservation and ordering") {
+    val rows = TemporalOps.interarrivalStats(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == nEvents - nUsers)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L)                    // min_us
+      assert(r.getLong(2) <= r.getLong(4) && r.getLong(4) <= r.getLong(3))
+    }
+  }
+
+  test("drift cusum: final value closes the telescoping sum exactly") {
+    val rows = TemporalOps.driftCusum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    val ndays = rows.length.toLong
+    assert(total == nEvents)
+    // CUSUM telescopes: final = 1000*total - ndays*((1000*total) div ndays).
+    val mu = (1000L * total) / ndays
+    assert(rows.last._3 == 1000L * total - ndays * mu)
+    rows.foreach { case (_, _, _, flag) => assert(flag == 0L || flag == 1L) }
+  }
+}
