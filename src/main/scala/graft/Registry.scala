@@ -257,6 +257,18 @@ object Registry {
     // fact table, null-count existence joins — the pre-publish contract.
     q("ri_audit", JoinOps.RiAuditOracleSql)((s, d) => JoinOps.riAudit(s, d)),
 
+    // Market-basket association rules: pair generation bounded by basket
+    // size (never parts^2), staged-div lift so the arithmetic stays in
+    // BIGINT at any corpus size; top-100 by support.
+    q("basket_rules", AssocOps.basketRulesOracleSql())(
+      (s, d) => AssocOps.basketRules(s, d)),
+
+    // Blocked fuzzy record linkage: Levenshtein-verified candidate pairs
+    // confined to (p_type, p_size) blocks — the entity-resolution shape
+    // whose quadratic step never leaves a block.
+    q("fuzzy_link_parts", AssocOps.fuzzyLinkOracleSql())(
+      (s, d) => AssocOps.fuzzyLinkParts(s, d)),
+
     // Shard-merge aggregation vs the oracle's DIRECT aggregate: proves
     // partial-agg maintenance is exactly associative (decimal partials).
     q("agg_shard_merge", EtlOps.ShardMergeOracleSql)(
@@ -522,6 +534,17 @@ object Registry {
     // routing in ONE declarative plan (single scan, one agg shuffle).
     q("curation_pipeline", SampleOps.curationOracleSql())(
       (s, d) => SampleOps.curationPipeline(s, d)),
+
+    // Weighted systematic sampling: ~k docs proportional to n_chars via
+    // cumulative-weight step crossings — deterministic and rerun-stable
+    // (no rand()); hierarchical prefix sum, flat-window oracle.
+    q("sample_weighted", SampleOps.sampleWeightedOracleSql())(
+      (s, d) => SampleOps.sampleWeighted(s, d)),
+
+    // Pareto 80/20 coverage cut over per-source counts: the feed
+    // concentration audit; cumulative window over the source list only.
+    q("pareto_sources", SampleOps.paretoSourcesOracleSql())(
+      (s, d) => SampleOps.paretoSources(s, d)),
 
     // Oracle is the identical bucketed algorithm, unrolled from the same
     // constants (fixed-point SimHash codes, Hamming<=1 probes, exact

@@ -327,4 +327,92 @@ object SampleOps {
        | (1000 * ((target_permille * out_total) // 1000)) // n AS rate_permille
        |FROM c CROSS JOIN tot ORDER BY lang""".stripMargin
   }
+
+  /** Weighted systematic sampling: ~`k` documents selected proportionally
+    * to `n_chars` by cumulative-weight step crossings — the deterministic,
+    * coordination-free weighted sampler (a fixed function of the corpus,
+    * unlike `rand()`-keyed A-ES whose float powers are neither
+    * engine-portable nor rerun-stable). A document is picked once per
+    * step boundary its weight interval `(cum - w, cum]` crosses
+    * (`picks = cum div step − (cum−w) div step`), so heavy docs can carry
+    * multiple picks and total picks telescope to `total div step` ≈ k.
+    *
+    * Scale shape: the cumulative weight is a HIERARCHICAL prefix sum
+    * (the [[graft.operators.RankOps]] pattern) — per-bucket sums collapse
+    * map-side, the carry window walks the bucket domain (rows = id-range
+    * / 256, metadata-sized), and the intra-bucket running sum partitions
+    * by bucket; no whole-corpus serial window. The ORACLE computes the
+    * flat serial prefix sum — an independent formulation.
+    */
+  def sampleWeighted(s: SparkSession, dir: String, k: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val totals = docs.agg(sum("n_chars").as("total"))
+    val bucketed = docs.withColumn("bk", expr("doc_id div 256"))
+    val carry = bucketed.groupBy("bk").agg(sum("n_chars").as("bsum"))
+      .withColumn("carry", coalesce(
+        sum("bsum").over(Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bk", "carry")
+    bucketed.join(carry, Seq("bk"))
+      .withColumn("run", sum("n_chars").over(
+        Window.partitionBy("bk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum", col("carry") + col("run"))
+      .crossJoin(broadcast(totals))
+      .withColumn("step", expr(s"greatest(1L, total div $k)"))
+      .withColumn("picks", expr("cum div step - (cum - n_chars) div step"))
+      .filter(col("picks") > 0)
+      .select(col("doc_id"), col("n_chars"), col("cum"), col("picks"))
+      .orderBy("doc_id")
+  }
+
+  def sampleWeightedOracleSql(k: Long = 100L): String =
+    s"""WITH c AS (
+       | SELECT doc_id, n_chars,
+       |  CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |   AS BIGINT) AS cum
+       | FROM documents),
+       |t AS (SELECT greatest(1, CAST(sum(n_chars) AS BIGINT) // $k) AS step
+       |      FROM documents)
+       |SELECT doc_id, n_chars, cum,
+       | cum // step - (cum - n_chars) // step AS picks
+       |FROM c, t
+       |WHERE cum // step - (cum - n_chars) // step > 0
+       |ORDER BY doc_id""".stripMargin
+
+  /** Pareto (80/20) source-coverage cut: which sources, taken largest
+    * first, cover 80% of the corpus — the "how concentrated is my feed"
+    * audit. The corpus collapses to per-source counts first; the
+    * cumulative window walks only the source list (metadata-sized).
+    * `core_flag` marks the minimal covering prefix (every source whose
+    * PREDECESSORS cover < 80%, so the crossing source is included).
+    */
+  def paretoSources(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("docs"))
+    val total = counts.agg(sum("docs").as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("cum_docs", sum("docs").over(
+        Window.orderBy(desc("docs"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("core_flag",
+        ((col("cum_docs") - col("docs")) * 100 < col("total") * 80).cast("long"))
+      .select(col("source"), col("docs"), col("cum_docs"), col("core_flag"))
+      .orderBy(desc("docs"), col("source"))
+  }
+
+  def paretoSourcesOracleSql(): String =
+    """WITH c AS (SELECT source, count(*) AS docs FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(docs) AS BIGINT) AS total FROM c),
+      |r AS (
+      | SELECT source, docs,
+      |  CAST(sum(docs) OVER (ORDER BY docs DESC, source
+      |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs
+      | FROM c)
+      |SELECT source, docs, cum_docs,
+      | CAST(CASE WHEN (cum_docs - docs) * 100 < total * 80 THEN 1 ELSE 0 END
+      |  AS BIGINT) AS core_flag
+      |FROM r, t ORDER BY docs DESC, source""".stripMargin
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AssocOps, SampleOps}
+
+/** Differential + invariant checks for association mining, fuzzy
+  * linkage, and the weighted/Pareto sampling additions at sf0.001.
+  */
+class AssocOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("basket rules match a naive driver-side recomputation") {
+    val rows = AssocOps.basketRules(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 100)
+    // Naive reference over the collected item table.
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).map { case (o, v) => o -> v.map(_._2).sorted }
+    val supp = items.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    val nOrders = byOrder.size.toLong
+    val pairCnt = collection.mutable.Map[(Long, Long), Long]()
+    byOrder.values.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairCnt((ps(i), ps(j))) = pairCnt.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    rows.foreach { case (a, b, sp, conf, lift) =>
+      val key = if (a < b) (a, b) else (b, a)
+      assert(pairCnt(key) == sp, s"support mismatch for $a->$b")
+      assert(conf == 1000L * sp / supp(a))
+      assert(lift == (1000L * sp / supp(a)) * nOrders / supp(b))
+      assert(conf <= 1000L)
+    }
+    // Descending support ordering.
+    rows.zip(rows.tail).foreach { case (x, y) => assert(x._3 >= y._3) }
+  }
+
+  test("fuzzy linkage matches a naive edit-distance recomputation") {
+    val rows = AssocOps.fuzzyLinkParts(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parts = Tables.part(spark, sf)
+      .select("p_partkey", "p_name", "p_type", "p_size").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    val naive = parts.groupBy(p => (p._3, p._4)).flatMap { case (blk, ps) =>
+      val ds = for {
+        i <- ps.indices; j <- i + 1 until ps.length
+      } yield lev(ps(i)._2, ps(j)._2)
+      if (ds.isEmpty) None
+      else Some(blk -> (ds.length.toLong, ds.count(_ <= 4).toLong,
+        ds.min.toLong, 1000L * ds.sum / ds.length))
+    }
+    assert(rows.keySet == naive.keySet)
+    naive.foreach { case (blk, expect) =>
+      assert(rows(blk) == expect, s"block $blk: ${rows(blk)} vs $expect")
+    }
+  }
+
+  test("weighted systematic sample: pick mass telescopes to total div step") {
+    val rows = SampleOps.sampleWeighted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf)
+      .agg(sum("n_chars")).collect()(0).getLong(0)
+    val step = math.max(1L, total / 100L)
+    assert(rows.map(_._4).sum == total / step,
+      "sum of picks must equal the number of step boundaries crossed")
+    rows.foreach { case (_, w, cum, picks) =>
+      assert(picks >= 1L)
+      assert(cum / step - (cum - w) / step == picks)
+    }
+    // cum strictly increases with doc_id (weights are positive).
+    rows.map(_._3).toSeq.sliding(2).foreach { case Seq(a, b) => assert(a < b) case _ => }
+  }
+
+  test("pareto cut: minimal covering prefix crosses 80% exactly once") {
+    val rows = SampleOps.paretoSources(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    assert(rows.last._3 == total)
+    // Flags are a prefix: 1...1 0...0, and the last core row crosses 80%.
+    val flags = rows.map(_._4)
+    assert(flags.toSeq.sliding(2).forall { case Seq(a, b) => a >= b case _ => true })
+    val core = rows.filter(_._4 == 1L)
+    assert(core.last._3 * 100 >= total * 80)
+    if (core.length < rows.length)
+      assert((core.last._3 - core.last._2) * 100 < total * 80)
+  }
+}
