@@ -269,6 +269,18 @@ object Registry {
     q("fuzzy_link_parts", AssocOps.fuzzyLinkOracleSql())(
       (s, d) => AssocOps.fuzzyLinkParts(s, d)),
 
+    // Item-item collaborative-filtering neighbors: exact integer
+    // milli-Jaccard over buyer sets, basket-bounded pair space, per-item
+    // top-k window (each item's own neighbor list, no global sort).
+    q("item_neighbors", AssocOps.itemNeighborsOracleSql())(
+      (s, d) => AssocOps.itemNeighbors(s, d)),
+
+    // Categorical independence audit (lang x source): observed vs
+    // expected-under-independence shares in ppm, staged integer division
+    // so the audit is overflow-free at any corpus size.
+    q("independence_audit", AssocOps.independenceAuditOracleSql())(
+      (s, d) => AssocOps.independenceAudit(s, d)),
+
     // Shard-merge aggregation vs the oracle's DIRECT aggregate: proves
     // partial-agg maintenance is exactly associative (decimal partials).
     q("agg_shard_merge", EtlOps.ShardMergeOracleSql)(

@@ -81,6 +81,108 @@ object AssocOps {
        |ORDER BY supp_pair DESC, conf_milli DESC, antecedent, consequent
        |LIMIT $k""".stripMargin
 
+  /** Item-item co-occurrence neighbors — for every part, its top-`k`
+    * most-similar parts by exact Jaccard over buyer-order sets (the
+    * item-based collaborative-filtering primitive). Similarity is
+    * integer milli-Jaccard `(1000·|A∩B|) div (|A|+|B|−|A∩B|)`, so the
+    * ranking is exact and engine-portable — no float cosine drift.
+    *
+    * Scale shape: the intersection counts come from the same
+    * basket-bounded pair generator as [[basketRules]] (O(orders·basket²)
+    * pairs, never parts²); the per-item top-k is a window over each
+    * item's OWN neighbor list (bounded by its co-purchase degree), not a
+    * global sort.
+    */
+  def itemNeighbors(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val supp = items.groupBy(col("p")).agg(count(lit(1)).as("supp"))
+    val pairs = items.as("x").join(items.as("y"), Seq("o"))
+      .filter(col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("co"))
+    val directed = pairs.select(col("a"), col("b"), col("co"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b"), col("co")))
+      .join(supp.withColumnRenamed("p", "a").withColumnRenamed("supp", "supp_a"), "a")
+      .join(supp.withColumnRenamed("p", "b").withColumnRenamed("supp", "supp_b"), "b")
+      .withColumn("jac_milli", expr("(1000 * co) div (supp_a + supp_b - co)"))
+    directed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a")
+          .orderBy(desc("jac_milli"), desc("co"), col("b"))))
+      .filter(col("rn") <= k)
+      .select(col("a").as("item"), col("rn").cast("long").as("rn"),
+        col("b").as("neighbor"), col("co").as("co_orders"), col("jac_milli"))
+      .orderBy("item", "rn")
+  }
+
+  def itemNeighborsOracleSql(k: Int = 5): String =
+    s"""WITH items AS (
+       | SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |supp AS (SELECT p, count(*) AS supp FROM items GROUP BY p),
+       |pairs AS (
+       | SELECT x.p AS a, y.p AS b, count(*) AS co
+       | FROM items x JOIN items y ON x.o = y.o AND x.p < y.p
+       | GROUP BY x.p, y.p),
+       |dirs AS (
+       | SELECT a, b, co FROM pairs
+       | UNION ALL SELECT b AS a, a AS b, co FROM pairs),
+       |j AS (
+       | SELECT dirs.a, dirs.b, co,
+       |  (1000 * co) // (sa.supp + sb.supp - co) AS jac_milli
+       | FROM dirs JOIN supp sa ON sa.p = dirs.a JOIN supp sb ON sb.p = dirs.b),
+       |r AS (
+       | SELECT a, b, co, jac_milli, row_number() OVER (
+       |  PARTITION BY a ORDER BY jac_milli DESC, co DESC, b) AS rn
+       | FROM j)
+       |SELECT a AS item, CAST(rn AS BIGINT) AS rn, b AS neighbor,
+       | CAST(co AS BIGINT) AS co_orders, CAST(jac_milli AS BIGINT) AS jac_milli
+       |FROM r WHERE rn <= $k ORDER BY item, rn""".stripMargin
+
+  /** Statistical independence audit of two categorical columns (lang ×
+    * source): per-cell observed vs expected-under-independence shares in
+    * ppm fixed point, `dev_ppm = |obs − R·C/N²|`. Everything is staged
+    * integer arithmetic (`(10⁶R div N · 10⁶C div N) div 10⁶`), so no
+    * intermediate exceeds ~10¹⁸ at ANY corpus size — the audit runs
+    * unchanged at 100 TB where a naive `(O·N − R·C)²` χ² numerator
+    * overflows even 128-bit. The corpus collapses to the cells×1 grid
+    * (langs × sources) before any join; marginals ride broadcasts.
+    */
+  def independenceAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+    val rowTot = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+    val colTot = docs.groupBy("source").agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    cells
+      .join(broadcast(rowTot), "lang")
+      .join(broadcast(colTot), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("obs_ppm", expr("(1000000 * obs) div n"))
+      .withColumn("exp_ppm",
+        expr("(((1000000 * r) div n) * ((1000000 * c) div n)) div 1000000"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .select(col("lang"), col("source"), col("obs"), col("obs_ppm"),
+        col("exp_ppm"), col("dev_ppm"))
+      .orderBy("lang", "source")
+  }
+
+  def independenceAuditOracleSql(): String =
+    """WITH cells AS (
+      | SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+      |ct AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT cells.lang, cells.source, obs,
+      | (1000000 * obs) // n.n AS obs_ppm,
+      | (((1000000 * r) // n.n) * ((1000000 * c) // n.n)) // 1000000 AS exp_ppm,
+      | abs((1000000 * obs) // n.n -
+      |  (((1000000 * r) // n.n) * ((1000000 * c) // n.n)) // 1000000) AS dev_ppm
+      |FROM cells JOIN rt USING (lang) JOIN ct USING (source), n
+      |ORDER BY cells.lang, cells.source""".stripMargin
+
   /** Blocked fuzzy record linkage over part names: candidate pairs form
     * ONLY within a (p_type, p_size) block, each verified by Levenshtein
     * edit distance; per-block audit of candidate volume, match count

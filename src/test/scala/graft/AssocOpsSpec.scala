@@ -38,6 +38,44 @@ class AssocOpsSpec extends AnyFunSuite {
     rows.zip(rows.tail).foreach { case (x, y) => assert(x._3 >= y._3) }
   }
 
+  test("item neighbors: exact Jaccard, per-item descending, k-bounded") {
+    val rows = AssocOps.itemNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val supp = items.groupBy(_._2).map { case (p, v) => p -> v.length.toLong }
+    val orders = items.groupBy(_._2).map { case (p, v) => p -> v.map(_._1).toSet }
+    rows.groupBy(_._1).foreach { case (_, nbrs) =>
+      assert(nbrs.length <= 5)
+      assert(nbrs.map(_._2).sorted.sameElements(1L to nbrs.length.toLong))
+      // milli-Jaccard descends down each neighbor list.
+      val byRn = nbrs.sortBy(_._2)
+      byRn.zip(byRn.tail).foreach { case (x, y) => assert(x._5 >= y._5) }
+    }
+    rows.foreach { case (a, _, b, co, jac) =>
+      val inter = (orders(a) intersect orders(b)).size.toLong
+      assert(co == inter, s"intersection mismatch $a/$b")
+      assert(jac == 1000L * inter / (supp(a) + supp(b) - inter))
+    }
+  }
+
+  test("independence audit: cells partition the corpus, ppm shares close") {
+    val rows = AssocOps.independenceAudit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == total)
+    // obs_ppm sums to 1e6 up to per-cell floor rounding.
+    val s3 = rows.map(_._4).sum
+    assert(s3 <= 1000000L && s3 >= 1000000L - rows.length)
+    rows.foreach { case (_, _, obs, obsPpm, expPpm, dev) =>
+      assert(obsPpm == 1000000L * obs / total)
+      assert(dev == math.abs(obsPpm - expPpm))
+    }
+  }
+
   test("fuzzy linkage matches a naive edit-distance recomputation") {
     val rows = AssocOps.fuzzyLinkParts(spark, sf).collect()
       .map(r => ((r.getString(0), r.getInt(1)),
