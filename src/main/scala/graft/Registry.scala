@@ -269,6 +269,13 @@ object Registry {
     q("fuzzy_link_parts", AssocOps.fuzzyLinkOracleSql())(
       (s, d) => AssocOps.fuzzyLinkParts(s, d)),
 
+    // Distributed BPE vocabulary induction: eight corpus-level merge
+    // rounds with exact greedy left-to-right non-overlap semantics (run
+    // detection + even offsets, pure window algebra); the oracle unrolls
+    // the identical rounds in SQL. Deterministic 5% doc carve.
+    q("bpe_merges", BpeOps.bpeMergesOracleSql())(
+      (s, d) => BpeOps.bpeMerges(s, d)),
+
     // Item-item collaborative-filtering neighbors: exact integer
     // milli-Jaccard over buyer sets, basket-bounded pair space, per-item
     // top-k window (each item's own neighbor list, no global sort).
