@@ -269,6 +269,24 @@ object Registry {
     q("fuzzy_link_parts", AssocOps.fuzzyLinkOracleSql())(
       (s, d) => AssocOps.fuzzyLinkParts(s, d)),
 
+    // Skyline / Pareto frontier (min price, max size): dominance test
+    // decomposed into hierarchical prefix maxima — no self-join, no
+    // whole-table serial scan; the oracle runs the independent quadratic
+    // NOT EXISTS definition.
+    q("skyline_parts", SkylineOps.skylineOracleSql())(
+      (s, d) => SkylineOps.skylineParts(s, d)),
+
+    // Per-type OLS value-vs-time trend: normal-equation terms exact in
+    // DECIMAL(38,0) over hour-centered time; only the final slope
+    // division runs in IEEE doubles, quantized floor(x*1e4+0.5).
+    q("trend_by_type", StatsOps.trendOracleSql())(
+      (s, d) => StatsOps.trendByType(s, d)),
+
+    // Equi-width 20-bucket histogram export of events.value; edges from
+    // one broadcast min/max scalar pair, integer output.
+    q("value_histogram", StatsOps.valueHistogramOracleSql())(
+      (s, d) => StatsOps.valueHistogram(s, d)),
+
     // Distributed BPE vocabulary induction: eight corpus-level merge
     // rounds with exact greedy left-to-right non-overlap semantics (run
     // detection + even offsets, pure window algebra); the oracle unrolls

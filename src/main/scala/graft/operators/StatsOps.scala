@@ -207,4 +207,91 @@ object StatsOps {
        |SELECT label, CAST(dim AS BIGINT) AS dim, n, sum_fp,
        | CAST(sum_fp // n AS BIGINT) AS mean_fp
        |FROM g ORDER BY label, dim""".stripMargin
+
+  /** Per-type OLS trend of `value` against time — is each event class's
+    * value drifting, and how fast. The normal-equation terms
+    * `n·Σxy − Σx·Σy` and `n·Σx² − (Σx)²` accumulate EXACTLY in
+    * DECIMAL(38,0) over hour-granular centered time (x ≤ corpus span in
+    * hours, so the products stay far inside 38 digits even at 10¹² rows);
+    * only the final slope division runs in doubles, quantized by the
+    * engine-portable `floor(x·10⁴ + 0.5)` — both conversions and the
+    * division are IEEE-deterministic, so the output is bit-identical.
+    * One map-side-combined aggregate per type after a broadcast of the
+    * global min-timestamp scalar; no shuffle beyond the |types| rows.
+    */
+  def trendByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val origin = ev.agg(min("ts_us").as("mn"))
+    val xy = ev.crossJoin(broadcast(origin))
+      .select(col("event_type"),
+        expr("(ts_us - mn) div 3600000000").as("x"),
+        expr("cast(floor(value * 1000 + 0.5) as long)").as("y"))
+    xy.groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        expr("""cast(floor(10000.0 *
+            (cast(n * sxy - sx * sy as double) /
+             cast(n * sxx - sx * sx as double)) + 0.5) as long)""")
+          .as("slope_e4"))
+      .orderBy("event_type")
+  }
+
+  def trendOracleSql(): String =
+    """WITH o AS (SELECT min(epoch_us(ts)) AS mn FROM events),
+      |xy AS (
+      | SELECT event_type,
+      |  (epoch_us(ts) - o.mn) // 3600000000 AS x,
+      |  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+      | FROM events, o WHERE value IS NOT NULL),
+      |g AS (
+      | SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |  sum(x * y) AS sxy, sum(x * x) AS sxx
+      | FROM xy GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      | CAST(floor(10000.0 *
+      |  (CAST(n * sxy - sx * sy AS DOUBLE) /
+      |   CAST(n * sxx - sx * sx AS DOUBLE)) + 0.5) AS BIGINT) AS slope_e4
+      |FROM g ORDER BY event_type""".stripMargin
+
+  /** Equi-width 20-bucket histogram of `events.value` — the distribution
+    * export a profiler draws. Bucket edges derive from the global
+    * min/max scalar pair (broadcast); the bucket index arithmetic is a
+    * fixed IEEE expression shared with the oracle, and the output is
+    * pure integers. One scan + a 20-key map-side-combined aggregate.
+    */
+  def valueHistogram(s: SparkSession, dir: String, buckets: Int = 20): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val bounds = ev.agg(min("value").as("mn"), max("value").as("mx"),
+      count(lit(1)).as("total"))
+    ev.crossJoin(broadcast(bounds))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(buckets - 1L),
+            expr(s"cast(floor(($buckets.0 * (value - mn)) / (mx - mn)) as long)")))
+          .as("bucket"),
+        col("total"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), first("total").as("total"))
+      .select(col("bucket"), col("cnt"),
+        expr("(1000 * cnt) div total").as("pct_milli"))
+      .orderBy("bucket")
+  }
+
+  def valueHistogramOracleSql(buckets: Int = 20): String =
+    s"""WITH b AS (SELECT min(value) AS mn, max(value) AS mx, count(*) AS total
+       |          FROM events WHERE value IS NOT NULL),
+       |h AS (
+       | SELECT CASE WHEN b.mx = b.mn THEN 0
+       |  ELSE least(${buckets - 1},
+       |   CAST(floor(($buckets.0 * (value - b.mn)) / (b.mx - b.mn)) AS BIGINT))
+       |  END AS bucket
+       | FROM events, b WHERE value IS NOT NULL)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt,
+       | (1000 * count(*)) // (SELECT total FROM b) AS pct_milli
+       |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
 }
