@@ -833,6 +833,22 @@ object Registry {
     q("drift_cusum", TemporalOps.driftCusumOracleSql())(
       (s, d) => TemporalOps.driftCusum(s, d)),
 
+    // Last-touch attribution via the generic as-of composition (one key
+    // exchange, running-frame carry); oracle states the semantics as a
+    // correlated latest-touch subquery.
+    q("attribution_last_touch", TemporalOps.attributionOracleSql())(
+      (s, d) => TemporalOps.attributionLastTouch(s, d)),
+
+    // Hour-of-day x day-of-week seasonal activity heat map in ppm;
+    // corpus collapses to the 168-cell grid map-side.
+    q("seasonal_profile", TemporalOps.seasonalProfileOracleSql())(
+      (s, d) => TemporalOps.seasonalProfile(s, d)),
+
+    // Degree assortativity (hub-hub mixing) of the co-purchase graph:
+    // exact DECIMAL(38,0) normal-equation sums, floor-quantized ratio.
+    q("graph_assortativity", GraphOps.AssortativityOracleSql)(
+      (s, d) => GraphOps.assortativity(s, d)),
+
     // Leakage-safe train/val/test assignment: splits hash the NEAR-DUP
     // CLUSTER representative, so no near-dup pair straddles a boundary;
     // the oracle recomputes clusters via the independent recursive

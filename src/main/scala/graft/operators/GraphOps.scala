@@ -737,4 +737,54 @@ object GraphOps {
     }
     sb.toString
   }
+
+  /** Degree assortativity of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over the symmetric directed edge
+    * list (do hubs connect to hubs?). By symmetry Σj = Σk and
+    * Σj² = Σk², so r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²); the sums
+    * accumulate EXACTLY in DECIMAL(38,0) (degree ≤ n, M ≤ 2m — the
+    * products stay inside 38 digits up to ~10¹² edges), and only the
+    * final ratio runs in IEEE doubles, floor-quantized at 10⁶ so both
+    * engines emit the identical integer. Two degree joins + one scalar
+    * aggregate; nothing corpus-sized crosses the driver.
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val de = directedEdges(s, dir)
+    val deg = de.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    de
+      .join(deg.select(col("node").as("src"), col("deg").as("j")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("k")), "dst")
+      .select(col("j").cast("decimal(38,0)").as("j"),
+        col("k").cast("decimal(38,0)").as("k"))
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum("j").as("sj"),
+        sum(col("j") * col("k")).as("sjk"),
+        sum(col("j") * col("j")).as("sjj"))
+      .select(col("m").cast("long").as("directed_edges"),
+        expr("""cast(floor(1000000.0 *
+            (cast(m * sjk - sj * sj as double) /
+             cast(m * sjj - sj * sj as double)) + 0.5) as long)""")
+          .as("assortativity_e6"))
+  }
+
+  val AssortativityOracleSql: String =
+    """WITH und AS (
+      | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      | FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (
+      | SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+      |jk AS (
+      | SELECT dj.deg AS j, dk.deg AS k
+      | FROM edges e JOIN deg dj ON e.src = dj.node JOIN deg dk ON e.dst = dk.node),
+      |g AS (
+      | SELECT count(*) AS m, sum(j) AS sj, sum(j * k) AS sjk, sum(j * j) AS sjj
+      | FROM jk)
+      |SELECT CAST(m AS BIGINT) AS directed_edges,
+      | CAST(floor(1000000.0 *
+      |  (CAST(m * sjk - sj * sj AS DOUBLE) /
+      |   CAST(m * sjj - sj * sj AS DOUBLE)) + 0.5) AS BIGINT) AS assortativity_e6
+      |FROM g""".stripMargin
 }

@@ -88,6 +88,31 @@ object HllOps {
       s"THEN ($Buckets * ($lnCase)) $idiv 1000 ELSE $raw END"
   }
 
+  /** The identical estimator as driver/executor-side Scala over a raw
+    * register array (index = bucket, value = max lowbit, 0 = empty) —
+    * used by the streaming twin's typed Aggregator
+    * ([[graft.streaming.StreamingHll]]) so streaming windows emit
+    * BIT-IDENTICAL estimates to the batch SQL pipeline (Long division
+    * truncates toward zero exactly like `div`/`//` on these
+    * non-negative operands).
+    */
+  def estimateRegisters(regs: Array[Long]): Long = {
+    val np = regs.count(_ > 0L)
+    val sp = regs.iterator.filter(_ > 0L).map(r => HarmonicOne / (2L * r)).sum
+    val raw = (AlphaMilli * Buckets * Buckets * HarmonicOne) /
+      (1000L * (sp + (Buckets - np) * HarmonicOne))
+    if (np < Buckets && raw <= SmallRangeCeil)
+      (Buckets * LnMilli(Buckets - np)) / 1000L
+    else raw
+  }
+
+  /** Register update for one hashed key (shared hash family). */
+  def registerOf(userId: Long): (Int, Long) = {
+    val h = ((userId % P) * K) % P
+    val v = h / Buckets
+    ((h % Buckets).toInt, if (v == 0L) ZeroSentinel else v & -v)
+  }
+
   /** One-row report: the single-pass estimate, the shard-merged estimate
     * (must agree exactly — register max-merge is associative), and the
     * exact distinct count for error context.

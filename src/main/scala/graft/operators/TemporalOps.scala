@@ -21,6 +21,7 @@ object TemporalOps {
   import HllOps.{Buckets, ZeroSentinel, HarmonicOne}
 
   private val DayUs = 86400000000L
+  private val HourUs = 3600000000L
 
   /** Dense day spine from the observed [min, max] event days — two scalar
     * aggregates exploded into one row per day; never a corpus shuffle.
@@ -248,6 +249,79 @@ object TemporalOps {
         col("drift_flag").cast("long").as("drift_flag"))
       .orderBy("epoch_day")
   }
+
+  /** Last-touch marketing attribution: each purchase credits the LATEST
+    * preceding view/click by the same user within `windowUs` (1 h), or
+    * 'none'. Built on the generic [[AsofJoinOps.asOfJoin]] composition —
+    * ONE key exchange + a running-frame carry, never the |purchases|×
+    * |touches| fan-out join — then a |touch-types|-row aggregate. The
+    * oracle states the semantics directly as a correlated latest-touch
+    * subquery (an independent formulation).
+    */
+  def attributionLastTouch(
+      s: SparkSession,
+      dir: String,
+      windowUs: Long = 3600000000L): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    AsofJoinOps.asOfJoin(purchases, touches, "user_id", "ts_us", "event_id")
+      .select(
+        when(col("matched").isNull ||
+            col("matched.ts_us") < col("ts_us") - windowUs, lit("none"))
+          .otherwise(col("matched.event_type")).as("attribution"))
+      .groupBy("attribution")
+      .agg(count(lit(1)).as("purchases"))
+      .orderBy("attribution")
+  }
+
+  def attributionOracleSql(windowUs: Long = 3600000000L): String =
+    s"""WITH p AS (
+       | SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+       | WHERE event_type = 'purchase'),
+       |tch AS (
+       | SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events
+       | WHERE event_type IN ('view', 'click')),
+       |m AS (
+       | SELECT p.event_id,
+       |  (SELECT tch.event_type FROM tch
+       |   WHERE tch.user_id = p.user_id AND tch.t <= p.t
+       |    AND tch.t >= p.t - $windowUs
+       |   ORDER BY tch.t DESC, tch.event_id DESC LIMIT 1) AS attribution
+       | FROM p)
+       |SELECT coalesce(attribution, 'none') AS attribution,
+       | count(*) AS purchases
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Hour-of-day × day-of-week activity profile in ppm — the seasonal
+    * heat-map a capacity planner reads. The corpus collapses to the
+    * ≤ 168-cell grid in one map-side-combined aggregate; the total rides
+    * a broadcast scalar.
+    */
+  def seasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.select(
+        expr(s"((ts_us div $DayUs) + 4) % 7").as("dow"),
+        expr(s"(ts_us % $DayUs) div $HourUs").as("hour"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("cnt"),
+        expr("(1000000 * cnt) div total").as("ppm"))
+      .orderBy("dow", "hour")
+  }
+
+  def seasonalProfileOracleSql(): String =
+    s"""WITH e AS (SELECT epoch_us(ts) AS t FROM events),
+       |t AS (SELECT count(*) AS total FROM e)
+       |SELECT ((t // $DayUs) + 4) % 7 AS dow,
+       | (t % $DayUs) // $HourUs AS hour,
+       | count(*) AS cnt,
+       | (1000000 * count(*)) // (SELECT total FROM t) AS ppm
+       |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
 
   def driftCusumOracleSql(): String =
     s"""WITH e AS (SELECT epoch_us(ts) // $DayUs AS day FROM events),

@@ -72,6 +72,27 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution conserves purchases; seasonal grid partitions the corpus") {
+    val attr = TemporalOps.attributionLastTouch(spark, sf).collect()
+    val purchases = events.filter(col("event_type") === "purchase").count()
+    assert(attr.map(_.getLong(1)).sum == purchases)
+    assert(attr.map(_.getString(0)).forall(Set("view", "click", "none")))
+
+    val grid = TemporalOps.seasonalProfile(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(grid.map(_._3).sum == nEvents)
+    grid.foreach { case (dow, hour, cnt, ppm) =>
+      assert(dow >= 0L && dow <= 6L && hour >= 0L && hour <= 23L)
+      assert(ppm == 1000000L * cnt / nEvents)
+    }
+  }
+
+  test("assortativity is a bounded correlation over an even edge count") {
+    val r = graft.operators.GraphOps.assortativity(spark, sf).collect()(0)
+    assert(r.getLong(0) % 2 == 0L, "symmetric directed list must be even")
+    assert(math.abs(r.getLong(1)) <= 1000001L, "correlation must be in [-1, 1]")
+  }
+
   test("drift cusum: final value closes the telescoping sum exactly") {
     val rows = TemporalOps.driftCusum(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
