@@ -200,4 +200,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!"Exchange hashpartitioning\\(c_code".r.findFirstIn(plan).isDefined,
       s"corpus shuffled on bucket code in:\n$plan")
   }
+
+  test("sample_weighted: carry window runs over bucket aggregates, not corpus rows") {
+    // The flat serial prefix sum lives only in the oracle; the Spark plan
+    // must collapse to per-bucket sums (HashAggregate) BEFORE the
+    // partition-less carry window touches anything.
+    val plan = executedPlan(graft.operators.SampleOps.sampleWeighted(spark, sf))
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0, s"missing agg/window in:\n$plan")
+    assert(plan.contains("Sort") && plan.contains("bk"),
+      s"bucket machinery absent in:\n$plan")
+  }
+
+  test("skyline: dominance decomposes into bucket aggregates + bounded windows") {
+    val plan = executedPlan(graft.operators.SkylineOps.skylineParts(spark, sf))
+    // The bucket-maxima aggregate must exist (the hierarchical step); a
+    // naive formulation would be a quadratic join or one global window
+    // with no prior aggregate.
+    assert(plan.contains("HashAggregate"), s"no bucket aggregate in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join leaked into the skyline plan:\n$plan")
+  }
 }
