@@ -887,6 +887,39 @@ object Registry {
     rowsOnly("clusters_conv")((s, d) =>
       DedupClusterOps.clustersConverged(s, Tables.documents(s, d))._2),
 
+    // ---- Catalog profiling + cohort survival (ProfileOps) ----
+    // Per-column stats row via ONE scan (Expand'd exact distincts +
+    // stack fan-out) vs per-column UNION ALL scans in the oracle.
+    q("profile_columns", operators.ProfileOps.ProfileColumnsOracleSql)(
+      operators.ProfileOps.profileColumns),
+
+    // User-lifetime survival curve over the dense day-offset spine;
+    // descending running sum runs over metadata (calendar days) only.
+    q("survival_curve", operators.ProfileOps.SurvivalCurveOracleSql)(
+      operators.ProfileOps.survivalCurve),
+
+    // ---- Node-local graph features (LinkOps) ----
+    // Local clustering coefficient via degree-oriented triangle corner
+    // counts; oracle re-enumerates triangles in ID orientation.
+    q("clustering_coeff", operators.LinkOps.clusteringCoeffOracleSql())(
+      (s, d) => operators.LinkOps.clusteringCoeff(s, d)),
+
+    // Resource-allocation link prediction with an oracle-mirrored hub
+    // cap bounding wedge fan-out (RA's 1/deg weight makes capped hubs
+    // negligible by construction).
+    q("link_prediction", operators.LinkOps.linkPredictionOracleSql())(
+      (s, d) => operators.LinkOps.linkPrediction(s, d)),
+
+    // Pairwise Pearson correlation matrix in one exact-moment scan;
+    // only the final ratio is floating, floor-quantized to e6.
+    q("corr_matrix", operators.StatsOps.CorrMatrixOracleSql)(
+      operators.StatsOps.corrMatrix),
+
+    // Unigram LM surprise (CCNet-style quality signal) in exact integer
+    // bits — bitlen instead of engine-variant floating logs.
+    q("lm_surprise", operators.TextOps.LmSurpriseOracleSql)(
+      (s, d) => operators.TextOps.lmSurprise(s, d)),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

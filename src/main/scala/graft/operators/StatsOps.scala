@@ -294,4 +294,70 @@ object StatsOps {
        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt,
        | (1000 * count(*)) // (SELECT total FROM b) AS pct_milli
        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  private val CorrCols = Seq("quantity", "extprice", "discount", "tax")
+  private val CorrSrc = Map(
+    "quantity" -> "l_quantity", "extprice" -> "l_extendedprice",
+    "discount" -> "l_discount", "tax" -> "l_tax")
+
+  /** Pairwise Pearson correlation matrix over the four lineitem measures
+    * — the feature-screening export an ML pipeline runs before training.
+    * Values quantize to milli fixed point (`floor(x·1000 + 0.5)`, pure
+    * IEEE, bit-identical in both engines); all 15 moment sums (4 sums, 4
+    * squares, 6 cross products, 1 count) ride ONE scan in exact
+    * DECIMAL(38,0), and each pair's r is a single double expression over
+    * those exact integers, floor-quantized to e6 — so the only floating
+    * step is the final well-conditioned ratio. The 6 output rows fan out
+    * of the one-row aggregate via `stack`. At far larger row counts the
+    * uncentered squares approach DECIMAL(38,0)'s range; the production
+    * form subtracts a broadcast integer pre-mean first (same shape, one
+    * extra scalar pass) — documented here, not needed at bench scale.
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(CorrCols.map(c =>
+      expr(s"cast(floor(${CorrSrc(c)} * 1000 + 0.5) as decimal(38,0))")
+        .as(c)): _*)
+    val pairs = CorrCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val sums =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+        CorrCols.map(c => sum(col(c)).as(s"s_$c")) ++
+        CorrCols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val aggd = li.agg(sums.head, sums.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      s"""'$a', '$b', cast(n as long),
+         | cast(floor(1000000.0 *
+         |  (cast(n * sp_${a}_$b - s_$a * s_$b as double) /
+         |   (sqrt(cast(n * ss_$a - s_$a * s_$a as double)) *
+         |    sqrt(cast(n * ss_$b - s_$b * s_$b as double)))) + 0.5) as long)""".stripMargin
+    }
+    aggd.select(expr(
+      s"stack(${pairs.size}, ${rows.mkString(", ")}) AS (col_x, col_y, n, corr_e6)"))
+      .orderBy("col_x", "col_y")
+  }
+
+  val CorrMatrixOracleSql: String = {
+    val cols = CorrCols
+    val q = cols.map(c =>
+      s"CAST(floor(${CorrSrc(c)} * 1000 + 0.5) AS HUGEINT) AS $c").mkString(", ")
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val moments =
+      Seq("count(*) AS n") ++
+        cols.map(c => s"sum($c) AS s_$c") ++
+        cols.map(c => s"sum($c * $c) AS ss_$c") ++
+        pairs.map { case (a, b) => s"sum($a * $b) AS sp_${a}_$b" }
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+         | CAST(floor(1000000.0 *
+         |  (CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+         |   (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) *
+         |    sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)))) + 0.5) AS BIGINT)
+         |  AS corr_e6
+         |FROM g""".stripMargin
+    }
+    s"""WITH v AS (SELECT $q FROM lineitem),
+       |g AS (SELECT ${moments.mkString(", ")} FROM v)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
 }

@@ -824,6 +824,50 @@ object TextOps {
       |SELECT source, tok, c_src, lift_bp, rk FROM r WHERE rk <= 3
       |ORDER BY source, rk""".stripMargin
 
+  /** Unigram LM surprise scoring — the CCNet-style "how far from the
+    * corpus language model is this document" quality signal, in EXACT
+    * integer bits instead of floating log-probs: a token occurring `cnt`
+    * times in a corpus of `T` tokens carries
+    * `floor(log2(T div cnt)) = bitlen(T div cnt) − 1` surprise bits
+    * (bit length via `bin()`, pure integer — no engine-variant log), and
+    * a document scores the sum and per-token milli-mean of its tokens'
+    * bits. High mean ⇒ rare-token-heavy (gibberish / non-language);
+    * low ⇒ boilerplate. Shape: one corpus-collapse to the vocab frame,
+    * one token-keyed join of the exploded corpus against it (the vocab
+    * frame is Zipf-small relative to the corpus but unbounded, so it
+    * stays a shuffle join, not a broadcast), one doc-keyed aggregate.
+    */
+  def lmSurprise(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("t_tokens"))
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        expr("length(bin(t_tokens div cnt)) - 1").cast("long").as("bits"))
+    tok.join(bits, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("surprise_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("surprise_bits"),
+        expr("(1000 * surprise_bits) div n_tokens").as("mean_surprise_milli"))
+      .orderBy("doc_id")
+  }
+
+  val LmSurpriseOracleSql: String =
+    """WITH t AS (
+      | SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+      | FROM documents),
+      |v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+      |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_tokens FROM v),
+      |b AS (
+      | SELECT token, length(bin(t_tokens // cnt)) - 1 AS bits
+      | FROM v CROSS JOIN tt)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      | CAST(sum(b.bits) AS BIGINT) AS surprise_bits,
+      | CAST((1000 * sum(b.bits)) // count(*) AS BIGINT) AS mean_surprise_milli
+      |FROM t JOIN b USING (token)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val SourceOverlapOracleSql: String =
     """WITH tok AS (
       | SELECT source, regexp_extract_all(text, '\S+') AS toks FROM documents),
