@@ -238,9 +238,12 @@ object GraphOps {
     * customer is a strong hub if they buy authoritative parts. On this
     * bipartite graph the two sides are genuinely different (HITS on the
     * symmetric co-purchase graph would degenerate to hub == authority).
-    * Each round L1-normalizes both frames in integer fixed-point
-    * (`(raw · HitsScale) div Σraw`), so scores are permutation-exact
-    * and the oracle unrolls the identical recurrence.
+    * Each round L1-normalizes the HUB frame in integer fixed-point
+    * (`(raw · HitsScale) div Σraw`); the authority frame propagates
+    * un-normalized (bounded, see the loop comment) and normalizes once
+    * at output — one integer division per propagation step, so scores
+    * are permutation-exact and the oracle unrolls the identical
+    * recurrence.
     *
     * Scale shape: same loop discipline as [[pagerank]] — the edge frame
     * is cached TWICE, partitioned by each round's aggregation key (p
@@ -255,32 +258,44 @@ object GraphOps {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
+    // Chain the second cache off the first and read the node counts from
+    // the caches: the orders⋈lineitem distinct edge build executes ONCE
+    // (it used to run 4× — two stats counts plus both lazy cache
+    // materializations — and was the dominant cost of the whole query,
+    // ~4.5 s of fixed work against ~0.3 s per loop round at sf0.1).
     val eByP = e.repartition(col("p")).persist(StorageLevel.MEMORY_AND_DISK)
-    val eByC = e.repartition(col("c")).persist(StorageLevel.MEMORY_AND_DISK)
-    val custs = e.select("c").distinct()
-    val nC = custs.count()
-    val nP = e.select("p").distinct().count()
+    val eByC = eByP.repartition(col("c")).persist(StorageLevel.MEMORY_AND_DISK)
+    val custs = eByC.select("c").distinct()
+    val nC = custs.count() // materializes eByP then eByC, one edge build
+    val nP = eByP.select("p").distinct().count() // cache read only
 
     var h = custs.withColumn("score", lit(HitsScale))
-    var a: DataFrame = null
+    var araw: DataFrame = null
     for (i <- 1 to iters) {
-      // Truncate the RAW frame, not the normalized one: the normalizing
-      // sum and the score projection both consume it, so an
-      // unmaterialized raw plan would execute its edge join TWICE per
-      // round (once under the broadcast sum, once directly — measured
-      // 2× on the whole query). Checkpointing here also bounds lineage,
-      // so no further per-round truncation is needed.
-      val araw = truncate(s, eByP.join(roundSide(h, nC), "c")
-        .groupBy("p").agg(sum("score").as("raw")))
-      val asum = araw.agg(sum("raw").as("s"))
-      a = araw.crossJoin(broadcast(asum))
-        .select(col("p"), expr(s"(raw * $HitsScale) div s").as("score"))
-      val hraw = truncate(s, eByC.join(roundSide(a, nP), "p")
-        .groupBy("c").agg(sum("score").as("raw")))
+      // The authority half-round stays UN-normalized: hubs are L1-scale
+      // 1e6 after their normalization, so `araw ≤ Σh ≈ 1e6` and the hub
+      // accumulation `hraw ≤ maxdeg·1e6` keeps three orders of BIGINT
+      // headroom even at million-degree hubs — which lets the authority
+      // division fold away entirely. Each round is then ONE checkpoint
+      // (the hub frame, consumed by both its normalizing sum and the
+      // next round's projection — unmaterialized it would re-execute
+      // its edge joins twice, measured 2× on the whole query) instead
+      // of the raw+normalized pair the two-division form needed; the
+      // authority plan executes once, inside the size-guarded broadcast
+      // build of the hub-side join. One integer division per round also
+      // rounds once instead of twice per propagation step.
+      araw = eByP.join(roundSide(h, nC), "c")
+        .groupBy("p").agg(sum("score").as("raw"))
+      if (i == iters) araw = truncate(s, araw) // final output reads it too
+      val hraw = truncate(s, eByC.join(roundSide(araw, nP), "p")
+        .groupBy("c").agg(sum("raw").as("raw")))
       val hsum = hraw.agg(sum("raw").as("s"))
       h = hraw.crossJoin(broadcast(hsum))
         .select(col("c"), expr(s"(raw * $HitsScale) div s").as("score"))
     }
+    val asum = araw.agg(sum("raw").as("s"))
+    val a = araw.crossJoin(broadcast(asum))
+      .select(col("p"), expr(s"(raw * $HitsScale) div s").as("score"))
     h.select(lit("hub").as("kind"), col("c").as("node"), col("score").as("score_fp"))
       .union(a.select(lit("authority").as("kind"), col("p").as("node"),
         col("score").as("score_fp")))
@@ -302,12 +317,9 @@ object GraphOps {
         |ar$i AS MATERIALIZED (
         | SELECT p, CAST(sum(h.score) AS BIGINT) AS raw
         | FROM e JOIN h${i - 1} h USING (c) GROUP BY p),
-        |a$i AS MATERIALIZED (
-        | SELECT p, (raw * ${HitsScale}::BIGINT)
-        |  // CAST((SELECT sum(raw) FROM ar$i) AS BIGINT) AS score FROM ar$i),
         |hr$i AS MATERIALIZED (
-        | SELECT c, CAST(sum(a.score) AS BIGINT) AS raw
-        | FROM e JOIN a$i a USING (p) GROUP BY c),
+        | SELECT c, CAST(sum(a.raw) AS BIGINT) AS raw
+        | FROM e JOIN ar$i a USING (p) GROUP BY c),
         |h$i AS MATERIALIZED (
         | SELECT c, (raw * ${HitsScale}::BIGINT)
         |  // CAST((SELECT sum(raw) FROM hr$i) AS BIGINT) AS score FROM hr$i)""".stripMargin)
@@ -316,7 +328,10 @@ object GraphOps {
       |SELECT kind, node, score_fp FROM (
       | SELECT 'hub' AS kind, c AS node, CAST(score AS BIGINT) AS score_fp FROM h$iters
       | UNION ALL
-      | SELECT 'authority' AS kind, p AS node, CAST(score AS BIGINT) AS score_fp FROM a$iters)
+      | SELECT 'authority' AS kind, p AS node,
+      |  CAST((raw * ${HitsScale}::BIGINT)
+      |   // CAST((SELECT sum(raw) FROM ar$iters) AS BIGINT) AS BIGINT) AS score_fp
+      | FROM ar$iters)
       |ORDER BY kind, node""".stripMargin)
     sb.toString
   }
