@@ -920,6 +920,22 @@ object Registry {
     q("lm_surprise", operators.TextOps.LmSurpriseOracleSql)(
       (s, d) => operators.TextOps.lmSurprise(s, d)),
 
+    // Vocabulary-growth (Heaps'-law) curve by ingest batch: first-seen
+    // attribution via one min(batch) aggregate; cumulative vocab walks
+    // the metadata-sized batch spine.
+    q("vocab_growth", operators.TextOps.vocabGrowthOracleSql())(
+      (s, d) => operators.TextOps.vocabGrowth(s, d)),
+
+    // Behavioral audience-overlap matrix: distinct (user,type) collapse
+    // first, user-keyed self-join with ≤|types|² per-user fan-out.
+    q("audience_overlap", operators.AudienceOps.AudienceOverlapOracleSql)(
+      operators.AudienceOps.audienceOverlap),
+
+    // Exponential-decay recency scores via integer power-of-two shifts
+    // (no engine-variant floating exp); bounded top-k.
+    q("recency_scores", operators.AudienceOps.recencyScoresOracleSql())(
+      (s, d) => operators.AudienceOps.recencyScores(s, d)),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

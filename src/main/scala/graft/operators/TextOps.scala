@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -867,6 +868,54 @@ object TextOps {
       | CAST((1000 * sum(b.bits)) // count(*) AS BIGINT) AS mean_surprise_milli
       |FROM t JOIN b USING (token)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** Vocabulary-growth (Heaps'-law) audit over ingest order: documents
+    * batch by `doc_id div batchSize` (the ingest-sequence proxy — the
+    * driver's synthetic ids are assigned in generation order), and each
+    * batch reports its token volume, in-batch distinct tokens, tokens
+    * FIRST seen in it, and the running cumulative vocabulary. The curve
+    * is how a crawl operator decides when marginal data stops buying
+    * vocabulary. First-seen attribution is one `min(batch)` aggregate
+    * over the vocab frame; the cumulative sum walks the metadata-sized
+    * batch spine only.
+    */
+  def vocabGrowth(s: SparkSession, dir: String, batchSize: Long = 50L): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(expr(s"doc_id div $batchSize").as("batch"),
+        explode(tokens).as("token"))
+    val perBatch = tok.groupBy("batch").agg(
+      count(lit(1)).as("token_occurrences"),
+      countDistinct("token").as("distinct_tokens"))
+    val firstSeen = tok.groupBy("token").agg(min("batch").as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("new_tokens"))
+    perBatch.join(firstSeen, Seq("batch"), "left")
+      .select(col("batch"), col("token_occurrences"), col("distinct_tokens"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("cum_vocab",
+        sum("new_tokens").over(Window.orderBy("batch")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("batch")
+  }
+
+  def vocabGrowthOracleSql(batchSize: Long = 50L): String =
+    s"""WITH t AS (
+       | SELECT doc_id // $batchSize AS batch,
+       |  unnest(regexp_extract_all(text, '\\S+')) AS token
+       | FROM documents),
+       |pb AS (
+       | SELECT batch, count(*) AS token_occurrences,
+       |  count(DISTINCT token) AS distinct_tokens
+       | FROM t GROUP BY batch),
+       |fs AS (
+       | SELECT batch, count(*) AS new_tokens FROM (
+       |  SELECT token, min(batch) AS batch FROM t GROUP BY token)
+       | GROUP BY batch)
+       |SELECT pb.batch, pb.token_occurrences, pb.distinct_tokens,
+       | coalesce(fs.new_tokens, 0) AS new_tokens,
+       | CAST(sum(coalesce(fs.new_tokens, 0)) OVER (ORDER BY pb.batch
+       |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+       |FROM pb LEFT JOIN fs USING (batch)
+       |ORDER BY batch""".stripMargin
 
   val SourceOverlapOracleSql: String =
     """WITH tok AS (
