@@ -936,6 +936,23 @@ object Registry {
     q("recency_scores", operators.AudienceOps.recencyScoresOracleSql())(
       (s, d) => operators.AudienceOps.recencyScores(s, d)),
 
+    // Personalized PageRank from a deterministic seed cohort: teleport
+    // mass returns only to seeds; same exchange-free loop as pagerank.
+    q("ppr_seeded", GraphOps.pprSeededOracleSql())(
+      (s, d) => GraphOps.pprSeeded(s, d)),
+
+    // Markov stationary distribution of the event-type chain: corpus
+    // collapses once to the ppm transition matrix; the power iteration
+    // runs over metadata-sized frames only.
+    q("markov_stationary", FunnelOps.markovStationaryOracleSql())(
+      (s, d) => FunnelOps.markovStationary(s, d)),
+
+    // Optimizer-style join-cardinality estimation audit: independence
+    // estimate vs the TRUE size computed from per-key count frames —
+    // the join itself is never materialized.
+    q("join_cardinality_audit", JoinOps.JoinCardinalityOracleSql)(
+      JoinOps.joinCardinalityAudit),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

@@ -213,4 +213,75 @@ object FunnelOps {
       | CAST((1000 * transitions) // sum(transitions) OVER (PARTITION BY from_type)
       |  AS BIGINT) AS share_permille
       |FROM g ORDER BY from_type, to_type""".stripMargin
+
+  /** Stationary distribution of the event-type Markov chain: power
+    * iteration of the ppm transition matrix from the uniform start —
+    * "where does a user's behavior settle long-run". The corpus
+    * collapses ONCE to the ≤&#124;types&#124;² transition matrix (same
+    * per-user lead as [[eventTransitions]]); every iteration after that
+    * is a joins-and-aggregate over metadata-sized frames, so the loop
+    * costs nothing at any corpus scale. Fixed-point ppm with per-term
+    * `div` — mass lost to rounding is deterministic and identical in
+    * the unrolled oracle (the vector need not sum to exactly 1e6).
+    */
+  def markovStationary(s: SparkSession, dir: String, iters: Int = 12): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("t"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("to_type").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val p = counts
+      .withColumn("tot", sum("c").over(Window.partitionBy("a")))
+      .select(col("a"), col("b"), expr("(1000000 * c) div tot").as("p_ppm"))
+      .persist()
+    val types = p.select(col("a").as("t")).distinct().persist()
+    val nT = types.count()
+    var v = types.withColumn("mass_ppm", lit(1000000L / nT))
+    for (_ <- 1 to iters) {
+      v = types.join(
+        p.join(v, p("a") === v("t"))
+          .groupBy(col("b").as("t"))
+          .agg(sum(expr("(mass_ppm * p_ppm) div 1000000")).as("m")),
+        Seq("t"), "left")
+        .select(col("t"), coalesce(col("m"), lit(0L)).as("mass_ppm"))
+    }
+    v.select(col("t").as("event_type"), col("mass_ppm").as("stationary_ppm"))
+      .orderBy("event_type")
+  }
+
+  def markovStationaryOracleSql(iters: Int = 12): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |pr AS (
+        | SELECT event_type AS a,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS b
+        | FROM e),
+        |g AS (SELECT a, b, count(*) AS c FROM pr WHERE b IS NOT NULL GROUP BY 1, 2),
+        |p AS MATERIALIZED (
+        | SELECT a, b,
+        |  CAST((1000000 * c) // sum(c) OVER (PARTITION BY a) AS BIGINT) AS p_ppm
+        | FROM g),
+        |ty AS MATERIALIZED (SELECT DISTINCT a AS t FROM p),
+        |nt AS (SELECT count(*) AS n FROM ty),
+        |v0 AS (SELECT t, 1000000 // (SELECT n FROM nt) AS mass_ppm FROM ty)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |v$i AS MATERIALIZED (
+        | SELECT ty.t, coalesce(m.m, 0) AS mass_ppm
+        | FROM ty LEFT JOIN (
+        |  SELECT p.b AS t,
+        |   CAST(sum((v.mass_ppm * p.p_ppm) // 1000000) AS BIGINT) AS m
+        |  FROM p JOIN v${i - 1} v ON p.a = v.t GROUP BY p.b) m
+        |  ON ty.t = m.t)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT t AS event_type, CAST(mass_ppm AS BIGINT) AS stationary_ppm
+      |FROM v$iters ORDER BY event_type""".stripMargin)
+    sb.toString
+  }
 }

@@ -736,6 +736,93 @@ object GraphOps {
     sb.toString
   }
 
+  /** Personalized PageRank from a deterministic seed set (`node % seedMod
+    * == 0`): teleport mass returns ONLY to seeds, so scores measure
+    * proximity to the seed cohort — the recsys / related-items twin of
+    * [[pagerank]]. Same loop discipline (one cached edge build, size-
+    * guarded broadcast score side, per-round truncation, integer fixed
+    * point at [[Scale]]); only the teleport vector differs. Emits the
+    * nodes with non-zero mass after `iters` rounds (mass reaches exactly
+    * the seed-reachable set).
+    */
+  def pprSeeded(
+      s: SparkSession,
+      dir: String,
+      iters: Int = 8,
+      seedMod: Long = 97L): DataFrame = {
+    val und = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val dirEdges = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = dirEdges.groupBy("src").agg(count(lit(1)).as("out_degree"))
+    val edgesDeg = dirEdges
+      .join(deg, "src")
+      .select(col("src"), col("dst"), col("out_degree"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val nSeeds = nodes.filter(col("node") % seedMod === 0L).count()
+    require(nSeeds > 0, s"no seeds under node % $seedMod == 0")
+    val seedTeleport = (15L * Scale) / (100L * nSeeds)
+    val isSeed = col("node") % seedMod === 0L
+
+    var scores = nodes.withColumn("score",
+      when(isSeed, lit(Scale / nSeeds)).otherwise(lit(0L)))
+    for (i <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(roundSide(scores.withColumnRenamed("node", "src"), n), "src")
+        .select(
+          col("dst").as("node"),
+          expr(s"(85 * score) div (100 * out_degree)").as("contrib"))
+        .groupBy("node")
+        .agg(sum("contrib").as("contrib"))
+      scores = nodes
+        .join(roundSide(contribs, n), Seq("node"), "left")
+        .select(
+          col("node"),
+          (when(isSeed, lit(seedTeleport)).otherwise(lit(0L)) +
+            coalesce(col("contrib"), lit(0L))).as("score"))
+      if (i < iters) scores = truncate(s, scores)
+    }
+    scores.filter(col("score") > 0L)
+      .select(col("node"), col("score").as("score_fp"))
+      .orderBy("node")
+  }
+
+  /** DuckDB oracle for [[pprSeeded]] — identical recurrence, unrolled. */
+  def pprSeededOracleSql(iters: Int = 8, seedMod: Long = 97L): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH und AS MATERIALIZED (
+         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         | FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS out_degree FROM edges GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |ns AS MATERIALIZED (SELECT count(*) AS k FROM nodes WHERE node % $seedMod = 0),
+         |r0 AS MATERIALIZED (
+         | SELECT node, CASE WHEN node % $seedMod = 0
+         |  THEN $Scale // (SELECT k FROM ns) ELSE 0 END AS score FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |r$i AS MATERIALIZED (
+        | SELECT nd.node,
+        |  CASE WHEN nd.node % $seedMod = 0
+        |   THEN (15::BIGINT * $Scale) // (100::BIGINT * (SELECT k FROM ns))
+        |   ELSE 0 END + coalesce(c.contrib, 0) AS score
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT e.dst AS node,
+        |   CAST(sum((85::BIGINT * r.score) // (100::BIGINT * d.out_degree)) AS BIGINT) AS contrib
+        |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, CAST(score AS BIGINT) AS score_fp FROM r$iters
+      |WHERE score > 0 ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   private def pagerankChainSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(

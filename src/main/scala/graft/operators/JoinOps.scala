@@ -188,4 +188,64 @@ object JoinOps {
         coalesce(col("without_orders"), lit(0L)).as("without_orders"))
       .orderBy("c_mktsegment")
   }
+
+  /** Join-cardinality estimation audit — the optimizer's-eye view of the
+    * three fact/dimension joins: per pair, row counts, key NDVs, the
+    * textbook independence estimate `|L|·|R| div max(ndv)`, the TRUE
+    * join cardinality, and the estimate's error in ppm. The true size is
+    * `Σ_k cnt_L(k)·cnt_R(k)` over per-key count frames — the join is
+    * never materialized, so the audit costs two aggregates plus a
+    * key-count-sized join per pair regardless of how explosive the join
+    * itself would be (exactly why an optimizer wants this number).
+    */
+  def joinCardinalityAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(pair: String, l: DataFrame, lk: String, r: DataFrame, rk: String) = {
+      val lc = l.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+      val rc = r.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr"))
+      val actual = lc.join(rc, "k")
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("actual_rows"))
+      val stats = lc.agg(sum("cl").as("rows_l"), count(lit(1)).as("ndv_l"))
+        .crossJoin(rc.agg(sum("cr").as("rows_r"), count(lit(1)).as("ndv_r")))
+      stats.crossJoin(actual).select(
+        lit(pair).as("join_pair"),
+        col("rows_l"), col("rows_r"), col("ndv_l"), col("ndv_r"),
+        expr("(rows_l * rows_r) div greatest(ndv_l, ndv_r)").as("est_rows"),
+        col("actual_rows"),
+        expr("""(1000000 * abs((rows_l * rows_r) div greatest(ndv_l, ndv_r)
+          | - actual_rows)) div actual_rows""".stripMargin).as("err_ppm"))
+    }
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    audit("orders*lineitem", o, "o_orderkey", li, "l_orderkey")
+      .unionAll(audit("customer*orders",
+        Tables.customer(s, dir), "c_custkey", o, "o_custkey"))
+      .unionAll(audit("part*lineitem",
+        Tables.part(s, dir), "p_partkey", li, "l_partkey"))
+      .orderBy("join_pair")
+  }
+
+  val JoinCardinalityOracleSql: String = {
+    def one(pair: String, lt: String, lk: String, rt: String, rk: String) =
+      s"""SELECT '$pair' AS join_pair, rows_l, rows_r, ndv_l, ndv_r,
+         | (rows_l * rows_r) // greatest(ndv_l, ndv_r) AS est_rows,
+         | actual_rows,
+         | (1000000 * abs((rows_l * rows_r) // greatest(ndv_l, ndv_r)
+         |  - actual_rows)) // actual_rows AS err_ppm
+         |FROM (
+         | SELECT
+         |  (SELECT count(*) FROM $lt) AS rows_l,
+         |  (SELECT count(*) FROM $rt) AS rows_r,
+         |  (SELECT count(DISTINCT $lk) FROM $lt) AS ndv_l,
+         |  (SELECT count(DISTINCT $rk) FROM $rt) AS ndv_r,
+         |  (SELECT coalesce(sum(lc.c * rc.c), 0) FROM
+         |    (SELECT $lk AS k, count(*) AS c FROM $lt GROUP BY 1) lc
+         |    JOIN (SELECT $rk AS k, count(*) AS c FROM $rt GROUP BY 1) rc
+         |    USING (k)) AS actual_rows)""".stripMargin
+    Seq(
+      one("orders*lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      one("customer*orders", "customer", "c_custkey", "orders", "o_custkey"),
+      one("part*lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
+      .map(q => s"SELECT CAST(rows_l AS BIGINT) AS rows_l, CAST(rows_r AS BIGINT) AS rows_r, CAST(ndv_l AS BIGINT) AS ndv_l, CAST(ndv_r AS BIGINT) AS ndv_r, CAST(est_rows AS BIGINT) AS est_rows, CAST(actual_rows AS BIGINT) AS actual_rows, CAST(err_ppm AS BIGINT) AS err_ppm, join_pair FROM ($q)")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_pair")
+  }
 }
