@@ -953,6 +953,22 @@ object Registry {
     q("join_cardinality_audit", JoinOps.JoinCardinalityOracleSql)(
       JoinOps.joinCardinalityAudit),
 
+    // BFS hop distance and weighted Bellman-Ford SSSP from the seed
+    // cohort — per-round relaxation through the cached edge list.
+    q("bfs_hops", GraphOps.bfsHopsOracleSql())(
+      (s, d) => GraphOps.bfsHops(s, d)),
+    q("sssp_weighted", GraphOps.ssspWeightedOracleSql())(
+      (s, d) => GraphOps.ssspWeighted(s, d)),
+
+    // A/B arm readout per event type: (type, arm) aggregate + pivot;
+    // epu in milli, B-vs-A lift in ppm.
+    q("ab_metrics", operators.AudienceOps.AbMetricsOracleSql)(
+      operators.AudienceOps.abMetrics),
+
+    // Per-source language Gini impurity (pure-ratio diversity, no logs).
+    q("gini_diversity", operators.SampleOps.GiniDiversityOracleSql)(
+      operators.SampleOps.giniDiversity),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

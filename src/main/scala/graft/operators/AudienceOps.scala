@@ -95,4 +95,58 @@ object AudienceOps {
        | CAST(sum(w) AS BIGINT) AS recency_e6
        |FROM w GROUP BY user_id
        |ORDER BY recency_e6 DESC, user_id LIMIT $k""".stripMargin
+
+  /** A/B experiment readout: users hash-split into two arms
+    * (`user_id % 2` — the deterministic stand-in for an assignment
+    * service), then per event type each arm reports its audience, event
+    * volume, and events-per-user in milli, plus the B-vs-A lift in ppm.
+    * The shape every experimentation pipeline runs: one (type, arm)
+    * aggregate (map-side combined, &#124;types&#124;×2 rows), pivoted by a
+    * conditional re-aggregate — no self-join of the corpus.
+    */
+  def abMetrics(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2).as("arm"))
+      .groupBy("event_type", "arm")
+      .agg(countDistinct("user_id").as("users"), count(lit(1)).as("events"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === 0, col("users"))).as("users_a"),
+        sum(when(col("arm") === 1, col("users"))).as("users_b"),
+        sum(when(col("arm") === 0, col("events"))).as("events_a"),
+        sum(when(col("arm") === 1, col("events"))).as("events_b"))
+      .select(col("event_type"),
+        col("users_a"), col("users_b"), col("events_a"), col("events_b"),
+        expr("(1000 * events_a) div greatest(users_a, 1)").as("epu_a_milli"),
+        expr("(1000 * events_b) div greatest(users_b, 1)").as("epu_b_milli"),
+        expr("""(1000000 * ((1000 * events_b) div greatest(users_b, 1)
+          |  - (1000 * events_a) div greatest(users_a, 1)))
+          | div greatest((1000 * events_a) div greatest(users_a, 1), 1)"""
+          .stripMargin).as("lift_ppm"))
+      .orderBy("event_type")
+  }
+
+  val AbMetricsOracleSql: String =
+    """WITH g AS (
+      | SELECT event_type, user_id % 2 AS arm,
+      |  count(DISTINCT user_id) AS users, count(*) AS events
+      | FROM events GROUP BY 1, 2),
+      |p AS (
+      | SELECT event_type,
+      |  sum(CASE WHEN arm = 0 THEN users END) AS users_a,
+      |  sum(CASE WHEN arm = 1 THEN users END) AS users_b,
+      |  sum(CASE WHEN arm = 0 THEN events END) AS events_a,
+      |  sum(CASE WHEN arm = 1 THEN events END) AS events_b
+      | FROM g GROUP BY event_type)
+      |SELECT event_type,
+      | CAST(users_a AS BIGINT) AS users_a, CAST(users_b AS BIGINT) AS users_b,
+      | CAST(events_a AS BIGINT) AS events_a, CAST(events_b AS BIGINT) AS events_b,
+      | CAST((1000 * events_a) // greatest(users_a, 1) AS BIGINT) AS epu_a_milli,
+      | CAST((1000 * events_b) // greatest(users_b, 1) AS BIGINT) AS epu_b_milli,
+      | CAST((1000000 * ((1000 * events_b) // greatest(users_b, 1)
+      |   - (1000 * events_a) // greatest(users_a, 1)))
+      |  // greatest((1000 * events_a) // greatest(users_a, 1), 1) AS BIGINT)
+      |  AS lift_ppm
+      |FROM p ORDER BY event_type""".stripMargin
 }

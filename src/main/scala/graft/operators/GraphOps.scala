@@ -823,6 +823,141 @@ object GraphOps {
     sb.toString
   }
 
+  /** Unweighted BFS hop distance from the deterministic seed cohort
+    * (`node % seedMod == 0`) — the SSSP special case every graph engine
+    * ships first. The iterated state is the node-sized distance frame;
+    * each round relaxes one hop through the cached symmetric edge list
+    * (size-guarded broadcast of the distance side, min-combine), so
+    * `rounds` bounds the radius explored and the oracle unrolls the
+    * same rounds. Unreached nodes are excluded (their distance is not
+    * yet defined, not infinite-as-a-sentinel).
+    */
+  def bfsHops(
+      s: SparkSession,
+      dir: String,
+      rounds: Int = 6,
+      seedMod: Long = 97L): DataFrame = {
+    val dirEdges = directedEdges(s, dir).repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    var dist = nodes.filter(col("node") % seedMod === 0L)
+      .withColumn("hops", lit(0L))
+    for (i <- 1 to rounds) {
+      val relaxed = dirEdges
+        .join(roundSide(dist.withColumnRenamed("node", "src"), n), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("hops") + 1L).as("h2"))
+      dist = truncate(s, dist.join(relaxed, Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("hops"), lit(Long.MaxValue)),
+            coalesce(col("h2"), lit(Long.MaxValue))).as("hops")))
+    }
+    dist.select(col("node"), col("hops")).orderBy("node")
+  }
+
+  def bfsHopsOracleSql(rounds: Int = 6, seedMod: Long = 97L): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH und AS MATERIALIZED (
+         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         | FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |d0 AS MATERIALIZED (
+         | SELECT node, 0::BIGINT AS hops FROM nodes WHERE node % $seedMod = 0)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (
+        | SELECT coalesce(p.node, r.node) AS node,
+        |  least(coalesce(p.hops, 9223372036854775807),
+        |        coalesce(r.h2, 9223372036854775807)) AS hops
+        | FROM d${i - 1} p FULL JOIN (
+        |  SELECT e.dst AS node, min(p.hops + 1) AS h2
+        |  FROM edges e JOIN d${i - 1} p ON e.src = p.node GROUP BY e.dst) r
+        |  ON p.node = r.node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, CAST(hops AS BIGINT) AS hops FROM d$rounds ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
+  /** Weighted single-source-shortest-path (Bellman–Ford, fixed rounds)
+    * from the seed cohort, with edge cost `1e6 div multiplicity` —
+    * frequently co-purchased pairs are "close", so the distance reads
+    * as an affinity metric. Same relaxation shape as [[bfsHops]]; costs
+    * and distances are exact integers, so min-combine is deterministic
+    * and the unrolled oracle matches bit-for-bit. `rounds` bounds path
+    * length, the documented Bellman–Ford trade (vs. a priority queue,
+    * which cannot be expressed as data-parallel rounds).
+    */
+  def ssspWeighted(
+      s: SparkSession,
+      dir: String,
+      rounds: Int = 6,
+      seedMod: Long = 97L): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val und = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(expr("1000000 div count(*)").as("cost"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dirEdges = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    var dist = nodes.filter(col("node") % seedMod === 0L)
+      .withColumn("dist", lit(0L))
+    for (i <- 1 to rounds) {
+      val relaxed = dirEdges
+        .join(roundSide(dist.withColumnRenamed("node", "src"), n), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + col("cost")).as("d2"))
+      dist = truncate(s, dist.join(relaxed, Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("dist"), lit(Long.MaxValue)),
+            coalesce(col("d2"), lit(Long.MaxValue))).as("dist")))
+    }
+    dist.select(col("node"), col("dist")).orderBy("node")
+  }
+
+  def ssspWeightedOracleSql(rounds: Int = 6, seedMod: Long = 97L): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH und AS MATERIALIZED (
+         | SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         |  1000000 // count(*) AS cost
+         | FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         | GROUP BY 1, 2),
+         |edges AS MATERIALIZED (SELECT src, dst, cost FROM und
+         | UNION ALL SELECT dst AS src, src AS dst, cost FROM und),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |d0 AS MATERIALIZED (
+         | SELECT node, 0::BIGINT AS dist FROM nodes WHERE node % $seedMod = 0)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (
+        | SELECT coalesce(p.node, r.node) AS node,
+        |  least(coalesce(p.dist, 9223372036854775807),
+        |        coalesce(r.d2, 9223372036854775807)) AS dist
+        | FROM d${i - 1} p FULL JOIN (
+        |  SELECT e.dst AS node, min(p.dist + e.cost) AS d2
+        |  FROM edges e JOIN d${i - 1} p ON e.src = p.node GROUP BY e.dst) r
+        |  ON p.node = r.node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   private def pagerankChainSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(

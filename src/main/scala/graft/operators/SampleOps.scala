@@ -415,4 +415,36 @@ object SampleOps {
       | CAST(CASE WHEN (cum_docs - docs) * 100 < total * 80 THEN 1 ELSE 0 END
       |  AS BIGINT) AS core_flag
       |FROM r, t ORDER BY docs DESC, source""".stripMargin
+
+  /** Per-source language-diversity audit via Gini impurity in ppm:
+    * `1e6 − Σ_lang (1e6·c²) div tot²` — 0 means a monolingual source,
+    * higher means a more even language mix. The pure-ratio form (no
+    * logs) keeps it exact-integer end to end, unlike Shannon entropy —
+    * the same decision a mixture planner makes, on auditable numbers.
+    * One (source, lang) aggregate (bounded by &#124;sources&#124;×&#124;langs&#124;),
+    * then a per-source collapse.
+    */
+  def giniDiversity(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("docs"), count(lit(1)).as("langs"),
+        sum(col("c") * col("c")).as("ssq"))
+      .select(col("source"), col("docs"), col("langs"),
+        (lit(1000000L) - expr("(1000000 * ssq) div (docs * docs)"))
+          .as("gini_ppm"))
+      .orderBy("source")
+  }
+
+  val GiniDiversityOracleSql: String =
+    """WITH g AS (
+      | SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      |p AS (
+      | SELECT source, sum(c) AS docs, count(*) AS langs,
+      |  sum(c * c) AS ssq
+      | FROM g GROUP BY source)
+      |SELECT source, CAST(docs AS BIGINT) AS docs,
+      | CAST(langs AS BIGINT) AS langs,
+      | CAST(1000000 - (1000000 * ssq) // (docs * docs) AS BIGINT) AS gini_ppm
+      |FROM p ORDER BY source""".stripMargin
 }
