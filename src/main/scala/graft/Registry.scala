@@ -969,6 +969,24 @@ object Registry {
     q("gini_diversity", operators.SampleOps.GiniDiversityOracleSql)(
       operators.SampleOps.giniDiversity),
 
+    // Gini coefficient of the key distribution (exact rank formula over
+    // the hierarchical rank; DECIMAL-exact, ppm output).
+    q("key_gini", SkewOps.KeyGiniOracleSql)(SkewOps.keyGini),
+
+    // Total-variation drift of the value distribution between the two
+    // halves of the observation window (log-free PSI sibling).
+    q("drift_tv", StatsOps.DriftTvOracleSql)((s, d) => StatsOps.driftTv(s, d)),
+
+    // Zipf-slope audit: integer bitlen-vs-bitlen OLS over the exact
+    // descending frequency rank.
+    q("zipf_audit", operators.TextOps.ZipfAuditOracleSql)(
+      (s, d) => operators.TextOps.zipfAudit(s, d)),
+
+    // Pairwise cosine similarity of source token distributions (token-
+    // keyed self-join, |sources|^2-bounded fan-out, DECIMAL dot products).
+    q("source_similarity", operators.TextOps.SourceSimilarityOracleSql)(
+      (s, d) => operators.TextOps.sourceSimilarity(s, d)),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

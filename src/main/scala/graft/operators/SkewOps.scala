@@ -134,4 +134,47 @@ object SkewOps {
        | (1000 * rows) // total_rows AS share_permille,
        | (1000 * rows * distinct_keys) // total_rows AS vs_mean_permille
        |FROM c CROSS JOIN t ORDER BY rows DESC, user_id LIMIT $k""".stripMargin
+
+  /** Gini coefficient of the per-user row-count distribution — the
+    * single-number skew summary next to [[skewProfile]]'s top-k view
+    * (0 = perfectly even keys, →1 = all rows on one key; the number a
+    * partitioner reads before choosing a salting factor). Exact rank
+    * formula `G = Σ(2i−n−1)·x_i / (n·Σx)` over ascending counts, with
+    * the global rank from [[RankOps.withHierarchicalRank]] (value-bucket
+    * carry window, no single-task sort) and DECIMAL(38,0) sums so the
+    * rank-weighted terms never overflow at billion-key scale; only the
+    * final ratio quantizes (ppm, floor).
+    */
+  def keyGini(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("rows"))
+    RankOps.withHierarchicalRank(counts, Seq(), "rows", "user_id",
+        "rows div 4", "rk")
+      .select(col("rows").cast("decimal(38,0)").as("x"),
+        col("rk").cast("decimal(38,0)").as("i"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"),
+        sum(expr("(2 * i - 1) * x")).as("swx"))
+      .select(
+        col("n").cast("long").as("distinct_keys"),
+        col("sx").cast("long").as("total_rows"),
+        // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx
+        expr("cast((1000000 * (swx - n * sx)) div (n * sx) as long)")
+          .as("gini_ppm"))
+  }
+
+  val KeyGiniOracleSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS rows FROM events GROUP BY 1),
+      |r AS (
+      | SELECT CAST(rows AS HUGEINT) AS x,
+      |  CAST(row_number() OVER (ORDER BY rows, user_id) AS HUGEINT) AS i
+      | FROM c),
+      |g AS (
+      | SELECT count(*)::HUGEINT AS n, sum(x) AS sx,
+      |  sum((2 * i - 1) * x) AS swx
+      | FROM r)
+      |SELECT CAST(n AS BIGINT) AS distinct_keys,
+      | CAST(sx AS BIGINT) AS total_rows,
+      | CAST((1000000 * (swx - n * sx)) // (n * sx) AS BIGINT) AS gini_ppm
+      |FROM g""".stripMargin
 }

@@ -295,6 +295,72 @@ object StatsOps {
        | (1000 * count(*)) // (SELECT total FROM b) AS pct_milli
        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Total-variation drift between the first and second half of the
+    * observation window: events split at the midpoint day (scalar
+    * min/max broadcast), each arm's `value` distribution buckets into
+    * the shared 20-bin equi-width grid (same binning contract as
+    * [[valueHistogram]]), and the drift is `TV = Σ&#124;p_A − p_B&#124; / 2` in
+    * ppm — the log-free sibling of PSI, exact in integers, reporting
+    * "how much did the value distribution move" next to
+    * [[graft.operators.TemporalOps.driftCusum]]'s "did volume move".
+    * Two scans (bounds, then bucket counts) and a 20-row collapse.
+    */
+  def driftTv(s: SparkSession, dir: String, buckets: Int = 20): DataFrame = {
+    val DayUs = 86400000000L
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val bounds = ev.agg(
+      min("value").as("mn"), max("value").as("mx"),
+      expr(s"min(ts_us div $DayUs)").as("d0"),
+      expr(s"max(ts_us div $DayUs)").as("d1"))
+    val arms = ev.crossJoin(broadcast(bounds))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(buckets - 1L),
+            expr(s"cast(floor(($buckets.0 * (value - mn)) / (mx - mn)) as long)")))
+          .as("bucket"),
+        (expr(s"ts_us div $DayUs") <= expr("(d0 + d1) div 2")).as("early"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("early"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("cb"))
+    val tot = arms.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    arms.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(expr("(1000000 * ca) div greatest(na, 1)") -
+          expr("(1000000 * cb) div greatest(nb, 1)")).as("d"))
+      .groupBy("na", "nb") // single group: both are constants
+      .agg(expr("sum(d) div 2").as("tv_ppm"))
+      .select(col("na").as("events_a"), col("nb").as("events_b"),
+        col("tv_ppm"))
+  }
+
+  val DriftTvOracleSql: String = {
+    val buckets = 20
+    val dayUs = 86400000000L
+    s"""WITH e AS (
+       | SELECT value, epoch_us(ts) // $dayUs AS day FROM events
+       | WHERE value IS NOT NULL),
+       |b AS (SELECT min(value) AS mn, max(value) AS mx,
+       |  min(day) AS d0, max(day) AS d1 FROM e),
+       |h AS (
+       | SELECT CASE WHEN b.mx = b.mn THEN 0
+       |  ELSE least(${buckets - 1},
+       |   CAST(floor(($buckets.0 * (value - b.mn)) / (b.mx - b.mn)) AS BIGINT))
+       |  END AS bucket,
+       |  day <= (b.d0 + b.d1) // 2 AS early
+       | FROM e, b),
+       |arms AS (
+       | SELECT bucket,
+       |  sum(CASE WHEN early THEN 1 ELSE 0 END) AS ca,
+       |  sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS cb
+       | FROM h GROUP BY bucket),
+       |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM arms)
+       |SELECT CAST(t.na AS BIGINT) AS events_a, CAST(t.nb AS BIGINT) AS events_b,
+       | CAST(sum(abs((1000000 * ca) // greatest(t.na, 1)
+       |  - (1000000 * cb) // greatest(t.nb, 1))) // 2 AS BIGINT) AS tv_ppm
+       |FROM arms, t GROUP BY t.na, t.nb""".stripMargin
+  }
+
   private val CorrCols = Seq("quantity", "extprice", "discount", "tax")
   private val CorrSrc = Map(
     "quantity" -> "l_quantity", "extprice" -> "l_extendedprice",

@@ -917,6 +917,121 @@ object TextOps {
        |FROM pb LEFT JOIN fs USING (batch)
        |ORDER BY batch""".stripMargin
 
+  /** Zipf-law audit of the corpus token distribution: OLS slope of
+    * bit-length(freq) against bit-length(rank) — the integer-exact
+    * stand-in for the log-log regression (floor-log2 via `bin()`, the
+    * same trick as [[lmSurprise]]; no engine-variant floating logs).
+    * A Zipfian corpus slopes near −1·e4; a flat slope says the
+    * generator (or a dedup bug upstream) broke the natural frequency
+    * hierarchy. Rank is the exact descending frequency rank from
+    * [[RankOps.withHierarchicalRank]] (ascending rank inverted off the
+    * broadcast vocab size — no single-task sort); moments accumulate in
+    * DECIMAL(38,0) and only the final slope quantizes (e4, floor+0.5).
+    */
+  def zipfAudit(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val n = vocab.agg(count(lit(1)).as("v"))
+    val ranked = RankOps.withHierarchicalRank(vocab, Seq(), "freq", "token",
+        "freq div 4", "rka")
+      .crossJoin(broadcast(n))
+      .select(expr("v - rka + 1").as("rank"), col("freq"), col("v"))
+    ranked
+      .select(col("v"),
+        expr("cast(length(bin(rank)) - 1 as decimal(38,0))").as("x"),
+        expr("cast(length(bin(freq)) - 1 as decimal(38,0))").as("y"))
+      .agg(first("v").as("vocab_size"),
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("vocab_size"),
+        expr("""cast(floor(10000.0 *
+            (cast(n * sxy - sx * sy as double) /
+             cast(n * sxx - sx * sx as double)) + 0.5) as long)""")
+          .as("slope_e4"))
+  }
+
+  val ZipfAuditOracleSql: String =
+    """WITH v AS (
+      | SELECT token, count(*) AS freq FROM (
+      |  SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+      |  FROM documents) GROUP BY token),
+      |r AS (
+      | SELECT freq,
+      |  (SELECT count(*) FROM v) AS vs,
+      |  (SELECT count(*) FROM v) - row_number()
+      |   OVER (ORDER BY freq, token) + 1 AS rank
+      | FROM v),
+      |m AS (
+      | SELECT any_value(vs) AS vocab_size, count(*)::HUGEINT AS n,
+      |  sum((length(bin(rank)) - 1)::HUGEINT) AS sx,
+      |  sum((length(bin(freq)) - 1)::HUGEINT) AS sy,
+      |  sum(((length(bin(rank)) - 1) * (length(bin(freq)) - 1))::HUGEINT) AS sxy,
+      |  sum(((length(bin(rank)) - 1) * (length(bin(rank)) - 1))::HUGEINT) AS sxx
+      | FROM r)
+      |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+      | CAST(floor(10000.0 *
+      |  (CAST(n * sxy - sx * sy AS DOUBLE) /
+      |   CAST(n * sxx - sx * sx AS DOUBLE)) + 0.5) AS BIGINT) AS slope_e4
+      |FROM m""".stripMargin
+
+  /** Pairwise cosine similarity between the sources' token-count
+    * vectors — the weighted companion of [[sourceNgramOverlap]]'s
+    * set-based matrix (overlap says "share grams"; cosine says "share
+    * the same token DISTRIBUTION", which is what a mixture planner
+    * actually wants when merging near-identical crawls). Dot products
+    * ride a token-keyed join of the (source, token, count) frame with
+    * itself — per-token fan-out ≤ &#124;sources&#124;², a constant — and norms
+    * are per-source scalars; sums are DECIMAL(38,0)-exact, the final
+    * ratio floor-quantizes to ppm.
+    */
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .persist()
+    val norms = bySrc.groupBy("source")
+      .agg(sum(expr("c * c")).as("ss"))
+    val dots = bySrc.as("x")
+      .join(bySrc.as("y"),
+        col("x.token") === col("y.token") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(sum(expr("x.c * y.c")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("source").as("source_a"),
+        col("ss").as("ssa"))), "source_a")
+      .join(broadcast(norms.select(col("source").as("source_b"),
+        col("ss").as("ssb"))), "source_b")
+      .select(col("source_a"), col("source_b"),
+        expr("""cast(floor(1000000.0 * (cast(dot as double) /
+            (sqrt(cast(ssa as double)) * sqrt(cast(ssb as double)))) + 0.5)
+            as long)""").as("cosine_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val SourceSimilarityOracleSql: String =
+    """WITH t AS (
+      | SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+      | FROM documents),
+      |b AS (
+      | SELECT source, token, count(*)::HUGEINT AS c FROM t GROUP BY 1, 2),
+      |nrm AS (SELECT source, sum(c * c) AS ss FROM b GROUP BY source),
+      |d AS (
+      | SELECT x.source AS source_a, y.source AS source_b,
+      |  sum(x.c * y.c) AS dot
+      | FROM b x JOIN b y ON x.token = y.token AND x.source < y.source
+      | GROUP BY 1, 2)
+      |SELECT d.source_a, d.source_b,
+      | CAST(floor(1000000.0 * (CAST(d.dot AS DOUBLE) /
+      |  (sqrt(CAST(a.ss AS DOUBLE)) * sqrt(CAST(bb.ss AS DOUBLE)))) + 0.5)
+      |  AS BIGINT) AS cosine_ppm
+      |FROM d JOIN nrm a ON a.source = d.source_a
+      | JOIN nrm bb ON bb.source = d.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val SourceOverlapOracleSql: String =
     """WITH tok AS (
       | SELECT source, regexp_extract_all(text, '\S+') AS toks FROM documents),
