@@ -987,6 +987,20 @@ object Registry {
     q("source_similarity", operators.TextOps.SourceSimilarityOracleSql)(
       (s, d) => operators.TextOps.sourceSimilarity(s, d)),
 
+    // Financial reconciliation: order header totals vs line sums in
+    // exact integer cents; 3-row status rollup with discrepancies.
+    q("reconciliation_audit", operators.ReconOps.ReconciliationOracleSql)(
+      operators.ReconOps.reconciliationAudit),
+
+    // Dwell-weighted average value per type (TWAP) over SCD2 intervals;
+    // DECIMAL-exact value x dwell products.
+    q("twap_by_type", operators.ReconOps.TwapOracleSql)(
+      operators.ReconOps.twapByType),
+
+    // Session bounce rate by entry event type (30-minute gap rule).
+    q("bounce_rate", operators.ReconOps.bounceRateOracleSql())(
+      (s, d) => operators.ReconOps.bounceRate(s, d)),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

@@ -100,12 +100,17 @@ object LinkOps {
     * applies the identical cap, so results match exactly. Candidate
     * pairs anti-join the edge list to keep only unlinked pairs — the
     * recommendation set, one exchange on the canonical pair key.
+    *
+    * The cap is ALSO the cost dial: wedge volume is ≤ degCap·Σdeg =
+    * 2·degCap·&#124;E&#124;, linear in edges for a fixed cap. 64 keeps the
+    * sf0.1 shuffle near 1e8 rows (256 measured 4× that and dominated
+    * the whole bench suite).
     */
   def linkPrediction(
       s: SparkSession,
       dir: String,
       k: Int = 50,
-      degCap: Int = 256): DataFrame = {
+      degCap: Int = 64): DataFrame = {
     val und = GraphOps.edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -128,7 +133,7 @@ object LinkOps {
       .limit(k)
   }
 
-  def linkPredictionOracleSql(k: Int = 50, degCap: Int = 256): String =
+  def linkPredictionOracleSql(k: Int = 50, degCap: Int = 64): String =
     s"""WITH und AS MATERIALIZED (
        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        | FROM lineitem a JOIN lineitem b

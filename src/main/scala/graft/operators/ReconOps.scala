@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Cross-table reconciliation and time-weighted aggregation — the
+  * finance-grade audits: does the order header total agree with the sum
+  * of its lines, and what is the dwell-weighted (not event-weighted)
+  * average state of the stream.
+  */
+object ReconOps {
+
+  /** Financial reconciliation of `orders.o_totalprice` against
+    * `Σ lineitem.l_extendedprice` per order, in exact integer cents
+    * (`floor(x·100 + 0.5)` — pure IEEE, identical both engines). One
+    * order-keyed aggregate of lineitem, one join, and a 3-row rollup:
+    * matched orders, mismatched orders, orders with no lines at all,
+    * each with its total absolute discrepancy — the daily close every
+    * billing pipeline runs. The synthetic generator draws the two
+    * columns independently, so "mismatch" dominates; the audit's job is
+    * the exact discrepancy accounting, not a green checkmark.
+    */
+  def reconciliationAudit(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .as("line_cents"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("hdr_cents"))
+      .join(lines, Seq("o_orderkey"), "left")
+      .select(
+        when(col("line_cents").isNull, lit("no_lines"))
+          .when(col("line_cents") === col("hdr_cents"), lit("matched"))
+          .otherwise(lit("mismatched")).as("status"),
+        coalesce(abs(col("hdr_cents") - col("line_cents")),
+          col("hdr_cents")).as("abs_diff_cents"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("orders"),
+        sum("abs_diff_cents").as("total_abs_diff_cents"))
+      .orderBy("status")
+  }
+
+  val ReconciliationOracleSql: String =
+    """WITH l AS (
+      | SELECT l_orderkey AS o_orderkey,
+      |  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS line_cents
+      | FROM lineitem GROUP BY 1),
+      |j AS (
+      | SELECT CASE WHEN l.line_cents IS NULL THEN 'no_lines'
+      |   WHEN l.line_cents = CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+      |    THEN 'matched' ELSE 'mismatched' END AS status,
+      |  coalesce(abs(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+      |    - l.line_cents),
+      |   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS abs_diff_cents
+      | FROM orders o LEFT JOIN l USING (o_orderkey))
+      |SELECT status, count(*) AS orders,
+      | CAST(sum(abs_diff_cents) AS BIGINT) AS total_abs_diff_cents
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  /** Time-weighted average value per event type (TWAP): each event's
+    * value holds until the same user's next event (the [[TemporalOps
+    * .timeInState]] interval build), and the average weighs by dwell
+    * time, not event count — the metric that doesn't let a burst of
+    * short-lived readings swamp the signal. Value quantizes to milli;
+    * the value×dwell products accumulate in DECIMAL(38,0) (micros ×
+    * milli-value × corpus exceeds BIGINT), and the final division emits
+    * an exact milli TWAP.
+    */
+  def twapByType(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("dwell_us", lead("ts_us", 1).over(w) - col("ts_us"))
+      .filter(col("dwell_us").isNotNull && col("dwell_us") > 0L)
+      .select(col("event_type"),
+        expr("cast(floor(value * 1000 + 0.5) as decimal(38,0))").as("v"),
+        col("dwell_us").cast("decimal(38,0)").as("d"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("intervals"),
+        sum(expr("v * d")).as("vd"), sum("d").as("dd"))
+      .select(col("event_type"), col("intervals"),
+        col("dd").cast("long").as("total_dwell_us"),
+        expr("cast(vd div dd as long)").as("twap_milli"))
+      .orderBy("event_type")
+  }
+
+  val TwapOracleSql: String =
+    """WITH iv AS (
+      | SELECT event_type,
+      |  CAST(floor(value * 1000 + 0.5) AS HUGEINT) AS v,
+      |  CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS HUGEINT) AS d
+      | FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, count(*) AS intervals,
+      | CAST(sum(d) AS BIGINT) AS total_dwell_us,
+      | CAST(sum(v * d) // sum(d) AS BIGINT) AS twap_milli
+      |FROM iv WHERE d IS NOT NULL AND d > 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Session bounce rate by entry event type: sessionize per user with
+    * the 30-minute gap rule (same contract as [[WindowOps.sessionize]]),
+    * attribute each session to its FIRST event's type, and report how
+    * many sessions ended after that single event. One user-keyed
+    * exchange carries the lag/gap, session-id prefix sum, and first-
+    * event attribution; the rollup is &#124;types&#124;-bounded.
+    */
+  def bounceRate(
+      s: SparkSession,
+      dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = Tables.events(s, dir)
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap_us").isNull ||
+          col("gap_us") >= gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("event_type"), struct(col("ts_us"), col("event_id")))
+          .as("entry_type"))
+    sessions.groupBy("entry_type")
+      .agg(count(lit(1)).as("sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("bounces"))
+      .select(col("entry_type"), col("sessions"), col("bounces"),
+        expr("(1000 * bounces) div sessions").as("bounce_milli"))
+      .orderBy("entry_type")
+  }
+
+  def bounceRateOracleSql(gapSeconds: Long = 1800L): String =
+    s"""WITH e AS (
+       | SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+       |g AS (
+       | SELECT *, CASE WHEN t - lag(t) OVER w IS NULL
+       |   OR t - lag(t) OVER w >= ${gapSeconds * 1000000L} THEN 1 ELSE 0 END
+       |  AS new_session
+       | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |sid AS (
+       | SELECT *, sum(new_session) OVER (PARTITION BY user_id
+       |  ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+       | FROM g),
+       |cnt AS (
+       | SELECT user_id, session_id, count(*) AS n_events
+       | FROM sid GROUP BY 1, 2),
+       |fe AS (
+       | SELECT user_id, session_id, event_type AS entry_type FROM (
+       |  SELECT user_id, session_id, event_type,
+       |   row_number() OVER (PARTITION BY user_id, session_id
+       |    ORDER BY t, event_id) AS rn
+       |  FROM sid) WHERE rn = 1),
+       |ses AS (
+       | SELECT c.user_id, c.session_id, c.n_events, f.entry_type
+       | FROM cnt c JOIN fe f USING (user_id, session_id))
+       |SELECT entry_type, count(*) AS sessions,
+       | CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+       | CAST((1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)) // count(*)
+       |  AS BIGINT) AS bounce_milli
+       |FROM ses GROUP BY entry_type ORDER BY entry_type""".stripMargin
+}

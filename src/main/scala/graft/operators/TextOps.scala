@@ -839,16 +839,23 @@ object TextOps {
     * stays a shuffle join, not a broadcast), one doc-keyed aggregate.
     */
   def lmSurprise(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+    // ONE cached (doc, token, tf) collapse feeds both the vocab build
+    // and the scoring join — the raw token explode (the expensive pass)
+    // runs once instead of twice, and every downstream row count is
+    // per-doc-DISTINCT tokens, not occurrences.
+    val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens).as("token"))
-    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tf.groupBy("token").agg(sum("tf").as("cnt"))
     val total = vocab.agg(sum("cnt").as("t_tokens"))
     val bits = vocab.crossJoin(broadcast(total))
       .select(col("token"),
         expr("length(bin(t_tokens div cnt)) - 1").cast("long").as("bits"))
-    tok.join(bits, Seq("token"))
+    tf.join(bits, Seq("token"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("surprise_bits"))
+      .agg(sum("tf").as("n_tokens"),
+        sum(expr("bits * tf")).as("surprise_bits"))
       .select(col("doc_id"), col("n_tokens"), col("surprise_bits"),
         expr("(1000 * surprise_bits) div n_tokens").as("mean_surprise_milli"))
       .orderBy("doc_id")
