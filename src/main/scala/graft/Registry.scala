@@ -1001,6 +1001,21 @@ object Registry {
     q("bounce_rate", operators.ReconOps.bounceRateOracleSql())(
       (s, d) => operators.ReconOps.bounceRate(s, d)),
 
+    // KS distance of each source's length distribution from the corpus
+    // (exact integer CDFs over the value-domain grid).
+    q("ks_source_drift", StatsOps.KsSourceDriftOracleSql)(
+      StatsOps.ksSourceDrift),
+
+    // Sequence-integrity audit: missing event_ids + widest gaps, via
+    // per-bucket arithmetic and a metadata-sized boundary stitch.
+    q("id_gap_audit", StatsOps.idGapAuditOracleSql())(
+      (s, d) => StatsOps.idGapAudit(s, d)),
+
+    // Percent-of-parent hierarchical revenue report (nation within
+    // region, region within total, exact cents → ppm shares).
+    q("share_of_parent", JoinOps.ShareOfParentOracleSql)(
+      JoinOps.shareOfParent),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

@@ -996,7 +996,10 @@ object GraphOps {
     * aggregate; nothing corpus-sized crosses the driver.
     */
   def assortativity(s: SparkSession, dir: String): DataFrame = {
-    val de = directedEdges(s, dir)
+    // One cached edge build (see [[pagerank]]) — deg and both endpoint
+    // joins would otherwise re-run the lineitem self-join three times.
+    val und = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val de = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
     val deg = de.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     de
       .join(deg.select(col("node").as("src"), col("deg").as("j")), "src")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -223,6 +224,56 @@ object JoinOps {
         Tables.part(s, dir), "p_partkey", li, "l_partkey"))
       .orderBy("join_pair")
   }
+
+  /** Percent-of-parent hierarchical revenue report: each nation's share
+    * of its region's revenue and each region's share of the global
+    * total, in ppm — the classic drill-down readout every OLAP layer
+    * renders. Revenue quantizes to exact integer cents BEFORE any share
+    * arithmetic (one fact-side aggregate after the broadcast dimension
+    * chain); both window levels then run over the ≤&#124;nations&#124;-row
+    * rollup — metadata, never fact rows.
+    */
+  def shareOfParent(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(expr(
+        "cast(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) as bigint)"))
+        .as("cents"))
+    rev
+      .withColumn("region_cents",
+        sum("cents").over(Window.partitionBy("r_name")))
+      .withColumn("total_cents", sum("cents").over(Window.partitionBy()))
+      .select(col("r_name"), col("n_name"), col("cents").as("nation_cents"),
+        expr("(1000000 * cents) div region_cents").as("share_of_region_ppm"),
+        expr("(1000000 * region_cents) div total_cents")
+          .as("region_share_ppm"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val ShareOfParentOracleSql: String =
+    """WITH rev AS (
+      | SELECT r.r_name, n.n_name,
+      |  sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+      |   AS BIGINT)) AS cents
+      | FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      | GROUP BY 1, 2)
+      |SELECT r_name, n_name, CAST(cents AS BIGINT) AS nation_cents,
+      | CAST((1000000 * cents) // sum(cents) OVER (PARTITION BY r_name)
+      |  AS BIGINT) AS share_of_region_ppm,
+      | CAST((1000000 * sum(cents) OVER (PARTITION BY r_name))
+      |  // sum(cents) OVER () AS BIGINT) AS region_share_ppm
+      |FROM rev ORDER BY r_name, n_name""".stripMargin
 
   val JoinCardinalityOracleSql: String = {
     def one(pair: String, lt: String, lk: String, rt: String, rk: String) =

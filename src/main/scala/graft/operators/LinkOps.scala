@@ -30,6 +30,7 @@ object LinkOps {
     */
   def clusteringCoeff(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val und = GraphOps.edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val undCount = und.count() // scalar: sizes the closing-join broadcast
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy("node")
@@ -45,13 +46,18 @@ object LinkOps {
         when(srcFirst, col("dst")).otherwise(col("src")).as("v"))
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size-guarded broadcast of the closing edge list (same guard as
+    // triangleCount): without it the wedge frame — the BIG side —
+    // shuffles for a sort-merge join and dominates the query.
+    val closing = und.select(
+      least(col("src"), col("dst")).as("b"),
+      greatest(col("src"), col("dst")).as("c"))
     val triangles = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-      .join(und.select(
-          least(col("src"), col("dst")).as("b"),
-          greatest(col("src"), col("dst")).as("c")),
+      .join(if (undCount <= GraphOps.BroadcastEdgeLimit) broadcast(closing)
+            else closing,
         Seq("b", "c"))
     val perNode = triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -360,6 +361,139 @@ object StatsOps {
        |  - (1000000 * cb) // greatest(t.nb, 1))) // 2 AS BIGINT) AS tv_ppm
        |FROM arms, t GROUP BY t.na, t.nb""".stripMargin
   }
+
+  /** Kolmogorov–Smirnov distance of each source's doc-length
+    * distribution from the corpus distribution, in ppm — "which source
+    * is length-shaped unlike the rest", the distributional companion of
+    * the mixture audits. Exact-integer CDFs: per-(source, n_chars)
+    * counts collapse map-side; cumulative sums run over the
+    * (source × distinct-values) grid — value-domain-bounded metadata,
+    * never doc rows; the global CDF broadcast-joins in; KS is the max
+    * |cdf_src − cdf_all| per source. No sampling, no doubles.
+    */
+  def ksSourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bySrcVal = docs.groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("c"))
+    val srcTot = bySrcVal.groupBy("source").agg(sum("c").as("n_src"))
+    val byVal = bySrcVal.groupBy("n_chars").agg(sum("c").as("cg"))
+    val globTot = byVal.agg(sum("cg").as("n_all"))
+    val globCdf = byVal
+      .withColumn("cum_g", sum("cg").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(globTot))
+      .select(col("n_chars"),
+        expr("(1000000 * cum_g) div n_all").as("cdf_all_ppm"))
+    // Every source must evaluate its CDF at EVERY observed value (a
+    // source with no docs at value v still has a CDF step there), so the
+    // grid is (source × value) with a per-source running sum.
+    val grid = srcTot.crossJoin(byVal.select("n_chars"))
+    val srcCdf = grid
+      .join(bySrcVal, Seq("source", "n_chars"), "left")
+      .withColumn("cum_s",
+        sum(coalesce(col("c"), lit(0L)))
+          .over(Window.partitionBy("source").orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("source"), col("n_chars"), col("n_src"),
+        expr("(1000000 * cum_s) div n_src").as("cdf_src_ppm"))
+    srcCdf.join(broadcast(globCdf), Seq("n_chars"))
+      .groupBy("source")
+      .agg(first("n_src").as("docs"),
+        max(abs(col("cdf_src_ppm") - col("cdf_all_ppm"))).as("ks_ppm"))
+      .orderBy("source")
+  }
+
+  val KsSourceDriftOracleSql: String =
+    """WITH bv AS (
+      | SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+      |st AS (SELECT source, sum(c) AS n_src FROM bv GROUP BY source),
+      |gv AS (SELECT n_chars, sum(c) AS cg FROM bv GROUP BY n_chars),
+      |gt AS (SELECT sum(cg) AS n_all FROM gv),
+      |gc AS (
+      | SELECT n_chars,
+      |  (1000000 * sum(cg) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING))
+      |   // (SELECT n_all FROM gt) AS cdf_all_ppm
+      | FROM gv),
+      |grid AS (SELECT st.source, st.n_src, gv.n_chars FROM st CROSS JOIN gv),
+      |sc AS (
+      | SELECT g.source, g.n_chars, g.n_src,
+      |  (1000000 * sum(coalesce(bv.c, 0)) OVER (PARTITION BY g.source
+      |    ORDER BY g.n_chars ROWS UNBOUNDED PRECEDING)) // g.n_src
+      |   AS cdf_src_ppm
+      | FROM grid g LEFT JOIN bv ON bv.source = g.source
+      |  AND bv.n_chars = g.n_chars)
+      |SELECT sc.source, CAST(any_value(sc.n_src) AS BIGINT) AS docs,
+      | CAST(max(abs(sc.cdf_src_ppm - gc.cdf_all_ppm)) AS BIGINT) AS ks_ppm
+      |FROM sc JOIN gc USING (n_chars)
+      |GROUP BY sc.source ORDER BY source""".stripMargin
+
+  /** Sequence-integrity audit of `event_id`: how many ids are missing
+    * from the observed [min, max] range, and the widest gaps (the "did
+    * ingestion drop a batch" check). Scale shape: per-bucket (id div B)
+    * min/max/count collapse map-side; interior missing counts are pure
+    * per-bucket arithmetic, boundary gaps stitch with ONE lag over the
+    * bucket grid (metadata-sized), so no corpus-wide window ever runs.
+    * Top-k widest gaps ride a TakeOrdered.
+    */
+  def idGapAudit(
+      s: SparkSession,
+      dir: String,
+      bucket: Long = 4096L,
+      k: Int = 10): DataFrame =
+    idGapsOf(Tables.events(s, dir).select(col("event_id")), bucket, k)
+
+  /** Same audit over any single-column `event_id` frame — the spec
+    * drives this with synthetic hole-filled sequences (the production
+    * table is dense, which exercises only the no-gap path).
+    */
+  def idGapsOf(ids: DataFrame, bucket: Long = 4096L, k: Int = 10): DataFrame = {
+    val buckets = ids.groupBy(expr(s"event_id div $bucket").as("bk"))
+      .agg(count(lit(1)).as("c"), min("event_id").as("mn"),
+        max("event_id").as("mx"))
+    val w = Window.orderBy("bk")
+    buckets
+      .withColumn("prev_mx", lag("mx", 1).over(w))
+      .select(
+        // Missing inside the bucket's own [mn, mx] span…
+        (col("mx") - col("mn") + 1L - col("c")).as("interior"),
+        // …plus the hole between this bucket and the previous one.
+        when(col("prev_mx").isNull, lit(0L))
+          .otherwise(col("mn") - col("prev_mx") - 1L).as("boundary"))
+      .agg(sum(expr("interior + boundary")).as("missing_ids"))
+      .select(lit("total").as("kind"), lit(0L).as("gap_start"),
+        col("missing_ids").as("width"))
+      .unionAll(
+        buckets.withColumn("prev_mx", lag("mx", 1).over(w))
+          .filter(col("prev_mx").isNotNull &&
+            col("mn") - col("prev_mx") > 1L)
+          .select(lit("gap").as("kind"), (col("prev_mx") + 1L).as("gap_start"),
+            (col("mn") - col("prev_mx") - 1L).as("width"))
+          .orderBy(desc("width"), col("gap_start")).limit(k))
+      .orderBy(col("kind"), desc("width"), col("gap_start"))
+  }
+
+  def idGapAuditOracleSql(bucket: Long = 4096L, k: Int = 10): String =
+    s"""WITH b AS (
+       | SELECT event_id // $bucket AS bk, count(*) AS c,
+       |  min(event_id) AS mn, max(event_id) AS mx
+       | FROM events GROUP BY 1),
+       |lagd AS (
+       | SELECT *, lag(mx) OVER (ORDER BY bk) AS prev_mx FROM b),
+       |total AS (
+       | SELECT 'total' AS kind, 0::BIGINT AS gap_start,
+       |  CAST(sum((mx - mn + 1 - c) +
+       |   CASE WHEN prev_mx IS NULL THEN 0 ELSE mn - prev_mx - 1 END)
+       |   AS BIGINT) AS width
+       | FROM lagd),
+       |gaps AS (
+       | SELECT 'gap' AS kind, prev_mx + 1 AS gap_start,
+       |  mn - prev_mx - 1 AS width
+       | FROM lagd WHERE prev_mx IS NOT NULL AND mn - prev_mx > 1
+       | ORDER BY width DESC, gap_start LIMIT $k)
+       |SELECT kind, CAST(gap_start AS BIGINT) AS gap_start,
+       | CAST(width AS BIGINT) AS width FROM (
+       | SELECT * FROM total UNION ALL SELECT * FROM gaps)
+       |ORDER BY kind, width DESC, gap_start""".stripMargin
 
   private val CorrCols = Seq("quantity", "extprice", "discount", "tax")
   private val CorrSrc = Map(

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{JoinOps, StatsOps}
+
+/** Differential checks for KS source drift, the id-gap audit, and the
+  * percent-of-parent report at sf0.001 against naive recomputes.
+  */
+class IntegritySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("ks drift matches a naive CDF comparison") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val values = docs.map(_._2).distinct.sorted
+    val nAll = docs.length.toLong
+    def cdf(xs: Seq[Long], n: Long): Map[Long, Long] = {
+      var cum = 0L
+      values.map { v =>
+        cum += xs.count(_ == v)
+        v -> 1000000L * cum / n
+      }.toMap
+    }
+    val global = cdf(docs.map(_._2).toSeq, nAll)
+    val got = StatsOps.ksSourceDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val own = cdf(xs.map(_._2).toSeq, xs.length.toLong)
+      val ks = values.map(v => math.abs(own(v) - global(v))).max
+      assert(got(src) == ((xs.length.toLong, ks)), s"source $src")
+    }
+  }
+
+  test("id gap audit finds planted holes across bucket boundaries") {
+    import spark.implicits._
+    // 0..9999 with two holes: one inside a bucket, one spanning a
+    // bucket boundary (bucket=100 → boundary at 4200).
+    val holes = (500L to 520L).toSet ++ (4180L to 4230L).toSet
+    val ids = (0L until 10000L).filterNot(holes).toDF("event_id")
+    val rows = StatsOps.idGapsOf(ids, bucket = 100L, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = rows.find(_._1 == "total").get
+    assert(total._3 == holes.size.toLong)
+    val gaps = rows.filter(_._1 == "gap").map(g => (g._2, g._3)).toSet
+    assert(gaps.contains((500L, 21L)))
+    assert(gaps.contains((4180L, 51L)))
+    // Dense production ids → the real table reports zero missing.
+    val Array(prod) = StatsOps.idGapAudit(spark, sf).collect()
+      .filter(_.getString(0) == "total")
+    assert(prod.getLong(2) == 0L)
+  }
+
+  test("share of parent matches naive cents rollup") {
+    val got = JoinOps.shareOfParent(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "l_extendedprice", "l_discount").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        math.floor(r.getDouble(2) * (1.0 - r.getDouble(3)) * 100 + 0.5).toLong))
+    val byNation = li.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byRegion = byNation.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val total = byRegion.values.sum
+    byNation.foreach { case (k @ (r, _), cents) =>
+      val want = (cents, 1000000L * cents / byRegion(r),
+        1000000L * byRegion(r) / total)
+      assert(got(k) == want, s"nation $k")
+    }
+    // Shares within each region sum to ~1e6 (floor loss < nations).
+    got.groupBy(_._1._1).foreach { case (_, xs) =>
+      val s = xs.values.map(_._2).sum
+      assert(s > 1000000L - xs.size && s <= 1000000L)
+    }
+  }
+}
