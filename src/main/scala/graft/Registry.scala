@@ -1016,6 +1016,21 @@ object Registry {
     q("share_of_parent", JoinOps.ShareOfParentOracleSql)(
       JoinOps.shareOfParent),
 
+    // Daily-series autocorrelation at lags 1..7 (weekly-seasonality
+    // detector; exact integer num/den cleared of the rational mean).
+    q("acf_daily", TemporalOps.acfDailyOracleSql())(
+      (s, d) => TemporalOps.acfDaily(s, d)),
+
+    // Benford first-digit conformance of lineitem prices (log-free
+    // integer digit extraction, literal expected shares).
+    q("benford_audit", StatsOps.benfordOracleSql())(
+      StatsOps.benfordAudit),
+
+    // Per-source character-class composition (letters/digits/space/other
+    // per-mille) — the tokenizer-planning charset profile.
+    q("charset_profile", TextOps.charsetProfileOracleSql())(
+      TextOps.charsetProfile),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

@@ -560,4 +560,62 @@ object StatsOps {
        |${rows.mkString("\nUNION ALL\n")}
        |ORDER BY col_x, col_y""".stripMargin
   }
+
+  /** Benford first-digit conformance audit over `lineitem.
+    * l_extendedprice` — the classic fraud/synthetic-data smell test: a
+    * naturally-grown price population follows `P(d) = log10(1+1/d)`;
+    * fabricated or truncated feeds don't. The first digit comes from
+    * the decimal string of `floor(price)` (prices are ≥ 1 here) — NO
+    * `log10` anywhere, because float logs are engine-variant while
+    * integer→string is not (the same discipline as [[TextOps]]'
+    * bit-length surprise). Expected shares are the Benford per-mille
+    * constants as literals, identical in both engines; the output is
+    * pure integers (counts, observed/expected per-mille, absolute
+    * deviation), so the hash oracle is exact. One scan, a 9-key
+    * map-side-combined aggregate, one broadcast scalar total.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val total = li.agg(count(lit(1)).as("total"))
+    li.select(
+        substring(expr("cast(cast(floor(l_extendedprice) as bigint) as string)"),
+          1, 1).as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("digit"), col("cnt"),
+        expr("(1000 * cnt) div total").as("obs_permille"),
+        expr(BenfordCase).as("benford_permille"))
+      .withColumn("abs_dev_permille",
+        abs(col("obs_permille") - col("benford_permille")))
+      .orderBy("digit")
+  }
+
+  /** round(1000*log10(1+1/d)) for d = 1..9, as shared literals. */
+  private val BenfordMilli =
+    Seq(1 -> 301, 2 -> 176, 3 -> 125, 4 -> 97, 5 -> 79, 6 -> 67,
+      7 -> 58, 8 -> 51, 9 -> 46)
+  private val BenfordCase: String =
+    "CASE digit " +
+      BenfordMilli.map { case (d, m) => s"WHEN '$d' THEN ${m}L" }
+        .mkString(" ") + " END"
+
+  def benfordOracleSql(): String = {
+    val cases = "CASE digit " +
+      BenfordMilli.map { case (d, m) => s"WHEN '$d' THEN $m" }
+        .mkString(" ") + " END"
+    s"""WITH d AS (
+       | SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+       |  1, 1) AS digit
+       | FROM lineitem),
+       |t AS (SELECT count(*) AS total FROM d),
+       |g AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit)
+       |SELECT digit, cnt,
+       | (1000 * cnt) // (SELECT total FROM t) AS obs_permille,
+       | CAST($cases AS BIGINT) AS benford_permille,
+       | abs((1000 * cnt) // (SELECT total FROM t)
+       |  - CAST($cases AS BIGINT)) AS abs_dev_permille
+       |FROM g ORDER BY digit""".stripMargin
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Temporal / sequence analytics over the events stream table: rolling
@@ -322,6 +323,75 @@ object TemporalOps {
        | count(*) AS cnt,
        | (1000000 * count(*)) // (SELECT total FROM t) AS ppm
        |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
+
+  /** Sample autocorrelation of the daily event-count series at lags
+    * 1..`maxLag` — the seasonality detector that tells a forecaster
+    * whether weekly structure exists before fitting anything. The corpus
+    * collapses ONCE to the dense day spine (gap days count 0), and all
+    * lag algebra runs on that metadata-sized series: the lagged pairing
+    * is a day-range self-join of a days-long frame, never an event-row
+    * shuffle. Exactness discipline: the ACF ratio
+    * `sum((x_t-mean)(x_{t+k}-mean)) / sum((x_t-mean)^2)` is cleared of
+    * the rational mean by multiplying both sides by n^2 —
+    * `num = n^2*sxy - n*sx*(sa+sb) + m*sx^2`,
+    * `den = n^2*sxx - n*sx^2` — all DECIMAL(38,0) integer sums (a year
+    * of 1e9-event days stays ~1e20, far inside 38 digits), so the only
+    * IEEE step is the final one-division round shared with the oracle.
+    */
+  def acfDaily(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = daySpine(ev)
+      .join(ev.groupBy(expr(s"ts_us div $DayUs").as("day"))
+          .agg(count(lit(1)).as("x")),
+        Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+    val a = daily.select(col("day").as("da"), col("x").as("xa"))
+    val b = daily.select(col("day").as("db"), col("x").as("xb"))
+    val byLag = a
+      .join(b, (col("db") - col("da")).between(lit(1), lit(maxLag)))
+      .withColumn("lag", col("db") - col("da"))
+      .groupBy("lag")
+      .agg(
+        sum((col("xa") * col("xb")).cast("decimal(38,0)")).as("sxy"),
+        sum(col("xa").cast("decimal(38,0)")).as("sa"),
+        sum(col("xb").cast("decimal(38,0)")).as("sb"),
+        count(lit(1)).as("m"))
+    byLag.crossJoin(broadcast(totals))
+      .select(col("lag"), col("m"),
+        round(
+          (col("n") * col("n") * col("sxy")
+            - col("n") * col("sx") * (col("sa") + col("sb"))
+            + col("m") * col("sx") * col("sx")).cast("double")
+            / (col("n") * col("n") * col("sxx")
+              - col("n") * col("sx") * col("sx")).cast("double"),
+          4).as("acf"))
+      .orderBy("lag")
+  }
+
+  def acfDailyOracleSql(maxLag: Int = 7): String =
+    s"""WITH e AS (SELECT epoch_us(ts) // $DayUs AS day FROM events),
+       |spine AS (
+       | SELECT unnest(generate_series(mn, mx)) AS day
+       | FROM (SELECT min(day) AS mn, max(day) AS mx FROM e)),
+       |xs AS (
+       | SELECT s.day, coalesce(c.x, 0) AS x
+       | FROM spine s LEFT JOIN (
+       |  SELECT day, count(*) AS x FROM e GROUP BY day) c USING (day)),
+       |t AS (SELECT count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx FROM xs),
+       |p AS (
+       | SELECT b.day - a.day AS lag, sum(a.x * b.x) AS sxy,
+       |  sum(a.x) AS sa, sum(b.x) AS sb, count(*) AS m
+       | FROM xs a JOIN xs b ON b.day - a.day BETWEEN 1 AND $maxLag
+       | GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS m,
+       | round(CAST(n*n*sxy - n*sx*(sa+sb) + m*sx*sx AS DOUBLE)
+       |  / CAST(n*n*sxx - n*sx*sx AS DOUBLE), 4) AS acf
+       |FROM p, t ORDER BY lag""".stripMargin
 
   def driftCusumOracleSql(): String =
     s"""WITH e AS (SELECT epoch_us(ts) // $DayUs AS day FROM events),

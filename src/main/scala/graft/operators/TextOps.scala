@@ -1049,4 +1049,59 @@ object TextOps {
       |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_ngrams
       |FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  /** Per-source character-class composition — the script/charset profile
+    * a corpus curator reads before tokenizer decisions (a Latin-text BPE
+    * trained on a feed that turns out 30% digits/punct is a bug caught
+    * here). Four regexp_replace strip-counts per row (letters, digits,
+    * whitespace; "other" is the remainder) collapse map-side to one row
+    * per source; shares are fixed-point per-mille of each source's total
+    * characters. One scan, |sources| output rows, zero extra shuffles
+    * beyond the source-keyed aggregate.
+    */
+  def charsetProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("chars"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+          .as("letters"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long")
+          .as("digits"),
+        length(regexp_replace(col("text"), "[^ \\t\\n]", "")).cast("long")
+          .as("spaces"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("chars").as("chars"),
+        sum("letters").as("letters"),
+        sum("digits").as("digits"),
+        sum("spaces").as("spaces"))
+      .select(
+        col("source"), col("docs"), col("chars"),
+        expr("(1000 * letters) div chars").as("letter_permille"),
+        expr("(1000 * digits) div chars").as("digit_permille"),
+        expr("(1000 * spaces) div chars").as("space_permille"),
+        expr("(1000 * (chars - letters - digits - spaces)) div chars")
+          .as("other_permille"))
+      .orderBy("source")
+
+  def charsetProfileOracleSql(): String =
+    """WITH c AS (
+      | SELECT source, length(text) AS chars,
+      |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS letters,
+      |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+      |  length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS spaces
+      | FROM documents),
+      |g AS (
+      | SELECT source, count(*) AS docs, sum(chars) AS chars,
+      |  sum(letters) AS letters, sum(digits) AS digits, sum(spaces) AS spaces
+      | FROM c GROUP BY source)
+      |SELECT source, docs, CAST(chars AS BIGINT) AS chars,
+      | CAST((1000 * letters) // chars AS BIGINT) AS letter_permille,
+      | CAST((1000 * digits) // chars AS BIGINT) AS digit_permille,
+      | CAST((1000 * spaces) // chars AS BIGINT) AS space_permille,
+      | CAST((1000 * (chars - letters - digits - spaces)) // chars AS BIGINT)
+      |  AS other_permille
+      |FROM g ORDER BY source""".stripMargin
 }

@@ -81,4 +81,43 @@ class IntegritySpec extends AnyFunSuite {
       assert(s > 1000000L - xs.size && s <= 1000000L)
     }
   }
+
+  test("benford audit matches a naive digit recount") {
+    val prices = Tables.lineitem(spark, sf)
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    val want = prices
+      .map(p => math.floor(p).toLong.toString.take(1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = prices.length.toLong
+    val rows = StatsOps.benfordAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val benford = Map("1" -> 301L, "2" -> 176L, "3" -> 125L, "4" -> 97L,
+      "5" -> 79L, "6" -> 67L, "7" -> 58L, "8" -> 51L, "9" -> 46L)
+    rows.foreach { r =>
+      val (d, cnt, obs, exp, dev) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cnt == want(d), s"digit $d count")
+      assert(obs == 1000L * cnt / total)
+      assert(exp == benford(d))
+      assert(dev == math.abs(obs - exp))
+    }
+  }
+
+  test("charset profile conserves characters and shares sum to ~1000") {
+    val rows = operators.TextOps.charsetProfile(spark, sf).collect()
+    val docTotals = Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("docs"),
+        sum(length(col("text"))).as("chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert((r.getLong(1), r.getLong(2)) == docTotals(src), s"totals $src")
+      val shares = Seq(3, 4, 5, 6).map(r.getLong)
+      assert(shares.forall(s => s >= 0L && s <= 1000L))
+      // Four floors of an exact partition of chars: loss < 4 per-mille.
+      val sum = shares.sum
+      assert(sum > 996L && sum <= 1000L, s"$src permille sum $sum")
+    }
+  }
 }

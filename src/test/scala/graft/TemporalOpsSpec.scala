@@ -104,4 +104,27 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(rows.last._3 == 1000L * total - ndays * mu)
     rows.foreach { case (_, _, _, flag) => assert(flag == 0L || flag == 1L) }
   }
+
+  test("acf daily matches a serial replay and is bounded by 1") {
+    val rows = TemporalOps.acfDaily(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1L to 7L))
+    // Serial replay from the dense daily series.
+    val byDay = events.groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val days = byDay.keys.min to byDay.keys.max
+    val xs = days.map(d => byDay.getOrElse(d, 0L)).toArray
+    val n = xs.length
+    val mean = xs.sum.toDouble / n
+    val den = xs.map(x => (x - mean) * (x - mean)).sum
+    rows.foreach { case (lag, m, acf) =>
+      assert(m == n - lag, s"lag $lag pair count")
+      val k = lag.toInt
+      val num = (0 until n - k).map(i => (xs(i) - mean) * (xs(i + k) - mean)).sum
+      val want = num / den
+      assert(math.abs(acf - want) <= 5e-4, s"lag $lag acf $acf vs $want")
+      assert(math.abs(acf) <= 1.0 + 1e-9)
+    }
+  }
 }
