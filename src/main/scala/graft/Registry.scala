@@ -1031,6 +1031,17 @@ object Registry {
     q("charset_profile", TextOps.charsetProfileOracleSql())(
       TextOps.charsetProfile),
 
+    // Decile lift table: exact NTILE(10) user-value deciles × purchase
+    // conversion, lift vs base rate in milli.
+    q("decile_lift", RfmOps.DecileLiftOracleSql)(
+      RfmOps.decileLift),
+
+    // Sorted-neighborhood blocking dedup (window-bounded candidate
+    // volume; per-lang hierarchical rank, banded neighborhood join,
+    // exact-Jaccard verify).
+    q("dedup_sorted_neighborhood", MinHashOps.SortedNeighborhoodOracleSql)(
+      (s, d) => MinHashOps.dedupSortedNeighborhood(s, d)),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

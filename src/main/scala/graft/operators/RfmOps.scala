@@ -77,4 +77,68 @@ object RfmOps {
       |SELECT r_q, f_q, m_q, count(*) AS customers,
       | CAST(sum(monetary_milli) AS BIGINT) AS monetary_milli
       |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin
+
+  /** Decile lift table — the campaign-targeting readout: users ranked
+    * into exact value deciles (total event value in cents), each decile's
+    * purchase-conversion rate, and its lift over the corpus base rate.
+    * The decile is the exact NTILE(10) contract via
+    * [[RankOps.withHierarchicalRank]] (bucket-parallel, no
+    * single-partition window); value is exact integer cents
+    * (`floor(v*100+0.5)` — pure IEEE, bit-identical cross-engine); lift
+    * is `(buyers/users)/(total_buyers/total_users)` cleared to one
+    * integer division in milli. One user-keyed aggregate, one rank pass,
+    * a 10-row rollup.
+    */
+  def decileLift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = ev.groupBy("user_id").agg(
+      sum(coalesce(expr("cast(floor(value * 100 + 0.5) as bigint)"), lit(0L)))
+        .as("value_cents"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purchases"))
+    val totals = users.agg(
+      count(lit(1)).as("total_users"),
+      sum(when(col("purchases") > 0, 1L).otherwise(0L)).as("total_buyers"))
+    val ranked = RankOps.withHierarchicalRank(
+        users, Seq.empty, "value_cents", "user_id",
+        "value_cents div 16384", "rk")
+      .crossJoin(broadcast(totals))
+      .withColumn("decile", RankOps.ntileOf("rk", "total_users", 10).cast("long"))
+    ranked
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("users"),
+        sum("value_cents").as("value_cents"),
+        sum(when(col("purchases") > 0, 1L).otherwise(0L)).as("buyers"),
+        first("total_users").as("tu"),
+        first("total_buyers").as("tb"))
+      .select(
+        col("decile"), col("users"), col("value_cents"), col("buyers"),
+        expr("(1000 * buyers) div users").as("conv_permille"),
+        expr("(1000 * buyers * tu) div (users * tb)").as("lift_milli"))
+      .orderBy("decile")
+  }
+
+  /** Native NTILE(10) — independent of the hierarchical rank. */
+  val DecileLiftOracleSql: String =
+    """WITH u AS (
+      | SELECT user_id,
+      |  sum(coalesce(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)) AS value_cents,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+      | FROM events GROUP BY user_id),
+      |t AS (SELECT count(*) AS tu,
+      | sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS tb FROM u),
+      |d AS (
+      | SELECT value_cents, purchases,
+      |  CAST(NTILE(10) OVER (ORDER BY value_cents, user_id) AS BIGINT) AS decile
+      | FROM u)
+      |SELECT decile, count(*) AS users,
+      | CAST(sum(value_cents) AS BIGINT) AS value_cents,
+      | CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS buyers,
+      | CAST((1000 * sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END)) // count(*)
+      |  AS BIGINT) AS conv_permille,
+      | CAST((1000 * sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END)
+      |   * (SELECT tu FROM t))
+      |  // (count(*) * (SELECT tb FROM t)) AS BIGINT) AS lift_milli
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 }

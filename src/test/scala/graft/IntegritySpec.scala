@@ -103,6 +103,35 @@ class IntegritySpec extends AnyFunSuite {
     }
   }
 
+  test("decile lift matches a serial NTILE replay") {
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) 0L else math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    val users = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.map(_._3).sum, xs.count(_._2 == "purchase").toLong)
+    }.toSeq.sortBy(t => (t._2, t._1))
+    val tu = users.size
+    val tb = users.count(_._3 > 0).toLong
+    // SQL NTILE contract: first (tu % 10) tiles get the extra row.
+    val base = tu / 10; val extra = tu % 10
+    val decileOf = (idx: Int) =>
+      if (idx < (base + 1) * extra) idx / (base + 1) + 1
+      else extra + (idx - (base + 1) * extra) / base + 1
+    val want = users.zipWithIndex
+      .groupBy { case (_, i) => decileOf(i).toLong }
+      .map { case (d, xs) =>
+        val buyers = xs.count(_._1._3 > 0).toLong
+        val n = xs.size.toLong
+        d -> (n, xs.map(_._1._2).sum, buyers,
+          1000L * buyers / n, 1000L * buyers * tu / (n * tb))
+      }
+    val got = operators.RfmOps.decileLift(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+  }
+
   test("charset profile conserves characters and shares sum to ~1000") {
     val rows = operators.TextOps.charsetProfile(spark, sf).collect()
     val docTotals = Tables.documents(spark, sf)

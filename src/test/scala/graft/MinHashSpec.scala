@@ -77,4 +77,33 @@ class MinHashSpec extends AnyFunSuite {
     val b = MinHashOps.nearDupPairs(d).collect().toSeq
     assert(a == b)
   }
+
+  test("sorted neighborhood is a subset of exact pairs and finds shared-prefix dups") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val d = Seq(
+      (1L, base, "en"),
+      (2L, base + " omicron", "en"),                 // same prefix, near-dup
+      (3L, "zzz totally unrelated words about shuffles and joins", "en"),
+      (4L, base, "fr"))                              // same text, other lang block
+      .toDF("doc_id", "text", "lang")
+    val pairs = MinHashOps.sortedNeighborhoodPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (1,2) share the normalized 24-char prefix → adjacent → found.
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j >= 600L })
+    // Cross-language pairs never form, even for identical text.
+    assert(!pairs.exists { case (a, b, _) => Set(a, b) == Set(1L, 4L) })
+
+    // On the real corpus: blocking can only MISS pairs the exhaustive
+    // index finds, never invent them, and the survivors carry identical
+    // exact-Jaccard values.
+    val docs = graft.Tables.documents(spark, TestSession.sf)
+    val sn = MinHashOps.sortedNeighborhoodPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = MinHashOps.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sn.keySet.subsetOf(exact.keySet))
+    sn.foreach { case (k, j) => assert(exact(k) == j, s"pair $k") }
+    assert(sn.nonEmpty, "planted near-dups share normalized prefixes")
+  }
 }
