@@ -887,6 +887,11 @@ object Registry {
     rowsOnly("clusters_conv")((s, d) =>
       DedupClusterOps.clustersConverged(s, Tables.documents(s, d))._2),
 
+    // Borůvka minimum spanning forest summary (unique forest by the
+    // composite edge order; GraphSpec replays serial Kruskal). Iterative
+    // with data-dependent round count — rows-only like the _conv modes.
+    rowsOnly("mst_forest")((s, d) => GraphOps.boruvkaMsf(s, d)),
+
     // ---- Catalog profiling + cohort survival (ProfileOps) ----
     // Per-column stats row via ONE scan (Expand'd exact distincts +
     // stack fan-out) vs per-column UNION ALL scans in the oracle.
@@ -1041,6 +1046,16 @@ object Registry {
     // exact-Jaccard verify).
     q("dedup_sorted_neighborhood", MinHashOps.SortedNeighborhoodOracleSql)(
       (s, d) => MinHashOps.dedupSortedNeighborhood(s, d)),
+
+    // Asymmetric containment dedup (short-doc-in-long-doc detection the
+    // symmetric Jaccard threshold misses).
+    q("dedup_containment", MinHashOps.ContainmentOracleSql)(
+      (s, d) => MinHashOps.dedupContainment(s, d)),
+
+    // P50/P90/P99 same-type inter-arrival gaps per event type via the
+    // histogram rank-select grid (no per-group sort).
+    q("gap_quantiles", TemporalOps.gapQuantilesOracleSql())(
+      TemporalOps.gapQuantiles),
 
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet

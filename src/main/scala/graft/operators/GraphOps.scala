@@ -1037,4 +1037,100 @@ object GraphOps {
       |  (CAST(m * sjk - sj * sj AS DOUBLE) /
       |   CAST(m * sjj - sj * sj AS DOUBLE)) + 0.5) AS BIGINT) AS assortativity_e6
       |FROM g""".stripMargin
+
+  /** Minimum spanning forest via distributed Borůvka over the weighted
+    * co-purchase graph (weight = multiplicity — the "cheapest backbone"
+    * of rarest ties). The composite edge key `(w, src, dst)` is a strict
+    * total order, so the forest is UNIQUE (the distinct-weights MST
+    * theorem applied to the composite key) — deterministic enough that
+    * the spec replays serial Kruskal and matches edge count and total
+    * weight exactly.
+    *
+    * Round shape, all data-parallel: every component picks its minimum
+    * incident edge (edge-frame union + one component-keyed min of a
+    * struct — map-side combined); the picked component graph (≤
+    * |components| edges, a pseudo-forest) contracts by hash-min label
+    * propagation to convergence (inner loop over a frame that HALVES
+    * per outer round — Borůvka's invariant); surviving edges relabel
+    * through the broadcast-sized mapping and drop intra-component rows.
+    * ≥ half the components merge per round, so 12 rounds cover 4000×
+    * today's node count; every per-round frame is checkpointed and the
+    * loop exits on a scalar zero-cross-edge count.
+    */
+  def boruvkaMsf(s: SparkSession, dir: String, maxRounds: Int = 12): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val wEdges = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = wEdges.select(col("src").as("n"))
+      .union(wEdges.select(col("dst").as("n"))).distinct().count()
+
+    var edgesCur = truncate(s,
+      wEdges.select(col("src").as("ca"), col("dst").as("cb"),
+        col("w"), col("src"), col("dst")))
+    var mst = wEdges.select("src", "dst", "w").limit(0)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      if (edgesCur.isEmpty) done = true
+      else {
+        val incident = edgesCur
+          .select(col("ca").as("comp"), col("w"), col("src"), col("dst"),
+            col("ca"), col("cb"))
+          .union(edgesCur.select(col("cb").as("comp"), col("w"), col("src"),
+            col("dst"), col("ca"), col("cb")))
+        val pick = incident
+          .groupBy("comp")
+          .agg(min(struct(col("w"), col("src"), col("dst"), col("ca"),
+            col("cb"))).as("e"))
+          .select(col("e.w").as("w"), col("e.src").as("src"),
+            col("e.dst").as("dst"), col("e.ca").as("ca"), col("e.cb").as("cb"))
+          .distinct() // the global min edge is picked from both sides
+        val pickT = truncate(s, pick)
+        mst = truncate(s, mst.union(pickT.select("src", "dst", "w")))
+        // Contract the picked pseudo-forest: hash-min to convergence on
+        // a |components|-sized frame (NOT the data graph).
+        val ce = pickT.select(col("ca").as("u"), col("cb").as("v"))
+        val ceSym = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
+        var lbl = truncate(s,
+          ceSym.select(col("u").as("node")).distinct()
+            .withColumn("label", col("node")))
+        var changed = 1L
+        var inner = 0
+        while (changed > 0 && inner < 40) {
+          inner += 1
+          val nbrMin = ceSym
+            .join(lbl.withColumnRenamed("node", "u"), "u")
+            .groupBy(col("v").as("node")).agg(min("label").as("nl"))
+          val next = truncate(s,
+            lbl.join(nbrMin, Seq("node"), "left")
+              .select(col("node"),
+                least(col("label"), coalesce(col("nl"), col("label")))
+                  .as("label")))
+          changed = next.withColumnRenamed("label", "l2")
+            .join(lbl, "node").filter(col("l2") =!= col("label")).count()
+          lbl = next
+        }
+        val mapCa = lbl.select(col("node").as("ca"), col("label").as("nca"))
+        val mapCb = lbl.select(col("node").as("cb"), col("label").as("ncb"))
+        edgesCur = truncate(s,
+          edgesCur.join(mapCa, Seq("ca"), "left")
+            .join(mapCb, Seq("cb"), "left")
+            .select(coalesce(col("nca"), col("ca")).as("ca"),
+              coalesce(col("ncb"), col("cb")).as("cb"),
+              col("w"), col("src"), col("dst"))
+            .filter(col("ca") =!= col("cb")))
+      }
+    }
+    mst.agg(count(lit(1)).as("mst_edges"),
+        coalesce(sum("w"), lit(0L)).as("total_weight"))
+      .select(lit(nNodes).as("nodes"), col("mst_edges"),
+        (lit(nNodes) - col("mst_edges")).as("components"),
+        col("total_weight"), lit(rounds.toLong).as("rounds"))
+  }
 }

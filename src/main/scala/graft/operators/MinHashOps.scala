@@ -221,6 +221,62 @@ object MinHashOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment near-dup pairs — the asymmetric companion to Jaccard:
+    * `containment = |A∩B| / min(|A|,|B|)` flags a short document embedded
+    * in a long one (quote-and-extend plagiarism, boilerplate wrapping)
+    * where Jaccard stays low because the union is dominated by the long
+    * side. Candidates and the intersection count reuse the exact
+    * inverted-index machinery ([[ngramJaccardPairs]]); both metrics ride
+    * the same aggregate, so the marginal cost over Jaccard dedup is two
+    * integer divisions. Emitted: every pair with containment ≥
+    * `thresholdMilli` (Jaccard alongside for triage).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      thresholdMilli: Int = 900): DataFrame = {
+    val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val inv = invertedIndex(sh, None)
+    inv.as("a")
+      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr("(1000 * inter) div least(na, nb)").as("containment_milli"),
+        expr("(1000 * inter) div (na + nb - inter)").as("jaccard_milli"))
+      .filter(col("containment_milli") >= thresholdMilli)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir))
+
+  val ContainmentOracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |sh AS (
+      | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+      |  END AS shingles
+      | FROM tok),
+      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |cand AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |j AS (
+      | SELECT c.doc_a, c.doc_b,
+      |  len(list_intersect(x.shingles, y.shingles)) AS inter,
+      |  len(x.shingles) AS na, len(y.shingles) AS nb
+      | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+      |SELECT doc_a, doc_b,
+      | CAST((1000 * inter) // least(na, nb) AS BIGINT) AS containment_milli,
+      | CAST((1000 * inter) // (na + nb - inter) AS BIGINT) AS jaccard_milli
+      |FROM j WHERE (1000 * inter) // least(na, nb) >= 900
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Sorted-neighborhood blocking — the THIRD candidate-generation
     * strategy next to banded LSH (probabilistic) and the full inverted
     * index (exact): documents sort per language by a normalized text

@@ -219,6 +219,69 @@ object TemporalOps {
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  val GapQuantilesPermille: Seq[Int] = Seq(500, 900, 990)
+
+  /** P50/P90/P99 inter-arrival gap (whole seconds) per event type — the
+    * latency-style tail readout [[interarrivalStats]]'s min/avg/max
+    * hides. Gaps are between consecutive events of the SAME type within
+    * each user's timeline (one user-keyed window exchange); quantiles
+    * come from the histogram rank-select form shared with
+    * [[WindowOps.quantilesDensityByFlag]] — the corpus collapses to the
+    * (type × gap-second) grid first and the cumulative walk runs over
+    * that metadata, so no per-group sort ever funnels through one task.
+    */
+  def gapQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    val gaps = Tables.events(s, dir)
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        expr("(ts_us - prev_us) div 1000000").as("gap_s"))
+    val hist = gaps.groupBy("event_type", "gap_s").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("gap_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("event_type")))
+      .withColumn("p", explode(array(GapQuantilesPermille.map(lit): _*)))
+      .filter(col("cum") >= expr("greatest((p * cnt + 999) div 1000, 1)"))
+      .groupBy(col("event_type"), col("cnt").as("gaps"))
+      .pivot("p", GapQuantilesPermille.map(_.toString))
+      .agg(min("gap_s"))
+      .select(col("event_type") +: col("gaps") +:
+        GapQuantilesPermille.map(p => col(p.toString).as(s"p${p}_s")): _*)
+      .orderBy("event_type")
+  }
+
+  def gapQuantilesOracleSql(): String = {
+    val values = GapQuantilesPermille.map(p => s"($p)").mkString(", ")
+    val cols = GapQuantilesPermille
+      .map(p => s"CAST(max(CASE WHEN p = $p THEN q END) AS BIGINT) AS p${p}_s")
+      .mkString(",\n ")
+    s"""WITH g AS (
+       | SELECT event_type,
+       |  (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+       |   ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+       | FROM events),
+       |h AS (
+       | SELECT event_type, gap_s, count(*) AS c
+       | FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+       |cm AS (
+       | SELECT event_type, gap_s,
+       |  sum(c) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+       |  sum(c) OVER (PARTITION BY event_type) AS cnt
+       | FROM h),
+       |q AS (
+       | SELECT event_type, cnt, p, min(gap_s) AS q
+       | FROM cm CROSS JOIN (VALUES $values) pr(p)
+       | WHERE cum >= greatest((p * cnt + 999) // 1000, 1)
+       | GROUP BY 1, 2, 3)
+       |SELECT event_type, CAST(cnt AS BIGINT) AS gaps,
+       | $cols
+       |FROM q GROUP BY event_type, cnt ORDER BY event_type""".stripMargin
+  }
+
   /** Change-point (two-sided CUSUM) drift detection over the zero-filled
     * daily event-count spine: cumulative milli-deviations from the global
     * daily mean, flagging days where |CUSUM| exceeds 5% of total event

@@ -51,4 +51,36 @@ class GraphSpec extends AnyFunSuite {
     val totalNodes = GraphOps.degrees(spark, sf).count()
     assert(converged.length < totalNodes && converged.nonEmpty)
   }
+
+  test("boruvka forest matches a serial Kruskal replay") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val wEdges = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    val nodes = wEdges.flatMap(e => Seq(e._2, e._3)).distinct
+    // Serial Kruskal with union-find over the SAME (w, src, dst) order.
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    var kEdges = 0L; var kWeight = 0L
+    wEdges.sortBy(identity).foreach { case (w, a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; kEdges += 1; kWeight += w }
+    }
+    val row = GraphOps.boruvkaMsf(spark, sf).collect().head
+    assert(row.getLong(0) == nodes.length.toLong)
+    assert(row.getLong(1) == kEdges, s"mst edges ${row.getLong(1)} vs $kEdges")
+    assert(row.getLong(2) == nodes.length - kEdges)
+    assert(row.getLong(3) == kWeight, s"weight ${row.getLong(3)} vs $kWeight")
+  }
 }

@@ -78,6 +78,26 @@ class MinHashSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("containment flags an embedded short doc that Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val extra = (1 to 30).map(i => s"filler$i").mkString(" ")
+    val d = Seq(
+      (1L, short),
+      (2L, short + " " + extra),
+      (3L, "unrelated words entirely about other topics and things"))
+      .toDF("doc_id", "text")
+    val cont = MinHashOps.containmentPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hit = cont.find { case (a, b, _, _) => a == 1L && b == 2L }
+    assert(hit.isDefined, "embedded doc should reach containment 1000")
+    assert(hit.get._3 == 1000L) // every shingle of the short doc is in the long
+    assert(hit.get._4 < 600L)   // …while Jaccard stays below the dedup bar
+    assert(MinHashOps.ngramJaccardPairs(d).collect().isEmpty)
+    // Emitted containment always dominates Jaccard.
+    cont.foreach { case (_, _, c, j) => assert(c >= j) }
+  }
+
   test("sorted neighborhood is a subset of exact pairs and finds shared-prefix dups") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"

@@ -105,6 +105,33 @@ class TemporalOpsSpec extends AnyFunSuite {
     rows.foreach { case (_, _, _, flag) => assert(flag == 0L || flag == 1L) }
   }
 
+  test("gap quantiles match a serial rank-select replay") {
+    val evs = events.select("user_id", "event_type", "ts_us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gapsByType = evs.groupBy(e => (e._1, e._2)).toSeq
+      .flatMap { case ((_, t), xs) =>
+        val ts = xs.sortBy(e => (e._3, e._4)).map(_._3)
+        ts.zip(ts.tail).map { case (a, b) => t -> (b - a) / 1000000L }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def q(sorted: Seq[Long], p: Int): Long = {
+      val cnt = sorted.length.toLong
+      val rank = math.max((p * cnt + 999) / 1000, 1L)
+      sorted((rank - 1).toInt)
+    }
+    val got = TemporalOps.gapQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == gapsByType.keySet)
+    gapsByType.foreach { case (t, sorted) =>
+      val want = (sorted.length.toLong, q(sorted, 500), q(sorted, 900), q(sorted, 990))
+      assert(got(t) == want, s"type $t: ${got(t)} vs $want")
+      val (_, p50, p90, p99) = got(t)
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("acf daily matches a serial replay and is bounded by 1") {
     val rows = TemporalOps.acfDaily(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
