@@ -1057,6 +1057,16 @@ object Registry {
     q("gap_quantiles", TemporalOps.gapQuantilesOracleSql())(
       TemporalOps.gapQuantiles),
 
+    // Per-label embedding L2-norm audit (codegen self-dot, e6 fixed-point
+    // before any cross-row aggregation).
+    q("embedding_norms", StatsOps.EmbeddingNormsOracleSql)(
+      StatsOps.embeddingNorms),
+
+    // Per-dimension mean/variance of the embedding space (collapsed-dim
+    // detector; exact integer variance identity in DECIMAL).
+    q("embedding_dim_stats", StatsOps.embeddingDimStatsOracleSql())(
+      StatsOps.embeddingDimStats),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

@@ -209,6 +209,83 @@ object StatsOps {
        | CAST(sum_fp // n AS BIGINT) AS mean_fp
        |FROM g ORDER BY label, dim""".stripMargin
 
+  /** Per-label embedding L2-norm audit — the vector-quality gate an
+    * embedding feed runs before indexing (un-normalized or zeroed
+    * vectors poison cosine ANN silently). The per-row norm is the
+    * codegen [[graft.functions.FloatVecDot]] self-dot (left-to-right
+    * double fold, the SAME order as the oracle's list_sum — the
+    * equivalence the whole ANN suite already hash-proves) quantized to
+    * e6 fixed-point BEFORE any cross-row step, so the label rollup is
+    * pure integer aggregation: one scan, |labels| output rows.
+    */
+  def embeddingNorms(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        expr("cast(floor(sqrt(vec_dot(embedding, embedding)) * 1000000 + 0.5) as long)")
+          .as("norm_e6"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("vectors"),
+        min("norm_e6").as("min_norm_e6"),
+        max("norm_e6").as("max_norm_e6"),
+        expr("sum(norm_e6) div count(*)").as("avg_norm_e6"),
+        sum(when(col("norm_e6") === 0L, 1L).otherwise(0L)).as("zero_vectors"))
+      .orderBy("label")
+
+  val EmbeddingNormsOracleSql: String =
+    """WITH n AS (
+      | SELECT label,
+      |  CAST(floor(sqrt(list_sum(list_transform(embedding,
+      |    a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))) * 1000000 + 0.5)
+      |   AS BIGINT) AS norm_e6
+      | FROM embeddings)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS vectors,
+      | min(norm_e6) AS min_norm_e6, max(norm_e6) AS max_norm_e6,
+      | CAST(sum(norm_e6) // count(*) AS BIGINT) AS avg_norm_e6,
+      | CAST(sum(CASE WHEN norm_e6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS zero_vectors
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  /** Per-dimension mean/variance of the embedding space — the collapsed-
+    * dimension detector (a dim with ~zero variance carries no signal and
+    * flags a truncated or constant feature). Values quantize to e6
+    * fixed-point per element; the variance identity `(n·Σx²−(Σx)²)/n²`
+    * then runs entirely in DECIMAL(38,0) integers (n is cast into the
+    * decimal domain so n² never overflows BIGINT at 10¹² rows/dim), so
+    * the output is bit-identical cross-engine. posexplode partial-
+    * aggregates map-side to the 64-cell grid — the exchange is dims-
+    * sized regardless of corpus.
+    */
+  def embeddingDimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("cast(floor(cast(x as double) * 1000000 + 0.5) as long)").as("x_fp"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x_fp").cast("decimal(38,0)")).as("sx"),
+        sum((col("x_fp").cast("decimal(38,0)")
+          * col("x_fp").cast("decimal(38,0)"))).as("sxx"))
+      .select(col("dim"), col("n"),
+        expr("cast(sx div n as long)").as("mean_fp"),
+        expr("cast((n * sxx - sx * sx) div (cast(n as decimal(38,0)) * n) as long)")
+          .as("var_fp2"))
+      .orderBy("dim")
+
+  def embeddingDimStatsOracleSql(): String =
+    s"""WITH x AS (
+       | SELECT t.i - 1 AS dim,
+       |  CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x_fp
+       | FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${EmbedDims + 1})) AS i) t),
+       |g AS (
+       | SELECT dim, count(*) AS n, sum(x_fp) AS sx, sum(x_fp * x_fp) AS sxx
+       | FROM x GROUP BY dim)
+       |SELECT CAST(dim AS BIGINT) AS dim, n,
+       | CAST(sx // n AS BIGINT) AS mean_fp,
+       | CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_fp2
+       |FROM g ORDER BY dim""".stripMargin
+
   /** Per-type OLS trend of `value` against time — is each event class's
     * value drifting, and how fast. The normal-equation terms
     * `n·Σxy − Σx·Σy` and `n·Σx² − (Σx)²` accumulate EXACTLY in

@@ -96,4 +96,41 @@ class AnnSpec extends AnyFunSuite {
       assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
     }
   }
+
+  test("embedding norm and per-dim audits match a serial replay") {
+    import graft.operators.StatsOps
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).toArray))
+    // Norm audit: per-row left-to-right double fold, e6-quantized.
+    val normsByLabel = vecs.groupBy(_._1).view.mapValues { xs =>
+      xs.map { case (_, v) =>
+        var s = 0.0
+        v.foreach(x => s += x.toDouble * x.toDouble)
+        math.floor(math.sqrt(s) * 1e6 + 0.5).toLong
+      }
+    }.toMap
+    StatsOps.embeddingNorms(spark, sf).collect().foreach { r =>
+      val ns = normsByLabel(r.getLong(0))
+      assert(r.getLong(1) == ns.length.toLong)
+      assert(r.getLong(2) == ns.min && r.getLong(3) == ns.max)
+      assert(r.getLong(4) == ns.sum / ns.length)
+      assert(r.getLong(5) == ns.count(_ == 0L).toLong)
+    }
+    // Dim audit: exact integer variance identity over e6 fixed-point.
+    val byDim = vecs.flatMap { case (_, v) =>
+      v.zipWithIndex.map { case (x, d) =>
+        d.toLong -> math.floor(x.toDouble * 1e6 + 0.5).toLong
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    StatsOps.embeddingDimStats(spark, sf).collect().foreach { r =>
+      val xs = byDim(r.getLong(0))
+      val n = xs.length.toLong
+      val sx = BigInt(xs.sum)
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      assert(r.getLong(1) == n)
+      assert(BigInt(r.getLong(2)) == sx / n)
+      assert(BigInt(r.getLong(3)) == (n * sxx - sx * sx) / (n * n))
+    }
+  }
 }
