@@ -223,4 +223,50 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"quadratic join leaked into the skyline plan:\n$plan")
   }
+
+  test("decile_lift ranks via bucket aggregates — no corpus-wide window") {
+    val plan = executedPlan(graft.operators.RfmOps.decileLift(spark, sf))
+    // The hierarchical rank's carry window runs over value-bucket
+    // aggregates: every Window in the plan must sit ABOVE at least one
+    // HashAggregate (a flat NTILE would put Window straight on the
+    // user rows with a single-partition sort below it).
+    assert(plan.contains("HashAggregate") && plan.contains("Window"), plan)
+    assert(plan.lastIndexOf("HashAggregate") > plan.indexOf("Window"),
+      s"window not over bucket aggregates:\n$plan")
+    // The rank window is bucket-partitioned (never an empty over()):
+    // every windowspecdefinition names the __vb_rk bucket key first.
+    assert(plan.contains("windowspecdefinition(__vb_rk"),
+      s"rank window lost its bucket partitioning:\n$plan")
+  }
+
+  test("gap_quantiles collapses to the type×gap grid before the rank-select walk") {
+    val plan = executedPlan(graft.operators.TemporalOps.gapQuantiles(spark, sf))
+    // The per-user lag window is partitioned (user_id, event_type) —
+    // never an empty over() — and the quantile probe windows run over
+    // the histogram aggregate.
+    assert(!plan.contains("Window [") ||
+      !plan.contains("windowspecdefinition()"), plan)
+    assert(plan.contains("HashAggregate"), s"no histogram collapse in:\n$plan")
+  }
+
+  test("acf_daily pairs the metadata day spine, never event rows") {
+    val plan = executedPlan(
+      graft.operators.TemporalOps.acfDaily(spark, sf))
+    // The lag self-join and the totals arm must be fed by the cached
+    // daily collapse (InMemoryTableScans), not raw event-row scans —
+    // the ACF algebra runs over the metadata-sized spine. (The plan
+    // string still PRINTS parquet scans inside the InMemoryRelation
+    // build plans, so assert on the cache reads, not scan counts.)
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      s"daily frame not cached for reuse:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
+  test("embedding audits aggregate map-side — one scan, no row-level window") {
+    val p1 = executedPlan(graft.operators.StatsOps.embeddingNorms(spark, sf))
+    assert(!p1.contains("Window"), s"unexpected window in norms plan:\n$p1")
+    val p2 = executedPlan(graft.operators.StatsOps.embeddingDimStats(spark, sf))
+    assert(!p2.contains("Window"), s"unexpected window in dim plan:\n$p2")
+    assert(p2.contains("Generate"), s"posexplode missing:\n$p2")
+  }
 }
