@@ -1067,6 +1067,16 @@ object Registry {
     q("embedding_dim_stats", StatsOps.embeddingDimStatsOracleSql())(
       StatsOps.embeddingDimStats),
 
+    // Fulfillment-latency SLA per order priority (whole-day ship lag,
+    // avg + P50/P90/P99 via the histogram rank-select grid).
+    q("ship_latency_quantiles", ReconOps.shipLatencyOracleSql())(
+      (s, d) => ReconOps.shipLatencyQuantiles(s, d)),
+
+    // Winsorized per-type value means (exact per-type [P5,P95] clip
+    // bounds, integer cents; robust-metrics companion to the raw mean).
+    q("winsorized_value_stats", StatsOps.winsorizedOracleSql())(
+      (s, d) => StatsOps.winsorizedValueStats(s, d)),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

@@ -161,4 +161,74 @@ object ReconOps {
        | CAST((1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)) // count(*)
        |  AS BIGINT) AS bounce_milli
        |FROM ses GROUP BY entry_type ORDER BY entry_type""".stripMargin
+
+  val LatencyQuantilesPermille: Seq[Int] = Seq(500, 900, 990)
+
+  /** Fulfillment-latency SLA per order priority: whole-day ship lag
+    * (`l_shipdate − o_orderdate`) rolled to count/avg/P50/P90/P99. The
+    * lineitem→orders equi-join is the one real exchange (at 100 TB
+    * neither side broadcasts — an honest fact-to-fact shuffle on the
+    * order key); the corpus then collapses to the priority×day grid and
+    * the quantiles are the same histogram rank-select walk as
+    * [[TemporalOps.gapQuantiles]] — metadata-sized, no per-group sort.
+    */
+  def shipLatencyQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+        .as("ship_d"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("order_d"),
+      col("o_orderpriority").as("priority"))
+    val lat = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("priority"), (col("ship_d") - col("order_d")).as("days"))
+    val hist = lat.groupBy("priority", "days").agg(count(lit(1)).as("c"),
+      sum("days").as("dsum"))
+    val wCum = Window.partitionBy("priority").orderBy("days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("priority")))
+      .withColumn("tot_days",
+        sum("dsum").over(Window.partitionBy("priority")))
+      .withColumn("p",
+        explode(array(LatencyQuantilesPermille.map(lit): _*)))
+      .filter(col("cum") >= expr("greatest((p * cnt + 999) div 1000, 1)"))
+      .groupBy(col("priority"), col("cnt").as("lineitems"),
+        expr("tot_days div cnt").as("avg_days"))
+      .pivot("p", LatencyQuantilesPermille.map(_.toString))
+      .agg(min("days"))
+      .select(col("priority") +: col("lineitems") +: col("avg_days") +:
+        LatencyQuantilesPermille.map(p => col(p.toString).as(s"p${p}_d")): _*)
+      .orderBy("priority")
+  }
+
+  def shipLatencyOracleSql(): String = {
+    val values = LatencyQuantilesPermille.map(p => s"($p)").mkString(", ")
+    val cols = LatencyQuantilesPermille
+      .map(p => s"CAST(max(CASE WHEN p = $p THEN q END) AS BIGINT) AS p${p}_d")
+      .mkString(",\n ")
+    s"""WITH lat AS (
+       | SELECT o.o_orderpriority AS priority,
+       |  epoch_us(l.l_shipdate) // 86400000000
+       |   - epoch_us(o.o_orderdate) // 86400000000 AS days
+       | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |h AS (SELECT priority, days, count(*) AS c, sum(days) AS dsum
+       |      FROM lat GROUP BY 1, 2),
+       |cm AS (
+       | SELECT priority, days,
+       |  sum(c) OVER (PARTITION BY priority ORDER BY days) AS cum,
+       |  sum(c) OVER (PARTITION BY priority) AS cnt,
+       |  sum(dsum) OVER (PARTITION BY priority) AS tot_days
+       | FROM h),
+       |q AS (
+       | SELECT priority, cnt, tot_days, p, min(days) AS q
+       | FROM cm CROSS JOIN (VALUES $values) pr(p)
+       | WHERE cum >= greatest((p * cnt + 999) // 1000, 1)
+       | GROUP BY 1, 2, 3, 4)
+       |SELECT priority, CAST(cnt AS BIGINT) AS lineitems,
+       | CAST(tot_days // cnt AS BIGINT) AS avg_days,
+       | $cols
+       |FROM q GROUP BY priority, cnt, tot_days ORDER BY priority""".stripMargin
+  }
 }

