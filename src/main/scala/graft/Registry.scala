@@ -1077,6 +1077,16 @@ object Registry {
     q("winsorized_value_stats", StatsOps.winsorizedOracleSql())(
       (s, d) => StatsOps.winsorizedValueStats(s, d)),
 
+    // Trailing 7-day rolling median of daily volume (spike-resistant
+    // trend over the metadata day spine, bounded sorted-list median).
+    q("rolling_median_7d", TemporalOps.rollingMedian7dOracleSql())(
+      TemporalOps.rollingMedian7d),
+
+    // Duplicate-event audit: same user/type/value within 1s (null-safe)
+    // — the at-least-once-delivery smell test.
+    q("event_dupes", TemporalOps.duplicateEventOracleSql())(
+      TemporalOps.duplicateEventAudit),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

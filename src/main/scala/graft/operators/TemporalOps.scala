@@ -282,6 +282,92 @@ object TemporalOps {
        |FROM q GROUP BY event_type, cnt ORDER BY event_type""".stripMargin
   }
 
+  /** Trailing 7-day rolling median of the daily event count — the
+    * spike-resistant volume trend (a single flash-crowd day drags a
+    * rolling MEAN for a week; the median shrugs). The corpus collapses
+    * once to the dense day spine; each day then joins its trailing ≤7
+    * spine rows and takes the LOWER median by sorted-list index — the
+    * collected list is bounded at 7 elements by construction, so this
+    * is metadata work end to end, never an event-row shuffle.
+    */
+  def rollingMedian7d(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = daySpine(ev)
+      .join(ev.groupBy(expr(s"ts_us div $DayUs").as("day"))
+          .agg(count(lit(1)).as("x")),
+        Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = daily.select(col("day"))
+    val b = daily.select(col("day").as("db"), col("x"))
+    a.join(b, col("db").between(col("day") - 6, col("day")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("window_days"),
+        sort_array(collect_list("x")).as("xs"))
+      .select(col("day").as("epoch_day"), col("window_days"),
+        element_at(col("xs"),
+          expr("cast((window_days + 1) div 2 as int)")).as("median7"))
+      .orderBy("epoch_day")
+  }
+
+  def rollingMedian7dOracleSql(): String =
+    s"""WITH e AS (SELECT epoch_us(ts) // $DayUs AS day FROM events),
+       |spine AS (
+       | SELECT unnest(generate_series(mn, mx)) AS day
+       | FROM (SELECT min(day) AS mn, max(day) AS mx FROM e)),
+       |xs AS (
+       | SELECT s.day, coalesce(c.x, 0) AS x
+       | FROM spine s LEFT JOIN (
+       |  SELECT day, count(*) AS x FROM e GROUP BY day) c USING (day)),
+       |p AS (
+       | SELECT a.day AS day, b.x AS x
+       | FROM xs a JOIN xs b ON b.day BETWEEN a.day - 6 AND a.day)
+       |SELECT CAST(day AS BIGINT) AS epoch_day, count(*) AS window_days,
+       | CAST(list_sort(list(x))[CAST((count(*) + 1) // 2 AS INT)] AS BIGINT)
+       |  AS median7
+       |FROM p GROUP BY day ORDER BY epoch_day""".stripMargin
+
+  /** Duplicate-event audit — the at-least-once-delivery smell test: an
+    * event is a duplicate SUSPECT when the same user emits the same type
+    * with the IDENTICAL value within one second of the previous one
+    * (null-safe value equality, so null-valued repeats count too). One
+    * user/type-keyed window pass, |types| output rows.
+    */
+  def duplicateEventAudit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("events"),
+        sum(when(col("prev_ts").isNotNull &&
+            col("ts_us") - col("prev_ts") <= 1000000L &&
+            col("value") <=> col("prev_v"), 1L).otherwise(0L))
+          .as("dup_suspects"))
+      .select(col("event_type"), col("events"), col("dup_suspects"),
+        expr("(1000 * dup_suspects) div events").as("dup_permille"))
+      .orderBy("event_type")
+  }
+
+  def duplicateEventOracleSql(): String =
+    """WITH g AS (
+      | SELECT event_type, value, epoch_us(ts) AS t,
+      |  lag(epoch_us(ts)) OVER w AS prev_t,
+      |  lag(value) OVER w AS prev_v
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id, event_type
+      |  ORDER BY epoch_us(ts), event_id))
+      |SELECT event_type, count(*) AS events,
+      | CAST(sum(CASE WHEN prev_t IS NOT NULL AND t - prev_t <= 1000000
+      |  AND value IS NOT DISTINCT FROM prev_v THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS dup_suspects,
+      | CAST((1000 * sum(CASE WHEN prev_t IS NOT NULL AND t - prev_t <= 1000000
+      |  AND value IS NOT DISTINCT FROM prev_v THEN 1 ELSE 0 END)) // count(*)
+      |  AS BIGINT) AS dup_permille
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Change-point (two-sided CUSUM) drift detection over the zero-filled
     * daily event-count spine: cumulative milli-deviations from the global
     * daily mean, flagging days where |CUSUM| exceeds 5% of total event

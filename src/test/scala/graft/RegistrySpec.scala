@@ -31,11 +31,13 @@ class RegistrySpec extends AnyFunSuite {
     // (iterative fit, not oracle-SQL-expressible) plus the converged
     // iterative modes (data-dependent round counts; their fixed-iteration
     // twins are the oracle entries, and converged-vs-fixed agreement is
-    // pinned by GraphSpec/PipelineOpsSpec).
+    // pinned by GraphSpec/PipelineOpsSpec) plus the Borůvka forest
+    // (iterative; pinned against serial Kruskal in GraphSpec).
     assert(
       noOracle == Set(
         "kmeans_sizes", "kmeans_centroids", "ann_ivf_topk", "ann_recall_ivf",
-        "pagerank_conv", "components_conv", "kcore_conv", "clusters_conv"),
+        "pagerank_conv", "components_conv", "kcore_conv", "clusters_conv",
+        "mst_forest"),
       s"missing oracles: $noOracle")
   }
 

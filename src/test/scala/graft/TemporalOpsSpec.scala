@@ -132,6 +132,50 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling 7-day median matches a serial replay") {
+    val byDay = events.groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val days = (byDay.keys.min to byDay.keys.max).toSeq
+    val want = days.map { d =>
+      val win = days.filter(b => b >= d - 6 && b <= d)
+        .map(b => byDay.getOrElse(b, 0L)).sorted
+      d -> (win.length.toLong, win((win.length + 1) / 2 - 1))
+    }.toMap
+    val got = TemporalOps.rollingMedian7d(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("duplicate-event audit conserves events and flags planted dup") {
+    val rows = TemporalOps.duplicateEventAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == nEvents)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == 1000L * r.getLong(2) / r.getLong(1))
+    }
+    // Differential on a tiny synthetic frame with one planted duplicate
+    // (same user/type/value 0.5 s apart) and one near-miss (value differs).
+    import spark.implicits._
+    val t0 = 1700000000000000L
+    val df = Seq(
+      (1L, t0, 7L, "click", Some(1.5)),
+      (2L, t0 + 500000L, 7L, "click", Some(1.5)),      // dup suspect
+      (3L, t0 + 1000000L, 7L, "click", Some(2.0)),     // value differs
+      (4L, t0 + 600000000L, 7L, "click", Some(1.5)))   // too far apart
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    val suspects = df
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .filter(col("prev_ts").isNotNull &&
+        col("ts_us") - col("prev_ts") <= 1000000L &&
+        col("value") <=> col("prev_v"))
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(suspects == Seq(2L))
+  }
+
   test("acf daily matches a serial replay and is bounded by 1") {
     val rows = TemporalOps.acfDaily(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
