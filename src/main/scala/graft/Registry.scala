@@ -1087,6 +1087,21 @@ object Registry {
     q("event_dupes", TemporalOps.duplicateEventOracleSql())(
       TemporalOps.duplicateEventAudit),
 
+    // Session-length distribution under the 30-min-gap rule (duration
+    // and events-per-session P50/P90/P99 off collapsed value grids).
+    q("session_length_quantiles", ReconOps.sessionLengthOracleSql())(
+      (s, d) => ReconOps.sessionLengthQuantiles(s, d)),
+
+    // Heavy-user concentration: exact top-1% membership by rank, share
+    // of total events in ppm.
+    q("heavy_user_share", StatsOps.HeavyUserShareOracleSql)(
+      StatsOps.heavyUserShare),
+
+    // Cross-source near-duplication matrix (exact Jaccard pairs rolled
+    // to source×source cells — mixture-level contamination readout).
+    q("dedup_source_matrix", MinHashOps.DedupSourceMatrixOracleSql)(
+      (s, d) => MinHashOps.dedupSourceMatrix(s, d)),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

@@ -323,6 +323,57 @@ object MinHashOps {
   def dedupSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
     sortedNeighborhoodPairs(Tables.documents(s, dir))
 
+  /** Cross-source near-duplication matrix: the exact n-gram-Jaccard
+    * pairs ([[ngramJaccardPairs]]) rolled up to (source, source) cells —
+    * the mixture-level contamination readout a curation pipeline reads
+    * before weighting sources (heavy off-diagonal mass means two feeds
+    * re-serve the same content and their quotas double-count). Pair
+    * volume is the dedup pair set, so the rollup rides two dimension
+    * joins and a &#124;sources&#124;²-bounded aggregate.
+    */
+  def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    ngramJaccardPairs(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard_milli"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("pairs"),
+        expr("sum(jaccard_milli) div count(*)").as("avg_jaccard_milli"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val DedupSourceMatrixOracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |sh AS (
+      | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+      |  END AS shingles
+      | FROM tok),
+      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |cand AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |j AS (
+      | SELECT c.doc_a, c.doc_b,
+      |  (1000 * len(list_intersect(x.shingles, y.shingles)))
+      |   // len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard_milli
+      | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id),
+      |p AS (
+      | SELECT least(da.source, db.source) AS source_a,
+      |  greatest(da.source, db.source) AS source_b, jaccard_milli
+      | FROM j JOIN documents da ON j.doc_a = da.doc_id
+      |  JOIN documents db ON j.doc_b = db.doc_id
+      | WHERE jaccard_milli >= 600)
+      |SELECT source_a, source_b, count(*) AS pairs,
+      | CAST(sum(jaccard_milli) // count(*) AS BIGINT) AS avg_jaccard_milli
+      |FROM p GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   /** Native per-lang row_number + rank-distance join + list-based Jaccard
     * — independent formulations of all three stages.
     */

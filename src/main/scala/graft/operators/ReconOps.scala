@@ -162,6 +162,104 @@ object ReconOps {
        |  AS BIGINT) AS bounce_milli
        |FROM ses GROUP BY entry_type ORDER BY entry_type""".stripMargin
 
+  /** Session-length distribution under the same 30-minute-gap rule as
+    * [[bounceRate]]: P50/P90/P99 of session duration (whole seconds)
+    * and of events-per-session, via the histogram rank-select grid —
+    * sessions collapse to (duration-second × count) cells, so the
+    * quantile walk is metadata-sized however many sessions exist. One
+    * user-keyed window exchange, one summary row.
+    */
+  def sessionLengthQuantiles(
+      s: SparkSession,
+      dir: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = Tables.events(s, dir)
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap_us").isNull ||
+          col("gap_us") >= gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(ts_us) - min(ts_us)) div 1000000").as("dur_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def quantileOf(measure: String): DataFrame = {
+      val hist = sessions.groupBy(col(measure).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // The partition-less windows here run over the collapsed value
+      // grid (distinct durations / distinct event counts), not sessions.
+      hist
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("cnt", sum("c").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .withColumn("p", explode(array(lit(500), lit(900), lit(990))))
+        .filter(col("cum") >= expr("greatest((p * cnt + 999) div 1000, 1)"))
+        .groupBy(lit(1).as("k"))
+        .pivot("p", Seq("500", "900", "990"))
+        .agg(min("v"))
+    }
+    val totals = sessions.agg(count(lit(1)).as("sessions"),
+      sum("n_events").as("events"))
+    val dq = quantileOf("dur_s")
+      .select(col("k"), col("500").as("p500_dur_s"),
+        col("900").as("p900_dur_s"), col("990").as("p990_dur_s"))
+    val eq = quantileOf("n_events")
+      .select(col("k"), col("500").as("p500_events"),
+        col("900").as("p900_events"), col("990").as("p990_events"))
+    totals.crossJoin(broadcast(dq)).crossJoin(broadcast(eq))
+      .select(col("sessions"), col("events"),
+        col("p500_dur_s"), col("p900_dur_s"), col("p990_dur_s"),
+        col("p500_events"), col("p900_events"), col("p990_events"))
+  }
+
+  def sessionLengthOracleSql(gapSeconds: Long = 1800L): String = {
+    def qArm(measure: String, out: String): String =
+      s"""(SELECT
+         | max(CASE WHEN p = 500 THEN q END) AS p500_$out,
+         | max(CASE WHEN p = 900 THEN q END) AS p900_$out,
+         | max(CASE WHEN p = 990 THEN q END) AS p990_$out
+         |FROM (
+         | SELECT p, min(v) AS q FROM (
+         |  SELECT $measure AS v,
+         |   sum(count(*)) OVER (ORDER BY $measure) AS cum,
+         |   sum(count(*)) OVER () AS cnt
+         |  FROM ses GROUP BY $measure) g
+         | CROSS JOIN (VALUES (500), (900), (990)) pr(p)
+         | WHERE cum >= greatest((p * cnt + 999) // 1000, 1)
+         | GROUP BY p))""".stripMargin
+    s"""WITH e AS (
+       | SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+       |g AS (
+       | SELECT *, CASE WHEN t - lag(t) OVER w IS NULL
+       |   OR t - lag(t) OVER w >= ${gapSeconds * 1000000L} THEN 1 ELSE 0 END
+       |  AS new_session
+       | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |sid AS (
+       | SELECT *, sum(new_session) OVER (PARTITION BY user_id
+       |  ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+       | FROM g),
+       |ses AS (
+       | SELECT user_id, session_id, count(*) AS n_events,
+       |  (max(t) - min(t)) // 1000000 AS dur_s
+       | FROM sid GROUP BY 1, 2),
+       |t AS (SELECT count(*) AS sessions, sum(n_events) AS events FROM ses)
+       |SELECT CAST(sessions AS BIGINT) AS sessions,
+       | CAST(events AS BIGINT) AS events,
+       | CAST(p500_dur AS BIGINT) AS p500_dur_s,
+       | CAST(p900_dur AS BIGINT) AS p900_dur_s,
+       | CAST(p990_dur AS BIGINT) AS p990_dur_s,
+       | CAST(p500_ev AS BIGINT) AS p500_events,
+       | CAST(p900_ev AS BIGINT) AS p900_events,
+       | CAST(p990_ev AS BIGINT) AS p990_events
+       |FROM t, ${qArm("dur_s", "dur")} dq, ${qArm("n_events", "ev")} eq""".stripMargin
+  }
+
   val LatencyQuantilesPermille: Seq[Int] = Seq(500, 900, 990)
 
   /** Fulfillment-latency SLA per order priority: whole-day ship lag

@@ -286,6 +286,51 @@ object StatsOps {
        | CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_fp2
        |FROM g ORDER BY dim""".stripMargin
 
+  /** Heavy-user concentration — "what share of traffic do the top 1% of
+    * users generate", the one-line skew summary next to `key_gini`'s
+    * full curve. Top-k membership is EXACT: users rank by (count,
+    * user_id) through [[RankOps.withHierarchicalRank]] (bucket-parallel,
+    * no single-partition window), k = max(users/100, 1), and the rollup
+    * is one integer aggregate against the broadcast totals row.
+    */
+  def heavyUserShare(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = u.agg(count(lit(1)).as("users"), sum("cnt").as("events"))
+    RankOps.withHierarchicalRank(u, Seq.empty, "cnt", "user_id",
+        "cnt div 16", "rk")
+      .crossJoin(broadcast(totals))
+      .withColumn("k", expr("greatest(users div 100, 1)"))
+      .agg(
+        max("users").as("users"),
+        max("events").as("events"),
+        max("k").as("top_users"),
+        sum(when(col("rk") > col("users") - col("k"), col("cnt"))
+          .otherwise(0L)).as("top_events"))
+      .select(col("users"), col("events"), col("top_users"),
+        col("top_events"),
+        expr("(1000000 * top_events) div events").as("top_share_ppm"))
+  }
+
+  val HeavyUserShareOracleSql: String =
+    """WITH u AS (
+      | SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      |t AS (
+      | SELECT count(*) AS users, sum(cnt) AS events,
+      |  greatest(count(*) // 100, 1) AS k
+      | FROM u),
+      |r AS (
+      | SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk FROM u)
+      |SELECT (SELECT users FROM t) AS users,
+      | CAST((SELECT events FROM t) AS BIGINT) AS events,
+      | CAST((SELECT k FROM t) AS BIGINT) AS top_users,
+      | CAST(sum(CASE WHEN rk > (SELECT users FROM t) - (SELECT k FROM t)
+      |  THEN cnt ELSE 0 END) AS BIGINT) AS top_events,
+      | CAST((1000000 * sum(CASE WHEN rk > (SELECT users FROM t) -
+      |  (SELECT k FROM t) THEN cnt ELSE 0 END))
+      |  // (SELECT events FROM t) AS BIGINT) AS top_share_ppm
+      |FROM r""".stripMargin
+
   /** Winsorized per-type value statistics — the robust mean a metrics
     * pipeline reports when raw means are hostage to tail spikes: each
     * type's values clip to its own exact [P5, P95] (cents fixed-point,

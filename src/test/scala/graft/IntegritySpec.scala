@@ -160,6 +160,39 @@ class IntegritySpec extends AnyFunSuite {
     }
   }
 
+  test("heavy user share matches a serial top-1% replay") {
+    val counts = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val users = counts.length.toLong
+    val events = counts.map(_._2).sum
+    val k = math.max(users / 100, 1L)
+    val top = counts.sortBy { case (u, c) => (c, u) }.takeRight(k.toInt)
+    val r = operators.StatsOps.heavyUserShare(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (users, events, k, top.map(_._2).sum))
+    assert(r.getLong(4) == 1000000L * top.map(_._2).sum / events)
+  }
+
+  test("dedup source matrix conserves the exact pair count") {
+    val pairs = operators.MinHashOps.dedupNgram(spark, sf).count()
+    val rows = operators.MinHashOps.dedupSourceMatrix(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == pairs)
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1)) // canonical orientation
+      assert(r.getLong(3) >= 600L && r.getLong(3) <= 1000L)
+    }
+  }
+
+  test("session length quantiles are ordered and conserve events") {
+    val r = operators.ReconOps.sessionLengthQuantiles(spark, sf)
+      .collect().head
+    val nEvents = Tables.events(spark, sf).count()
+    assert(r.getLong(1) == nEvents)
+    assert(r.getLong(0) >= 1L && r.getLong(0) <= nEvents)
+    assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    assert(r.getLong(5) <= r.getLong(6) && r.getLong(6) <= r.getLong(7))
+  }
+
   test("charset profile conserves characters and shares sum to ~1000") {
     val rows = operators.TextOps.charsetProfile(spark, sf).collect()
     val docTotals = Tables.documents(spark, sf)
