@@ -1102,6 +1102,18 @@ object Registry {
     q("dedup_source_matrix", MinHashOps.DedupSourceMatrixOracleSql)(
       (s, d) => MinHashOps.dedupSourceMatrix(s, d)),
 
+    // Batch twin of the streaming anomaly detector: per-day integer
+    // z-verdicts against strictly-prior history (spec pins batch ==
+    // streaming algebra).
+    q("anomaly_days", TemporalOps.anomalyDaysOracleSql())(
+      TemporalOps.anomalyDays),
+
+    // Ranked conjunctive keyword retrieval over the tf·idf index
+    // (AND semantics, summed exact-integer scores, hierarchical-rank
+    // top-10 per query).
+    q("keyword_search", TfIdfOps.keywordSearchOracleSql())(
+      (s, d) => TfIdfOps.keywordSearch(s, d)),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

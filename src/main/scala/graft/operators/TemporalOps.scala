@@ -368,6 +368,66 @@ object TemporalOps {
       |  AS BIGINT) AS dup_permille
       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-day volume anomaly verdicts — the BATCH twin of
+    * [[graft.streaming.StreamingAnomaly]], byte-for-byte the same
+    * integer z-test: day `d` with count `c` is anomalous against the
+    * moments of STRICTLY PRIOR days `(k, S, SS)` iff `k ≥ 5` and
+    * `(c·k − S)² > 9·(k·SS − S²)`. The running moments are expanding
+    * window sums over the dense day spine (metadata-sized, the
+    * [[driftCusum]] precedent); all products run in DECIMAL(38,0) so
+    * 1e9-event days stay exact. The spec replays the SAME
+    * `StreamingAnomaly.isAnomalous` over the day sequence — batch and
+    * streaming verdicts are pinned identical, not merely similar.
+    */
+  def anomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = daySpine(ev)
+      .join(ev.groupBy(expr(s"ts_us div $DayUs").as("day"))
+          .agg(count(lit(1)).as("x")),
+        Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val prior = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("k", coalesce(count("x").over(prior), lit(0L)))
+      .withColumn("s", coalesce(
+        sum(col("x").cast("decimal(38,0)")).over(prior),
+        lit(0L).cast("decimal(38,0)")))
+      .withColumn("ss", coalesce(
+        sum((col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)"))
+          .over(prior),
+        lit(0L).cast("decimal(38,0)")))
+      .select(col("day").as("epoch_day"), col("x").as("cnt"),
+        col("k").as("windows_seen"),
+        when(col("k") >= 5L &&
+          (col("x") * col("k") - col("s")) * (col("x") * col("k") - col("s"))
+            > lit(9L) * (col("k") * col("ss") - col("s") * col("s")),
+          1L).otherwise(0L).as("anomaly"))
+      .orderBy("epoch_day")
+  }
+
+  def anomalyDaysOracleSql(): String =
+    s"""WITH e AS (SELECT epoch_us(ts) // $DayUs AS day FROM events),
+       |spine AS (
+       | SELECT unnest(generate_series(mn, mx)) AS day
+       | FROM (SELECT min(day) AS mn, max(day) AS mx FROM e)),
+       |xs AS (
+       | SELECT s.day, coalesce(c.x, 0) AS x
+       | FROM spine s LEFT JOIN (
+       |  SELECT day, count(*) AS x FROM e GROUP BY day) c USING (day)),
+       |m AS (
+       | SELECT day, x,
+       |  coalesce(count(x) OVER w, 0) AS k,
+       |  coalesce(sum(x) OVER w, 0) AS s,
+       |  coalesce(sum(x * x) OVER w, 0) AS ss
+       | FROM xs WINDOW w AS (ORDER BY day
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT CAST(day AS BIGINT) AS epoch_day, CAST(x AS BIGINT) AS cnt,
+       | CAST(k AS BIGINT) AS windows_seen,
+       | CAST(CASE WHEN k >= 5 AND (x*k - s) * (x*k - s) > 9 * (k*ss - s*s)
+       |  THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+       |FROM m ORDER BY epoch_day""".stripMargin
+
   /** Change-point (two-sided CUSUM) drift detection over the zero-filled
     * daily event-count spine: cumulative milli-deviations from the global
     * daily mean, flagging days where |CUSUM| exceeds 5% of total event

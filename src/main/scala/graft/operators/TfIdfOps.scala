@@ -76,4 +76,93 @@ object TfIdfOps {
        | FROM sc)
        |SELECT doc_id, rank, token, tf, df, tfidf_milli
        |FROM r WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
+  /** Fixed benchmark query set for [[keywordSearch]] — AND-semantics
+    * multi-term queries over the corpus vocabulary (mixed common/rare
+    * terms so both the df weighting and the conjunction filter work).
+    */
+  val QuerySet: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("scan", "filter"),
+    2L -> Seq("join", "merge", "sort"),
+    3L -> Seq("window", "agg"))
+
+  /** Ranked keyword retrieval — the search-engine primitive on top of
+    * the same exact-integer tf·idf contract as [[tfidfTopTerms]]:
+    * a document matches a query iff it contains ALL its terms
+    * (conjunctive semantics), scored by the summed per-term
+    * `tfidf_milli`, top-`k` per query by (score desc, doc_id asc).
+    *
+    * Scale shape: the (doc, token) index and df table are the SAME
+    * frames the extraction op builds (one corpus shuffle); the query
+    * list is a literal broadcast; and the per-query top-k avoids a
+    * per-query sort of all matching docs via the hierarchical rank —
+    * ranking work is bucket-parallel even when a common-term query
+    * matches half the corpus. Ties on doc_id rank ascending via the
+    * negated-id tie column (the oracle mirrors with `doc_id ASC`).
+    */
+  def keywordSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("doc_tokens"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val queries = {
+      import s.implicits._
+      QuerySet.flatMap { case (qid, ts) => ts.map(t => (qid, t, ts.length.toLong)) }
+        .toDF("qid", "token", "n_terms")
+    }
+    val scored = tf
+      .join(broadcast(queries), Seq("token"))
+      .join(docLen, Seq("doc_id"))
+      .join(df, Seq("token"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("matched"),
+        max("n_terms").as("n_terms"),
+        sum(expr(s"(1000 * tf * ${n}L) div (df * doc_tokens)")).as("score_milli"))
+      .filter(col("matched") === col("n_terms"))
+      .withColumn("neg_id", -col("doc_id"))
+    val cnts = scored.groupBy("qid").agg(count(lit(1)).as("cnt"))
+    RankOps.withHierarchicalRank(scored, Seq("qid"), "score_milli", "neg_id",
+        "score_milli div 64", "rk")
+      .join(broadcast(cnts), Seq("qid"))
+      .filter(col("rk") > col("cnt") - k)
+      .select(col("qid"), (col("cnt") - col("rk") + 1).as("rank"),
+        col("doc_id"), col("score_milli"), col("cnt").as("matching_docs"))
+      .orderBy("qid", "rank")
+  }
+
+  def keywordSearchOracleSql(k: Int = 10): String = {
+    val qvals = QuerySet
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t', ${ts.length})") }
+      .mkString(", ")
+    s"""WITH x AS (
+       | SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+       | FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM x GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_tokens FROM tf GROUP BY 1),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |q(qid, token, n_terms) AS (VALUES $qvals),
+       |sc AS (
+       | SELECT q.qid, tf.doc_id, count(*) AS matched, max(q.n_terms) AS n_terms,
+       |  sum((1000 * tf.tf * n.n) // (df.df * dl.doc_tokens)) AS score_milli
+       | FROM tf JOIN q ON tf.token = q.token
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN df ON tf.token = df.token CROSS JOIN n
+       | GROUP BY 1, 2),
+       |m AS (SELECT * FROM sc WHERE matched = n_terms),
+       |c AS (SELECT qid, count(*) AS matching_docs FROM m GROUP BY qid),
+       |r AS (
+       | SELECT qid, doc_id, CAST(score_milli AS BIGINT) AS score_milli,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |   ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+       | FROM m)
+       |SELECT CAST(r.qid AS BIGINT) AS qid, rank, doc_id, score_milli,
+       | CAST(c.matching_docs AS BIGINT) AS matching_docs
+       |FROM r JOIN c ON r.qid = c.qid
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
 }

@@ -176,6 +176,41 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(suspects == Seq(2L))
   }
 
+  test("anomaly_days verdicts equal the streaming isAnomalous algebra") {
+    val rows = TemporalOps.anomalyDays(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var (k, s_, ss) = (0L, 0L, 0L)
+    rows.sortBy(_._1).foreach { case (day, c, seen, flag) =>
+      assert(seen == k, s"day $day history count")
+      val want = graft.streaming.StreamingAnomaly.isAnomalous(c, k, s_, ss)
+      assert(flag == (if (want) 1L else 0L),
+        s"day $day batch verdict diverges from streaming algebra")
+      k += 1; s_ += c; ss += c * c
+    }
+  }
+
+  test("keyword search: conjunctive semantics and contiguous ranks") {
+    val byDoc = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split("\\s+").filter(_.nonEmpty).toSet).toMap
+    val rows = graft.operators.TfIdfOps.keywordSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val terms = graft.operators.TfIdfOps.QuerySet.toMap
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length))
+      g.foreach { case (_, _, doc, score) =>
+        assert(terms(qid).forall(byDoc(doc).contains),
+          s"doc $doc missing a term of query $qid")
+        assert(score > 0L)
+      }
+      // Scores are non-increasing with rank.
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("acf daily matches a serial replay and is bounded by 1") {
     val rows = TemporalOps.acfDaily(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
