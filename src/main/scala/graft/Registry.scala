@@ -1129,6 +1129,12 @@ object Registry {
     q("range_boundaries", LayoutOps.RangeBoundariesOracleSql)(
       (s, d) => LayoutOps.rangeBoundaries(s, d)),
 
+    // Hilbert-curve file plan: the locality-preserving sibling of
+    // zorder_plan (consecutive cells always grid neighbors — tighter
+    // per-file min/max boxes); unrolled integer per-level fold.
+    q("hilbert_plan", LayoutOps.hilbertOracleSql())(
+      (s, d) => LayoutOps.hilbertPlan(s, d)),
+
     // Zone-map (file footer min/max) pruning audit: ingest-ordered vs
     // date-sorted simulated file layouts against a one-month predicate —
     // the data-skipping half of the layout story next to zorder_plan.

@@ -90,6 +90,112 @@ object LayoutOps {
        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
   }
 
+  /** Adds `hd` = Hilbert-curve distance of (`xCol`, `yCol`) on the
+    * 2^bits × 2^bits grid — the classic per-bit-level fold (mask the
+    * level bit, accumulate `s²·((3·rx) xor ry)`, reflect-and-swap when
+    * ry = 0), unrolled as `bits` Column-expression steps so the whole
+    * transform stays inside whole-stage codegen. Pure integer ops —
+    * bit-identical in any engine; the oracle unrolls the SAME levels as
+    * chained CTEs, and the SPEC carries the independent proof: on the
+    * full small grid the index is a bijection whose consecutive cells
+    * are Manhattan-distance-1 neighbors — the locality property
+    * z-order's interleave does NOT have (its jumps are what Hilbert
+    * layout fixes).
+    */
+  def withHilbertIndex(
+      df: DataFrame, xCol: String, yCol: String, bits: Int): DataFrame = {
+    val n = 1L << bits
+    var out = df.withColumn("hx", col(xCol)).withColumn("hy", col(yCol))
+      .withColumn("hd", lit(0L))
+    var s = n / 2
+    while (s > 0) {
+      out = out
+        .withColumn("rx", expr(s"CASE WHEN (hx & ${s}L) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("ry", expr(s"CASE WHEN (hy & ${s}L) > 0 THEN 1L ELSE 0L END"))
+        .withColumn("hd", expr(s"hd + ${s * s}L * ((3L * rx) ^ ry)"))
+        .withColumn("nhx", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1}L - hy ELSE hy END) ELSE hx END"))
+        .withColumn("nhy", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1}L - hx ELSE hx END) ELSE hy END"))
+        .drop("hx", "hy", "rx", "ry")
+        .withColumnRenamed("nhx", "hx")
+        .withColumnRenamed("nhy", "hy")
+      s /= 2
+    }
+    out.drop("hx", "hy")
+  }
+
+  /** Hilbert-curve file plan — the locality-preserving sibling of
+    * [[zorderPlan]] over the same (l_partkey, l_suppkey) grid: same
+    * range-normalized bucketing, same equal-width file cut, but cells
+    * assigned along the Hilbert walk, whose consecutive cells are
+    * always grid neighbors (no Z jumps), so per-file min/max boxes are
+    * tighter and zone-map pruning sharper. Emitted per file: row count
+    * and both key ranges — directly comparable row-for-row with the
+    * z-order plan's output.
+    */
+  def hilbertPlan(
+      s: SparkSession,
+      dir: String,
+      bits: Int = DefaultBits,
+      files: Int = DefaultFiles): DataFrame = {
+    val m = (1L << bits) - 1
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey").cast("long").as("x"),
+      col("l_suppkey").cast("long").as("y"))
+    val stats = li.agg(
+      min("x").as("xmin"), max("x").as("xmax"),
+      min("y").as("ymin"), max("y").as("ymax"))
+    val bucketed = li.crossJoin(broadcast(stats))
+      .select(
+        col("x"), col("y"),
+        expr(s"((x - xmin) * $m) div greatest(xmax - xmin, 1)").as("xb"),
+        expr(s"((y - ymin) * $m) div greatest(ymax - ymin, 1)").as("yb"))
+    withHilbertIndex(bucketed, "xb", "yb", bits)
+      .withColumn("file_id", expr(s"hd * $files div ${1L << (2 * bits)}"))
+      .groupBy("file_id")
+      .agg(
+        count(lit(1)).as("rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("file_id")
+  }
+
+  def hilbertOracleSql(
+      bits: Int = DefaultBits, files: Int = DefaultFiles): String = {
+    val m = (1L << bits) - 1
+    val n = 1L << bits
+    val levels = Iterator.iterate(n / 2)(_ / 2).takeWhile(_ > 0).toSeq
+    val ctes = levels.zipWithIndex.map { case (s, i) =>
+      s"""h${i + 1} AS (
+         | SELECT x, y, hd + ${s * s} * xor(3 * rx, ry) AS hd,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hy ELSE hy END)
+         |   ELSE hx END AS hx,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hx ELSE hx END)
+         |   ELSE hy END AS hy
+         | FROM (
+         |  SELECT *, CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |   CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM h$i) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       | SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+       | FROM lineitem),
+       |st AS (
+       | SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+       | FROM d),
+       |h0 AS (
+       | SELECT x, y, CAST(0 AS BIGINT) AS hd,
+       |  ((x - xmin) * $m) // greatest(xmax - xmin, 1) AS hx,
+       |  ((y - ymin) * $m) // greatest(ymax - ymin, 1) AS hy
+       | FROM d CROSS JOIN st),
+       |$ctes
+       |SELECT CAST(hd * $files // ${1L << (2 * bits)} AS BIGINT) AS file_id,
+       | count(*) AS rows, min(x) AS x_min, max(x) AS x_max,
+       | min(y) AS y_min, max(y) AS y_max
+       |FROM h${levels.length} GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
   /** Default context length for [[packSequences]] (tokens per training
     * sequence) and the carry-bucket width (docs per prefix-sum bucket).
     */

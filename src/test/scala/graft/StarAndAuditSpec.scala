@@ -113,4 +113,35 @@ class StarAndAuditSpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length, "duplicate pair")
     rows.foreach(r => assert(r.getLong(2) > 0))
   }
+
+  test("hilbert index is a bijection whose consecutive cells are neighbors") {
+    import spark.implicits._
+    val bits = 3
+    val n = 1 << bits
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("xb", "yb")
+    val cells = LayoutOps.withHilbertIndex(grid, "xb", "yb", bits)
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // Bijection onto 0 .. n²−1.
+    assert(cells.map(_._1).toSeq == (0L until (n.toLong * n)))
+    // THE Hilbert property: every step of the walk moves to a Manhattan-
+    // distance-1 neighbor (z-order interleave fails this at quadrant
+    // jumps — this is what distinguishes the two layouts).
+    cells.zip(cells.tail).foreach { case ((_, x1, y1), (d, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"jump at d=$d: ($x1,$y1)→($x2,$y2)")
+    }
+  }
+
+  test("hilbert file plan conserves rows and covers the same keys as zorder") {
+    val h = LayoutOps.hilbertPlan(spark, sf).collect()
+    val z = LayoutOps.zorderPlan(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(h.map(_.getLong(1)).sum == total)
+    assert(z.map(_.getLong(1)).sum == total)
+    // Same global key envelope either way.
+    assert(h.map(_.getLong(2)).min == z.map(_.getLong(2)).min)
+    assert(h.map(_.getLong(3)).max == z.map(_.getLong(3)).max)
+  }
 }
