@@ -39,4 +39,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: enough headroom that GC pressure doesn't pollute bench
   // medians at sf0.1 when the driver doesn't override SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A 184-query bench session generates thousands of whole-stage-codegen
+  // classes; the JDK17 default 240m JIT code cache silently stops
+  // compiling when full and late-run queries degrade 5-10x. Double it.
+  "-XX:ReservedCodeCacheSize=512m",
 )

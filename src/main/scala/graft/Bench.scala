@@ -120,7 +120,17 @@ object Bench {
       // every query starts from the same empty-storage state.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      System.gc() // lets the ContextCleaner reclaim dropped broadcasts
+      // Broadcast/block reclamation is GC-driven and ASYNC: the weak
+      // refs must be collected, queued, and then drained by the
+      // ContextCleaner thread. One gc() with an immediate next query
+      // leaves the drain racing that query's timed reps — measured as
+      // late-run rep blowups (a 1.5 s sssp_weighted hitting 30 s on rep
+      // 3 deep in the alphabet, clean in isolation). Two cycles with a
+      // short pause lets the queue actually drain before timing resumes.
+      System.gc()
+      Thread.sleep(200)
+      System.gc()
+      Thread.sleep(100)
       out
     }
 
