@@ -317,7 +317,11 @@ object MinHashOps {
       .select(
         least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"))
-    jaccardVerify(shingleSets(docs), cand, thresholdMilli)
+    // Persist: the verify reads the shingle frame twice (inverted index
+    // + sizes) — uncached, the corpus would tokenize twice more.
+    jaccardVerify(
+      shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK),
+      cand, thresholdMilli)
   }
 
   def dedupSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
