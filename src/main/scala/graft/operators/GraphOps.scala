@@ -1072,7 +1072,9 @@ object GraphOps {
     var edgesCur = truncate(s,
       wEdges.select(col("src").as("ca"), col("dst").as("cb"),
         col("w"), col("src"), col("dst")))
-    var mst = wEdges.select("src", "dst", "w").limit(0)
+    // Picked-edge frames accumulate here and union ONCE at the end —
+    // they are already checkpointed, so no per-round mst materialization.
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -1092,7 +1094,7 @@ object GraphOps {
             col("e.dst").as("dst"), col("e.ca").as("ca"), col("e.cb").as("cb"))
           .distinct() // the global min edge is picked from both sides
         val pickT = truncate(s, pick)
-        mst = truncate(s, mst.union(pickT.select("src", "dst", "w")))
+        picks += pickT.select("src", "dst", "w")
         // Contract the picked pseudo-forest: hash-min to convergence on
         // a |components|-sized frame (NOT the data graph).
         val ce = pickT.select(col("ca").as("u"), col("cb").as("v"))
@@ -1127,6 +1129,7 @@ object GraphOps {
             .filter(col("ca") =!= col("cb")))
       }
     }
+    val mst = picks.foldLeft(wEdges.select("src", "dst", "w").limit(0))(_ union _)
     mst.agg(count(lit(1)).as("mst_edges"),
         coalesce(sum("w"), lit(0L)).as("total_weight"))
       .select(lit(nNodes).as("nodes"), col("mst_edges"),
