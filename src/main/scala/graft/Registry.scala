@@ -1114,6 +1114,16 @@ object Registry {
     q("keyword_search", TfIdfOps.keywordSearchOracleSql())(
       (s, d) => TfIdfOps.keywordSearch(s, d)),
 
+    // Exact phrase search via a positional inverted index (adjacency
+    // semantics keyword_search can't express; list-comprehension oracle).
+    q("phrase_search", TfIdfOps.phraseSearchOracleSql())(
+      (s, d) => TfIdfOps.phraseSearch(s, d)),
+
+    // Week-over-week revenue growth over the dense week spine (exact
+    // cents, one ppm division against the prior week).
+    q("revenue_wow_growth", StarOps.WeeklyRevenueGrowthOracleSql)(
+      StarOps.weeklyRevenueGrowth),
+
     // ---- Load phase (reference: analysis/etl_spark.py:250-259) ----
     // write → read-back fidelity digest through the partitioned parquet
     // sink; the oracle computes the same digest from the original table.

@@ -157,4 +157,57 @@ object StarOps {
       |SELECT ship_ym, line_items, promo_rev_milli, total_rev_milli,
       | (promo_rev_milli * 10000) // total_rev_milli AS promo_share_bp
       |FROM m ORDER BY ship_ym""".stripMargin
+
+  private val WeekUs = 604800000000L
+
+  /** Week-over-week revenue growth — the trend line a finance dashboard
+    * leads with: orders collapse to exact integer cents per epoch week
+    * (dense spine, gap weeks are zero-revenue rows, not holes), and the
+    * growth ratio is one integer division in ppm against the previous
+    * week. The lag window walks the metadata-sized week grid only.
+    */
+  def weeklyRevenueGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(
+      expr(s"unix_micros(cast(o_orderdate as timestamp)) div $WeekUs")
+        .as("week"),
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+    val weekly = o.groupBy("week").agg(sum("cents").as("revenue_cents"))
+    val spine = weekly.agg(min("week").as("mn"), max("week").as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("week"))
+    spine.join(weekly, Seq("week"), "left")
+      .select(col("week"),
+        coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"))
+      .withColumn("prev_cents", lag("revenue_cents", 1).over(
+        Window.orderBy("week")))
+      .withColumn("growth_ppm",
+        expr("""CASE WHEN prev_cents > 0
+               | THEN ((revenue_cents - prev_cents) * 1000000) div prev_cents
+               |END""".stripMargin))
+      .orderBy("week")
+  }
+
+  val WeeklyRevenueGrowthOracleSql: String =
+    s"""WITH o AS (
+       | SELECT epoch_us(o_orderdate) // $WeekUs AS week,
+       |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       | FROM orders),
+       |w AS (SELECT week, sum(cents) AS revenue_cents FROM o GROUP BY week),
+       |spine AS (
+       | SELECT unnest(generate_series(mn, mx)) AS week
+       | FROM (SELECT min(week) AS mn, max(week) AS mx FROM w)),
+       |x AS (
+       | SELECT s.week, coalesce(w.revenue_cents, 0) AS revenue_cents
+       | FROM spine s LEFT JOIN w USING (week)),
+       |g AS (
+       | SELECT week, revenue_cents,
+       |  lag(revenue_cents) OVER (ORDER BY week) AS prev_cents
+       | FROM x)
+       |SELECT CAST(week AS BIGINT) AS week,
+       | CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       | CAST(prev_cents AS BIGINT) AS prev_cents,
+       | CAST(CASE WHEN prev_cents > 0
+       |  THEN ((revenue_cents - prev_cents) * 1000000) // prev_cents
+       |  END AS BIGINT) AS growth_ppm
+       |FROM g ORDER BY week""".stripMargin
 }

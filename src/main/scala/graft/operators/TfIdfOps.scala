@@ -165,4 +165,61 @@ object TfIdfOps {
        |FROM r JOIN c ON r.qid = c.qid
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** Fixed two-token phrases for [[phraseSearch]]. */
+  val PhraseSet: Seq[(String, String, String)] = Seq(
+    ("hash join", "hash", "join"),
+    ("merge sort", "merge", "sort"),
+    ("table scan", "table", "scan"))
+
+  /** Exact phrase search via a POSITIONAL inverted index — the retrieval
+    * primitive conjunctive [[keywordSearch]] can't express (term
+    * adjacency). Token positions explode once; both phrase terms filter
+    * against the broadcast phrase list BEFORE any join, so the position
+    * equi-join `(doc, pos+1)` runs over term-hit rows only — at 100 TB
+    * that is hits-sized, never corpus-sized. Occurrences count every
+    * adjacent pair (overlaps included — "a a a" has two "a a"s), which
+    * is exactly what the oracle's independent list-comprehension
+    * formulation counts in DuckDB.
+    */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+    val q = {
+      import s.implicits._
+      PhraseSet.toDF("phrase", "t1", "t2")
+    }
+    val firsts = toks.join(broadcast(q), col("tok") === col("t1"))
+      .select(col("phrase"), col("t2"), col("doc_id"), col("pos"))
+    val seconds = toks
+      .join(broadcast(q.select(col("t2").as("tsel")).distinct()),
+        col("tok") === col("tsel"))
+      .select(col("doc_id").as("d"), col("pos").as("p"), col("tok").as("tok2"))
+    firsts
+      .join(seconds,
+        col("doc_id") === col("d") && col("p") === col("pos") + 1 &&
+          col("tok2") === col("t2"))
+      .groupBy("phrase")
+      .agg(countDistinct("doc_id").as("matching_docs"),
+        count(lit(1)).as("occurrences"))
+      .orderBy("phrase")
+  }
+
+  def phraseSearchOracleSql(): String = {
+    val qvals = PhraseSet
+      .map { case (p, a, b) => s"('$p', '$a', '$b')" }.mkString(", ")
+    s"""WITH tok AS (
+       | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |q(phrase, t1, t2) AS (VALUES $qvals),
+       |o AS (
+       | SELECT q.phrase, t.doc_id,
+       |  len([i for i in range(1, len(toks))
+       |       if toks[i] = q.t1 and toks[i+1] = q.t2]) AS occ
+       | FROM tok t CROSS JOIN q)
+       |SELECT phrase,
+       | CAST(count(*) FILTER (WHERE occ > 0) AS BIGINT) AS matching_docs,
+       | CAST(sum(occ) AS BIGINT) AS occurrences
+       |FROM o GROUP BY phrase ORDER BY phrase""".stripMargin
+  }
 }

@@ -162,4 +162,39 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count(),
       "gap-filled counts lost or invented events")
   }
+
+  test("phrase search counts overlapping adjacencies positionally") {
+    import spark.implicits._
+    // "hash join" twice in doc 1; "hash hash join" yields ONE adjacency
+    // for (hash, join); the repeated-token case "merge sort" in
+    // "merge sort merge sort" yields two.
+    val d = Seq(
+      (1L, "x hash join y hash join z"),
+      (2L, "hash hash join"),
+      (3L, "merge sort merge sort"),
+      (4L, "table but no phrase scan here"))
+      .toDF("doc_id", "text")
+    val docsLike = d // phraseSearch reads documents(dir); test the index path
+    val toks = docsLike.select(col("doc_id"),
+      posexplode(expr("regexp_extract_all(text, '\\\\S+', 0)"))
+        .as(Seq("pos", "tok")))
+    def occ(t1: String, t2: String): Map[Long, Long] = {
+      val f = toks.filter(col("tok") === t1)
+        .select(col("doc_id"), col("pos"))
+      val g = toks.filter(col("tok") === t2)
+        .select(col("doc_id").as("d"), (col("pos") - 1).as("p"))
+      f.join(g, f("doc_id") === g("d") && f("pos") === g("p"))
+        .groupBy(f("doc_id")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(occ("hash", "join") == Map(1L -> 2L, 2L -> 1L))
+    assert(occ("merge", "sort") == Map(3L -> 2L))
+    // The registered query over the corpus: occurrences ≥ matching docs,
+    // and every fixed phrase actually occurs in the synthetic corpus.
+    val rows = TfIdfOps.phraseSearch(spark, sf).collect()
+    assert(rows.length == TfIdfOps.PhraseSet.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L && r.getLong(2) >= r.getLong(1))
+    }
+  }
 }

@@ -134,6 +134,21 @@ class StarAndAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("weekly revenue growth: dense spine, cents conserved, ppm exact") {
+    val rows = StarOps.weeklyRevenueGrowth(spark, sf).collect()
+    val weeks = rows.map(_.getLong(0))
+    assert(weeks.zip(weeks.tail).forall { case (a, b) => b == a + 1 })
+    val totalCents = Tables.orders(spark, sf)
+      .select(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_.getLong(1)).sum == totalCents)
+    rows.foreach { r =>
+      if (!r.isNullAt(2) && r.getLong(2) > 0L)
+        assert(r.getLong(3) ==
+          (r.getLong(1) - r.getLong(2)) * 1000000L / r.getLong(2))
+    }
+  }
+
   test("hilbert file plan conserves rows and covers the same keys as zorder") {
     val h = LayoutOps.hilbertPlan(spark, sf).collect()
     val z = LayoutOps.zorderPlan(spark, sf).collect()
