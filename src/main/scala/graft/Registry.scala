@@ -892,6 +892,12 @@ object Registry {
     // with data-dependent round count — rows-only like the _conv modes.
     rowsOnly("mst_forest")((s, d) => GraphOps.boruvkaMsf(s, d)),
 
+    // Top-2 embedding principal components: exact integer moment sums
+    // (one corpus pass, typed Aggregator), driver-sized 64×64 power
+    // iteration — eigensolve not SQL-expressible, rows-only; AnnSpec
+    // pins the eigen identities.
+    rowsOnly("embedding_pca")(PcaOps.embeddingPca),
+
     // ---- Catalog profiling + cohort survival (ProfileOps) ----
     // Per-column stats row via ONE scan (Expand'd exact distincts +
     // stack fan-out) vs per-column UNION ALL scans in the oracle.

@@ -97,6 +97,43 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding PCA satisfies the eigen identities on the exact covariance") {
+    import graft.operators.PcaOps
+    val rows = PcaOps.embeddingPca(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 2 * PcaOps.Dims)
+    val v1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3 / 1e6)
+    val v2 = rows.filter(_._1 == 2L).sortBy(_._2).map(_._3 / 1e6)
+    val l1 = rows.find(_._1 == 1L).get._4.toDouble
+    val l2 = rows.find(_._1 == 2L).get._4.toDouble
+    // Unit vectors, dominant first, near-orthogonal.
+    assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-3)
+    assert(math.abs(v2.map(x => x * x).sum - 1.0) < 1e-3)
+    assert(l1 >= l2 && l2 >= 0.0)
+    assert(math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) < 1e-2)
+    // Serial covariance replay: C v1 ≈ λ1 v1 (relative residual small).
+    val vecs = Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(f =>
+        math.floor(f.toDouble * 1e6 + 0.5)))
+    val n = vecs.length.toDouble
+    val d = PcaOps.Dims
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+    }
+    val cv = Array.tabulate(d)(i =>
+      (0 until d).map(j => cov(i)(j) * v1(j)).sum)
+    val resid = math.sqrt(cv.zip(v1).map { case (a, b) =>
+      val e = a - l1 * b; e * e
+    }.sum) / l1
+    assert(resid < 0.05, s"eigen residual $resid")
+    // Determinism across runs.
+    val again = PcaOps.embeddingPca(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("embedding norm and per-dim audits match a serial replay") {
     import graft.operators.StatsOps
     val vecs = Tables.embeddings(spark, sf)

@@ -32,12 +32,13 @@ class RegistrySpec extends AnyFunSuite {
     // iterative modes (data-dependent round counts; their fixed-iteration
     // twins are the oracle entries, and converged-vs-fixed agreement is
     // pinned by GraphSpec/PipelineOpsSpec) plus the Borůvka forest
-    // (iterative; pinned against serial Kruskal in GraphSpec).
+    // (iterative; pinned against serial Kruskal in GraphSpec) and the
+    // PCA eigensolve (pinned by eigen identities in AnnSpec).
     assert(
       noOracle == Set(
         "kmeans_sizes", "kmeans_centroids", "ann_ivf_topk", "ann_recall_ivf",
         "pagerank_conv", "components_conv", "kcore_conv", "clusters_conv",
-        "mst_forest"),
+        "mst_forest", "embedding_pca"),
       s"missing oracles: $noOracle")
   }
 
