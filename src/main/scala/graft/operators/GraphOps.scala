@@ -1048,14 +1048,17 @@ object GraphOps {
     *
     * Round shape, all data-parallel: every component picks its minimum
     * incident edge (edge-frame union + one component-keyed min of a
-    * struct — map-side combined); the picked component graph (≤
-    * |components| edges, a pseudo-forest) contracts by hash-min label
-    * propagation to convergence (inner loop over a frame that HALVES
-    * per outer round — Borůvka's invariant); surviving edges relabel
-    * through the broadcast-sized mapping and drop intra-component rows.
-    * ≥ half the components merge per round, so 12 rounds cover 4000×
-    * today's node count; every per-round frame is checkpointed and the
-    * loop exits on a scalar zero-cross-edge count.
+    * struct — map-side combined). The picked graph is a functional
+    * pseudo-forest (out-degree exactly 1 per component), and with the
+    * strict total order on edges each merged group contains exactly one
+    * cycle, a 2-cycle on its globally-minimal edge — so contraction is
+    * pointer jumping: break each 2-cycle at its smaller endpoint (the
+    * root), then square the parent pointer to a fixed point in
+    * O(log depth) self-joins of a |components|-sized frame (NOT the
+    * data graph). Surviving edges relabel through the root mapping and
+    * drop intra-component rows. ≥ half the components merge per round,
+    * so 12 rounds cover 4000× today's node count; every per-round frame
+    * is checkpointed and the loop exits on a scalar zero-edge check.
     */
   def boruvkaMsf(s: SparkSession, dir: String, maxRounds: Int = 12): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
@@ -1090,36 +1093,40 @@ object GraphOps {
           .groupBy("comp")
           .agg(min(struct(col("w"), col("src"), col("dst"), col("ca"),
             col("cb"))).as("e"))
-          .select(col("e.w").as("w"), col("e.src").as("src"),
+          .select(col("comp"), col("e.w").as("w"), col("e.src").as("src"),
             col("e.dst").as("dst"), col("e.ca").as("ca"), col("e.cb").as("cb"))
-          .distinct() // the global min edge is picked from both sides
         val pickT = truncate(s, pick)
-        picks += pickT.select("src", "dst", "w")
-        // Contract the picked pseudo-forest: hash-min to convergence on
-        // a |components|-sized frame (NOT the data graph).
-        val ce = pickT.select(col("ca").as("u"), col("cb").as("v"))
-        val ceSym = ce.union(ce.select(col("v").as("u"), col("u").as("v")))
-        var lbl = truncate(s,
-          ceSym.select(col("u").as("node")).distinct()
-            .withColumn("label", col("node")))
-        var changed = 1L
+        // The global min edge of a group is picked from both sides.
+        picks += pickT.select("src", "dst", "w").distinct()
+        // Contract: parent(c) = the other endpoint of c's picked edge.
+        // Break the unique 2-cycle per group at its smaller endpoint,
+        // then pointer-jump (p := p∘p) to the root.
+        val ptr0 = pickT.select(col("comp").as("node"),
+          when(col("ca") === col("comp"), col("cb")).otherwise(col("ca"))
+            .as("par"))
+        val gp = ptr0.select(col("node").as("pn"), col("par").as("pp"))
+        var ptr = truncate(s,
+          ptr0.join(gp, ptr0("par") === gp("pn"), "left")
+            .select(col("node"),
+              when(col("pp") === col("node") && col("node") < col("par"),
+                col("node")).otherwise(col("par")).as("par")))
+        var moved = 1L
         var inner = 0
-        while (changed > 0 && inner < 40) {
+        while (moved > 0 && inner < 25) {
           inner += 1
-          val nbrMin = ceSym
-            .join(lbl.withColumnRenamed("node", "u"), "u")
-            .groupBy(col("v").as("node")).agg(min("label").as("nl"))
+          val j = ptr.select(col("node").as("jn"), col("par").as("jp"))
           val next = truncate(s,
-            lbl.join(nbrMin, Seq("node"), "left")
+            ptr.join(j, ptr("par") === j("jn"), "left")
               .select(col("node"),
-                least(col("label"), coalesce(col("nl"), col("label")))
-                  .as("label")))
-          changed = next.withColumnRenamed("label", "l2")
-            .join(lbl, "node").filter(col("l2") =!= col("label")).count()
-          lbl = next
+                coalesce(col("jp"), col("par")).as("par"),
+                (coalesce(col("jp"), col("par")) =!= col("par"))
+                  .cast("long").as("moved")))
+          moved = next.agg(coalesce(sum("moved"), lit(0L)).as("m"))
+            .first().getLong(0)
+          ptr = next.select("node", "par")
         }
-        val mapCa = lbl.select(col("node").as("ca"), col("label").as("nca"))
-        val mapCb = lbl.select(col("node").as("cb"), col("label").as("ncb"))
+        val mapCa = ptr.select(col("node").as("ca"), col("par").as("nca"))
+        val mapCb = ptr.select(col("node").as("cb"), col("par").as("ncb"))
         edgesCur = truncate(s,
           edgesCur.join(mapCa, Seq("ca"), "left")
             .join(mapCb, Seq("cb"), "left")
