@@ -510,7 +510,10 @@ object Registry {
       (s, d) => TextOps.spanDedup(s, d)),
 
     // Exact inverted-index n-gram Jaccard: same output contract as
-    // dedup_minhash (and the same oracle), but with no probabilistic stage.
+    // dedup_minhash, with stop-shingles above the default df cap pruned
+    // from the CANDIDATE stage only (verification keeps the full sets,
+    // so emitted values are the exact uncapped Jaccard — the oracle
+    // applies the identical cap to its candidate join).
     q("dedup_ngram",
       """WITH tok AS (
         | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
@@ -520,9 +523,13 @@ object Registry {
         |  END AS shingles
         | FROM tok),
         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+        |cap AS (SELECT greatest(16, count(*) // 100) AS cap FROM sh),
         |cand AS (
         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        | JOIN freq f ON a.s = f.s
+        | WHERE f.df <= (SELECT cap FROM cap)),
         |j AS (
         | SELECT c.doc_a, c.doc_b,
         |  (1000 * len(list_intersect(x.shingles, y.shingles)))
@@ -531,6 +538,12 @@ object Registry {
         |SELECT doc_a, doc_b, CAST(jaccard_milli AS BIGINT) AS jaccard_milli
         |FROM j WHERE jaccard_milli >= 600 ORDER BY doc_a, doc_b""".stripMargin)(
       MinHashOps.dedupNgram),
+
+    // Stop-shingle audit next to the capped dedup: how much index and
+    // candidate volume the default df cap removes (the quadratic-bomb
+    // meter for template-heavy corpora).
+    q("ngram_stop_shingles", MinHashOps.NgramStopShinglesOracleSql)(
+      MinHashOps.ngramStopShingles),
 
     q("dedup_simhash", SimHashOps.oracleSql)(SimHashOps.dedupSimhash),
 

@@ -135,40 +135,63 @@ object MinHashOps {
     *
     * Scale notes: candidate volume is sum over shingles of C(df, 2),
     * which explodes on boilerplate at 100 TB — `dfCap` drops
-    * stop-shingles above a document-frequency cap before the pair join
-    * (each costs C(df,2) candidates while carrying almost no Jaccard
-    * evidence). The cap trades a bounded Jaccard under-count on templated
-    * pairs for candidate volume linear in real near-dup density; the
-    * registered query keeps it off so the oracle stays the exact
-    * computation.
+    * stop-shingles above a document-frequency cap from the CANDIDATE
+    * stage (each costs C(df,2) candidates while carrying almost no
+    * Jaccard evidence); verification then runs over the FULL inverted
+    * hash index restricted to those candidates, so every emitted pair
+    * carries its exact uncapped Jaccard. The cap trades only recall on
+    * pairs whose entire overlap is boilerplate (their Jaccard is
+    * template mass, not duplication) for candidate volume linear in
+    * real near-dup density — the default in [[dedupNgram]] is ON,
+    * because at 100 TB one license-header shingle is a quadratic bomb.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       thresholdMilli: Int = 600,
       dfCap: Option[Long] = None): DataFrame = {
     val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val inv = invertedIndex(sh, dfCap)
-    // Shingles are distinct per document, so the co-occurrence count IS
-    // |A∩B|, and |A∪B| = |A|+|B|-|A∩B| — the verify stage is pure
-    // aggregation over the inverted-index join; no shingle arrays are
-    // ever carried through a shuffle.
-    inv.as("a")
-      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        expr("(1000 * inter) div (na + nb - inter)").as("jaccard_milli"))
-      .filter(col("jaccard_milli") >= thresholdMilli)
-      .orderBy("doc_a", "doc_b")
+    dfCap match {
+      case Some(_) =>
+        val candidates = invertedIndex(sh, dfCap).as("a")
+          .join(invertedIndex(sh, dfCap).as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        jaccardVerify(sh, candidates, thresholdMilli)
+      case None =>
+        val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+        val inv = invertedIndex(sh, None)
+        // Shingles are distinct per document, so the co-occurrence count IS
+        // |A∩B|, and |A∪B| = |A|+|B|-|A∩B| — the verify stage is pure
+        // aggregation over the inverted-index join; no shingle arrays are
+        // ever carried through a shuffle.
+        inv.as("a")
+          .join(inv.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            expr("(1000 * inter) div (na + nb - inter)").as("jaccard_milli"))
+          .filter(col("jaccard_milli") >= thresholdMilli)
+          .orderBy("doc_a", "doc_b")
+    }
   }
 
-  def dedupNgram(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(s, dir))
+  /** The default stop-shingle cap: a shingle in more than
+    * max(16, corpus/100) documents is boilerplate, not dedup evidence.
+    * Relative to corpus size so the guard neither bites a tiny test
+    * corpus nor admits a quadratic posting list at 100 TB.
+    */
+  def defaultDfCap(nDocs: Long): Long = math.max(16L, nDocs / 100L)
+
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    ngramJaccardPairs(docs, dfCap = Some(defaultDfCap(docs.count())))
+  }
 
   /** The exploded (doc_id, shingle) index, optionally df-capped: shingles
     * appearing in more than `dfCap` documents are dropped entirely.
@@ -220,6 +243,52 @@ object MinHashOps {
       .filter(col("jaccard_milli") >= thresholdMilli)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Stop-shingle audit for the df-capped inverted index: how many
+    * distinct shingles exceed [[defaultDfCap]], how many index postings
+    * they carry, and the candidate-pair volume (Σ C(df,2)) the cap
+    * avoids — the 100 TB quadratic-bomb meter surfaced next to the
+    * dedup results so a template-heavy corpus is visible, not silent.
+    */
+  def ngramStopShingles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cap = defaultDfCap(docs.count())
+    shingleSets(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .agg(
+        count(lit(1)).as("distinct_shingles"),
+        sum(when(col("df") > cap, 1L).otherwise(0L)).as("dropped_shingles"),
+        sum(when(col("df") > cap, col("df")).otherwise(0L))
+          .as("dropped_postings"),
+        sum(when(col("df") > cap, expr("(df * (df - 1)) div 2"))
+          .otherwise(0L)).as("avoided_candidates"))
+      .select(lit(cap).as("df_cap"), col("distinct_shingles"),
+        col("dropped_shingles"), col("dropped_postings"),
+        col("avoided_candidates"))
+  }
+
+  val NgramStopShinglesOracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |sh AS (
+      | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+      |  END AS shingles
+      | FROM tok),
+      |cap AS (SELECT greatest(16, count(*) // 100) AS cap FROM sh),
+      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s)
+      |SELECT (SELECT cap FROM cap) AS df_cap,
+      | count(*) AS distinct_shingles,
+      | CAST(sum(CASE WHEN df > (SELECT cap FROM cap) THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS dropped_shingles,
+      | CAST(sum(CASE WHEN df > (SELECT cap FROM cap) THEN df ELSE 0 END) AS BIGINT)
+      |  AS dropped_postings,
+      | CAST(sum(CASE WHEN df > (SELECT cap FROM cap)
+      |  THEN (df * (df - 1)) // 2 ELSE 0 END) AS BIGINT) AS avoided_candidates
+      |FROM freq""".stripMargin
 
   /** Containment near-dup pairs — the asymmetric companion to Jaccard:
     * `containment = |A∩B| / min(|A|,|B|)` flags a short document embedded
@@ -338,7 +407,7 @@ object MinHashOps {
   def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val src = docs.select(col("doc_id"), col("source"))
-    ngramJaccardPairs(docs)
+    ngramJaccardPairs(docs, dfCap = Some(defaultDfCap(docs.count())))
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
         "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
@@ -360,9 +429,13 @@ object MinHashOps {
       |  END AS shingles
       | FROM tok),
       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+      |cap AS (SELECT greatest(16, count(*) // 100) AS cap FROM sh),
       |cand AS (
       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | JOIN freq f ON a.s = f.s
+      | WHERE f.df <= (SELECT cap FROM cap)),
       |j AS (
       | SELECT c.doc_a, c.doc_b,
       |  (1000 * len(list_intersect(x.shingles, y.shingles)))

@@ -49,12 +49,14 @@ object PcaOps {
         b(1 + i) += x(i)
         var j = i
         while (j < Dims) {
-          // Products of e6 fixed-point values: ~1e12 per cell, exact in
-          // a long until ~9e6 corpus rows per partition buffer; the
-          // merged global sums stay exact until ~9e18 — DECIMAL would be
-          // needed beyond ~10^6 average-magnitude rows ONLY if values
-          // approached the +/-1e3 range (they are unit-ish here).
-          b(t) += x(i) * x(j)
+          // Products of e6 fixed-point values: ~1e12 per cell for
+          // unit-magnitude components, so the GLOBAL sum (reduce and
+          // merge share one accumulator) hits Long range around ~9e6
+          // unit-magnitude rows. Silent wraparound would corrupt the
+          // eigensolve invisibly — addExact/multiplyExact make the
+          // capacity boundary a loud ArithmeticException instead, the
+          // signal to move this corpus to a wider accumulator.
+          b(t) = Math.addExact(b(t), Math.multiplyExact(x(i), x(j)))
           t += 1
           j += 1
         }
@@ -64,7 +66,9 @@ object PcaOps {
     }
     override def merge(a: Moments, b: Moments): Moments = {
       var i = 0
-      while (i < a.buf.length) { a.buf(i) += b.buf(i); i += 1 }
+      while (i < a.buf.length) {
+        a.buf(i) = Math.addExact(a.buf(i), b.buf(i)); i += 1
+      }
       a
     }
     override def finish(r: Moments): Moments = r

@@ -115,7 +115,11 @@ object RfmOps {
       .select(
         col("decile"), col("users"), col("value_cents"), col("buyers"),
         expr("(1000 * buyers) div users").as("conv_permille"),
-        expr("(1000 * buyers * tu) div (users * tb)").as("lift_milli"))
+        // Guarded: a corpus with zero purchases makes tb = 0 — Spark's
+        // div would yield NULL while DuckDB's // raises, so both sides
+        // spell the degenerate case out as an explicit NULL.
+        expr("case when tb > 0 then (1000 * buyers * tu) div (users * tb) end")
+          .as("lift_milli"))
       .orderBy("decile")
   }
 
@@ -137,8 +141,9 @@ object RfmOps {
       | CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS buyers,
       | CAST((1000 * sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END)) // count(*)
       |  AS BIGINT) AS conv_permille,
-      | CAST((1000 * sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END)
+      | CAST(CASE WHEN (SELECT tb FROM t) > 0 THEN
+      |  (1000 * sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END)
       |   * (SELECT tu FROM t))
-      |  // (count(*) * (SELECT tb FROM t)) AS BIGINT) AS lift_milli
+      |  // (count(*) * (SELECT tb FROM t)) END AS BIGINT) AS lift_milli
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 }

@@ -80,7 +80,13 @@ object StreamingAnomaly {
     var open = st.open
     tsMs.foreach { t =>
       val w = (t / windowMs) * windowMs
-      open = open.updated(w, open.getOrElse(w, 0L) + 1L)
+      // Drop watermark-late rows outright: a timestamp whose window end
+      // is already at or before the watermark belongs to a CLOSED window
+      // — folding it in would resurrect that window, which would then
+      // re-close in this same call and emit a duplicate (partial-count)
+      // verdict while double-folding the window into the moment history.
+      if (w + windowMs > watermarkMs)
+        open = open.updated(w, open.getOrElse(w, 0L) + 1L)
     }
     val (toClose, stillOpen) = open.partition {
       case (w, _) => w + windowMs <= watermarkMs

@@ -57,6 +57,31 @@ class MinHashSpec extends AnyFunSuite {
     assert(MinHashOps.ngramJaccardPairs(docs, dfCap = Some(5L)).count() == 0L)
   }
 
+  test("default df cap prunes candidates but keeps exact Jaccard values") {
+    import spark.implicits._
+    // 40 docs all share a boilerplate 3-gram; docs 1 and 2 are a true
+    // near-dup pair with plenty of df=2 shingles. defaultDfCap(40) = 16,
+    // so the boilerplate shingle (df = 40) leaves the candidate index —
+    // its C(40,2) = 780 pairs vanish — while the planted pair survives
+    // through its unique shingles AND its Jaccard still counts the
+    // boilerplate shingle (verification runs over the full index).
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((1 to 40).map {
+      case 1 => (1L, s"$dup boiler plate text")
+      case 2 => (2L, s"$dup extra boiler plate text")
+      case i => (i.toLong, s"unique$i token$i payload$i boiler plate text")
+    }).toDF("doc_id", "text")
+    val cap = MinHashOps.defaultDfCap(40L)
+    assert(cap == 16L)
+    assert(MinHashOps.ngramCandidates(docs, dfCap = Some(cap)).count() < 780L)
+    val capped = MinHashOps.ngramJaccardPairs(docs, dfCap = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val uncapped = MinHashOps.ngramJaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == uncapped.toSeq, "cap changed emitted pair values")
+    assert(capped.exists { case (a, b, _) => a == 1L && b == 2L })
+  }
+
   test("LSH and exact inverted-index dedup agree on the whole corpus") {
     // dedup_minhash (probabilistic candidates + exact verify) must equal
     // dedup_ngram (exhaustive candidates + exact verify) on the real

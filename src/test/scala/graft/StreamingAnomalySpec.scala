@@ -37,9 +37,12 @@ class StreamingAnomalySpec extends AnyFunSuite {
       var out = Vector.empty[(Long, Long, Boolean)]
       var maxSeen = Long.MinValue
       chunks.foreach { c =>
-        // Watermark trails the max event time seen so far by one window.
+        // Spark's getCurrentWatermarkMs during batch N reflects batch
+        // N-1's data, so the simulated watermark must LAG one chunk —
+        // a batch's own events are never late against it.
+        val wm = if (maxSeen == Long.MinValue) Long.MinValue
+                 else maxSeen - windowMs
         maxSeen = math.max(maxSeen, c.max)
-        val wm = maxSeen - windowMs
         val (vs, next) = StreamingAnomaly.advance("t", c, st, wm, windowMs)
         out ++= vs.map(v => (v.window_start.getTime, v.count, v.anomaly))
         st = next
@@ -57,6 +60,28 @@ class StreamingAnomalySpec extends AnyFunSuite {
     // the spike window is the only anomaly.
     assert(oneShot.count(_._3) == 1)
     assert(oneShot.last._2 == 20L && oneShot.last._3)
+  }
+
+  test("watermark-late rows are dropped, never resurrecting a closed window") {
+    val windowMs = 60000L
+    val t0 = 1700000000000L - (1700000000000L % 60000L)
+    // Fold windows 0..5 (counts 4 each) in with a low watermark, then
+    // close them all with an empty batch once the watermark passes.
+    val st = AnomalyState(Map.empty, 0L, 0L, 0L)
+    val events = (0 until 6).flatMap(w =>
+      (0 until 4).map(i => t0 + w * windowMs + i * 1000L))
+    val (v0, st0) = StreamingAnomaly.advance(
+      "t", events, st, Long.MinValue, windowMs)
+    assert(v0.isEmpty)
+    val (v1, st1) = StreamingAnomaly.advance(
+      "t", Seq.empty, st0, t0 + 6 * windowMs, windowMs)
+    assert(v1.length == 6 && st1.k == 6L && st1.sum == 24L)
+    // A straggler for ALREADY-CLOSED window 2 arrives after the watermark
+    // passed it: it must be dropped — no duplicate verdict, no state fold.
+    val (v2, st2) = StreamingAnomaly.advance(
+      "t", Seq(t0 + 2 * windowMs + 30000L), st1, t0 + 6 * windowMs, windowMs)
+    assert(v2.isEmpty, s"late row re-emitted a closed window: $v2")
+    assert(st2 == st1, "late row mutated detector state")
   }
 
   test("end-to-end over MemoryStream: spike flagged once windows close") {
