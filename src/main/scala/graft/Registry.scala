@@ -901,9 +901,12 @@ object Registry {
       DedupClusterOps.clustersConverged(s, Tables.documents(s, d))._2),
 
     // Borůvka minimum spanning forest summary (unique forest by the
-    // composite edge order; GraphSpec replays serial Kruskal). Iterative
-    // with data-dependent round count — rows-only like the _conv modes.
-    rowsOnly("mst_forest")((s, d) => GraphOps.boruvkaMsf(s, d)),
+    // composite edge order; GraphSpec replays serial Kruskal). The
+    // oracle unrolls the same rounds — pick/contract/relabel with fixed
+    // pointer squarings — and reads the data-dependent round count off
+    // the materialized per-round edge counts.
+    q("mst_forest", GraphOps.boruvkaMsfOracleSql())(
+      (s, d) => GraphOps.boruvkaMsf(s, d)),
 
     // Top-2 embedding principal components: exact integer moment sums
     // (one corpus pass, typed Aggregator), driver-sized 64×64 power
