@@ -878,6 +878,12 @@ object Registry {
     // permutation-stable keying, rows-only checked like kmeans_sizes.
     rowsOnly("kmeans_centroids")(KMeansOps.kmeansCentroids),
 
+    // Row-level assignment sample (kmeans_spark.py:25-33 prints
+    // `features -> cluster` rows); size-rank keying keeps it stable
+    // across label permutations, rows-only like the other kmeans
+    // artifacts (MLlib fit not oracle-SQL-expressible).
+    rowsOnly("kmeans_assign")((s, d) => KMeansOps.kmeansAssign(s, d)),
+
     // IVF ANN scale path: depends on an MLlib KMeans fit, so (like the
     // kmeans_* entries) not oracle-SQL-expressible — rows-only here;
     // AnnSpec cross-checks its scores against the exact baseline.

@@ -89,15 +89,20 @@ object KMeansOps {
   /** Cluster-size distribution: (rank, size), largest first
     * (reference: analysis/kmeans_spark.py:162 cluster distribution).
     */
-  def kmeansSizes(s: SparkSession, dir: String): DataFrame = {
-    val sizes = fitPredictions(s, dir)
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("size"))
-    // Rank the k-row frame by counting strictly-ahead rows in a k×k self
-    // join instead of an unpartitioned window: same deterministic
-    // (size desc, cluster) order, but no single-partition WindowExec (the
-    // global-window warning fires even when the frame is k=10 rows, and a
-    // constant partition key gets folded away).
+  def kmeansSizes(s: SparkSession, dir: String): DataFrame =
+    rankBySize(fitPredictions(s, dir)
+        .groupBy("cluster").agg(count(lit(1)).as("size")))
+      .select("rank", "size")
+      .orderBy("rank")
+
+  /** Rank a (cluster, size) frame largest-first by counting strictly-
+    * ahead rows in a k×k self join instead of an unpartitioned window:
+    * same deterministic (size desc, cluster) order, but no single-
+    * partition WindowExec (the global-window warning fires even when
+    * the frame is k=10 rows, and a constant partition key gets folded
+    * away).
+    */
+  private def rankBySize(sizes: DataFrame): DataFrame = {
     val other = sizes.select(
       col("cluster").as("o_cluster"), col("size").as("o_size"))
     sizes
@@ -108,8 +113,26 @@ object KMeansOps {
           col("o_size") > col("size") ||
             (col("o_size") === col("size") && col("o_cluster") < col("cluster")),
           1L).otherwise(0L)) + 1L).cast("long").as("rank"))
-      .select("rank", "size")
-      .orderBy("rank")
+  }
+
+  /** Row-level assignment sample — the `features -> cluster` rows the
+    * reference prints after the fit (reference: analysis/kmeans_spark.py:
+    * 25-33). The raw cluster id is permutation-arbitrary, so each sampled
+    * row reports its cluster's SIZE-RANK (the [[kmeansSizes]] key) and
+    * size instead — stable across label permutations, like the other
+    * kmeans artifacts. The sample is the lowest `sample` vec_ids: a
+    * deterministic carve under any partitioning, and a broadcast-size
+    * output at any corpus scale.
+    */
+  def kmeansAssign(s: SparkSession, dir: String, sample: Int = 20): DataFrame = {
+    val preds = fitPredictions(s, dir)
+    val ranked = rankBySize(
+      preds.groupBy("cluster").agg(count(lit(1)).as("size")))
+    preds.filter(col("vec_id") < sample)
+      .join(broadcast(ranked), "cluster")
+      .select(col("vec_id"), col("label"),
+        col("rank").as("cluster_rank"), col("size").as("cluster_size"))
+      .orderBy("vec_id")
   }
 
   /** Centroid report matching the reference's display artifact

@@ -19,6 +19,22 @@ class GraphSpec extends AnyFunSuite {
     assert(convergedDf.collect().toSeq == fixed.toSeq)
   }
 
+  test("converged pagerank equals the fixed-iteration twin at its own fixed point") {
+    // The registered pagerank_conv entry is rows-only (data-dependent
+    // iteration count), but its output is NOT unverifiable: replaying the
+    // oracle-checked fixed-iteration pagerank for exactly the iteration
+    // count the converged mode chose must reproduce it bit-for-bit —
+    // integer fixed-point updates make both paths deterministic.
+    val (iters, convergedDf) = GraphOps.pagerankConverged(spark, sf)
+    assert(iters > 1, s"iters=$iters")
+    val fixed = GraphOps.pagerank(spark, sf, iters).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val converged = convergedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(converged == fixed,
+      "converged scores diverge from the fixed-iteration twin")
+  }
+
   test("reliable checkpointing yields identical results when configured") {
     val default = GraphOps.connectedComponents(spark, sf, 3).collect()
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

@@ -269,4 +269,85 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p2.contains("Window"), s"unexpected window in dim plan:\n$p2")
     assert(p2.contains("Generate"), s"posexplode missing:\n$p2")
   }
+
+  // ---- r11: pins for the heavy/iterative queries ----
+
+  test("basket_rules: basket-bounded pairs, bounded top-k, no cross join") {
+    val plan = executedPlan(graft.operators.AssocOps.basketRules(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join in:\n$plan")
+    // The pair space collapses in a distributed aggregate before any
+    // support join, and the final k rows come from a bounded
+    // TakeOrdered, never a global sort of the rule table.
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rule ranking is a global sort in:\n$plan")
+  }
+
+  test("item_neighbors: per-item window over aggregated pairs, no cross join") {
+    val plan = executedPlan(graft.operators.AssocOps.itemNeighbors(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join in:\n$plan")
+    // The top-k window is PARTITIONED by the item (bounded by its
+    // co-purchase degree) — an empty windowspec would serialize the
+    // whole neighbor table through one task.
+    assert("windowspecdefinition\\(a#".r.findFirstIn(plan).isDefined,
+      s"neighbor window not partitioned by item in:\n$plan")
+    // Pair counts collapse below the window.
+    assert(plan.lastIndexOf("HashAggregate") > plan.indexOf("Window"), plan)
+  }
+
+  test("clustering_coeff: broadcast closing join, bounded top-k") {
+    val plan = executedPlan(graft.operators.LinkOps.clusteringCoeff(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join in:\n$plan")
+    // The triangle-closing membership probe must broadcast the canonical
+    // edge list — a shuffled sort-merge join would re-exchange the wedge
+    // frame (the big side) and dominate at scale.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"closing join not broadcast in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"coefficient ranking is a global sort in:\n$plan")
+  }
+
+  /** Run `op` and count Spark jobs — each job is one blocking driver
+    * round-trip, the currency the iterative operators must spend
+    * frugally (the r10 finding: per-squaring convergence polls made
+    * mst_forest the slowest query on driver boxes).
+    */
+  private def countJobs(op: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      op
+      // The listener bus is async; settle until the count stops moving.
+      var prev = -1
+      while (jobs.get() != prev) { prev = jobs.get(); Thread.sleep(250) }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    jobs.get()
+  }
+
+  test("bfs_hops spends one aggregate exchange and one checkpoint per round") {
+    val n = countJobs(graft.operators.GraphOps.bfsHops(spark, sf).collect())
+    // Measured healthy shape: 27 jobs — AQE runs each query stage as its
+    // own job, so a round's checkpoint (broadcast build + aggregate map +
+    // finalize) books ~4, plus setup and the final collect. One blocking
+    // action per round is the invariant; a restored per-round scalar
+    // poll or a reintroduced full-outer carry adds 6-12 on top.
+    assert(n <= 32, s"bfs_hops ran $n jobs for 6 rounds")
+  }
+
+  test("mst_forest contracts with O(1) driver actions per round") {
+    val n = countJobs(graft.operators.GraphOps.boruvkaMsf(spark, sf).collect())
+    info(s"mst_forest jobs: $n")
+    // Measured healthy shape: 46 jobs (deterministic at test SF). Per
+    // round: empty-probe, pick checkpoint, ONE moved-poll per batch of 3
+    // composed squarings, relabel checkpoint — each an AQE job or two.
+    // The pre-fix shape (a poll + checkpoint per squaring) measured
+    // 2-3x this; a regression there trips the bound immediately.
+    assert(n <= 50, s"mst_forest ran $n jobs")
+  }
 }

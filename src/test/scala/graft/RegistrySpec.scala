@@ -31,14 +31,14 @@ class RegistrySpec extends AnyFunSuite {
     // (iterative fit, not oracle-SQL-expressible) plus the converged
     // iterative modes (data-dependent round counts; their fixed-iteration
     // twins are the oracle entries, and converged-vs-fixed agreement is
-    // pinned by GraphSpec/PipelineOpsSpec) plus the Borůvka forest
-    // (iterative; pinned against serial Kruskal in GraphSpec) and the
-    // PCA eigensolve (pinned by eigen identities in AnnSpec).
+    // pinned bit-for-bit by GraphSpec/PipelineOpsSpec) and the PCA
+    // eigensolve (pinned by eigen identities in AnnSpec). The Borůvka
+    // forest graduated to a full oracle (unrolled rounds) in r11.
     assert(
       noOracle == Set(
-        "kmeans_sizes", "kmeans_centroids", "ann_ivf_topk", "ann_recall_ivf",
-        "pagerank_conv", "components_conv", "kcore_conv", "clusters_conv",
-        "mst_forest", "embedding_pca"),
+        "kmeans_sizes", "kmeans_centroids", "kmeans_assign", "ann_ivf_topk",
+        "ann_recall_ivf", "pagerank_conv", "components_conv", "kcore_conv",
+        "clusters_conv", "embedding_pca"),
       s"missing oracles: $noOracle")
   }
 
@@ -127,6 +127,18 @@ class RegistrySpec extends AnyFunSuite {
   test("kmeans_sizes is deterministic across runs") {
     val again = Registry.queries("kmeans_sizes")(spark, sf).collect()
     assert(results("kmeans_sizes").toSeq == again.toSeq)
+  }
+
+  test("kmeans_assign samples the 20 lowest vec_ids, deterministically") {
+    val rows = results("kmeans_assign")
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 20L))
+    // cluster_rank keys into the kmeans_sizes distribution.
+    val sizesByRank = results("kmeans_sizes")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(sizesByRank(r.getLong(2)) == r.getLong(3)))
+    val again = Registry.queries("kmeans_assign")(spark, sf).collect()
+    assert(rows.toSeq == again.toSeq)
   }
 
   test("kmeans_centroids covers all vectors with one row per cluster") {
