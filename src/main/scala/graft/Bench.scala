@@ -213,7 +213,12 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$fullTotal,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"spread":$spread,"sf":$sf,"cpus":$cpus,"sfDir":"${jsonEscape(sfDir)}"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
+    // A filtered run (SPARK_GRAFT_ONLY) must never clobber the committed
+    // full-inventory record — that exact mistake cost a round's bench
+    // history once already. Partial runs write to bench_partial.json.
+    val fullPath =
+      if (only.isEmpty) "bench_full.json" else "bench_partial.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
 
     // The guarded final line: if the full inventory overflows the tail
     // window, shed the converged-mode extras first (their full numbers

@@ -894,17 +894,22 @@ object Registry {
     rowsOnly("ann_recall_ivf")(AnnOps.annRecallIvf),
 
     // ---- Converged iterative modes (the documented 100×-scale paths) ----
-    // Iteration count is data-dependent (each round ends in a scalar
-    // convergence action), so like the MLlib fits these are not
-    // oracle-SQL-expressible — rows-only here. Their fixed-iteration
-    // twins above stay the oracle-checked entries; GraphSpec and
-    // PipelineOpsSpec pin converged-vs-fixed agreement at test SF.
-    rowsOnly("pagerank_conv")((s, d) => GraphOps.pagerankConverged(s, d)._2),
-    rowsOnly("components_conv")((s, d) =>
-      GraphOps.connectedComponentsConverged(s, d)._2),
-    rowsOnly("kcore_conv")((s, d) => GraphOps.kcoreConverged(s, d)._2),
-    rowsOnly("clusters_conv")((s, d) =>
-      DedupClusterOps.clustersConverged(s, Tables.documents(s, d))._2),
+    // r11: all four graduated from rows-only to full oracles. PageRank's
+    // oracle replays the stopping decision itself (per-iteration exact
+    // squared deltas over an unrolled chain, first-converged frame
+    // selected). Components/kcore/clusters converge to STABLE fixpoints,
+    // so an unrolled oracle with generous headroom (20 rounds vs the
+    // measured ≤6) lands on the identical frame — and the clustering
+    // oracle is an INDEPENDENT recursive-reachability fixpoint, so an
+    // under-merge fails the gate rather than being mirrored.
+    q("pagerank_conv", GraphOps.pagerankConvergedOracleSql())(
+      (s, d) => GraphOps.pagerankConverged(s, d)._2),
+    q("components_conv", GraphOps.connectedComponentsOracleSql(20))(
+      (s, d) => GraphOps.connectedComponentsConverged(s, d)._2),
+    q("kcore_conv", GraphOps.kcoreOracleSql(60, 20))(
+      (s, d) => GraphOps.kcoreConverged(s, d)._2),
+    q("clusters_conv", DedupClusterOps.convergedOracleSql())(
+      (s, d) => DedupClusterOps.clustersConverged(s, Tables.documents(s, d))._2),
 
     // Borůvka minimum spanning forest summary (unique forest by the
     // composite edge order; GraphSpec replays serial Kruskal). The

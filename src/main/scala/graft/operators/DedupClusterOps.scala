@@ -56,16 +56,15 @@ object DedupClusterOps {
     var labels = nodes.withColumn("cluster", col("doc_id"))
     for (i <- 1 to iters) {
       // Size-guarded broadcast of the label frame (GraphOps.roundSide):
-      // the cached pair graph is never re-shuffled across rounds.
-      val nbrMin = sym
+      // the cached pair graph is never re-shuffled across rounds. The
+      // carry is one min-combine over the union of the old labels and
+      // the propagated pair rows (the [[GraphOps.connectedComponents]]
+      // round shape) — one aggregation exchange, no join back.
+      val propagated = sym
         .join(GraphOps.roundSide(labels.withColumnRenamed("doc_id", "src"), n), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min("cluster").as("nbr"))
-      labels = labels
-        .join(GraphOps.roundSide(nbrMin, n), Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+      labels = labels.union(propagated)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
       // Same 2^iters plan re-expansion as connectedComponents: each level
       // references the previous labels twice; truncate keeps it linear.
       if (i < iters) labels = GraphOps.truncate(s, labels)

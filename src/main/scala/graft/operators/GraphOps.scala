@@ -445,15 +445,16 @@ object GraphOps {
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 1 to iters) {
       // Size-guarded broadcast of the label frame: the cached edge frame
-      // is never re-shuffled across rounds (see [[roundSide]]).
-      val neighborMin = dirEdges
+      // is never re-shuffled across rounds (see [[roundSide]]). The
+      // carry is one min-combine over the union of the old labels and
+      // the propagated edge rows — NOT a relax-aggregate plus a join
+      // back: the union reuses the aggregation exchange (map-side
+      // combined), the same round shape as [[bfsHops]].
+      val propagated = dirEdges
         .join(roundSide(labels.withColumnRenamed("node", "src"), n), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(min("label").as("nbr_label"))
-      labels = labels
-        .join(roundSide(neighborMin, n), Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .select(col("dst").as("node"), col("label"))
+      labels = labels.union(propagated)
+        .groupBy("node").agg(min("label").as("label"))
       // Each level references the previous labels twice and Spark does
       // not share common subplans across joins, so an unchecked chain
       // re-expands 2^iters times (same blowup the DuckDB oracle hit
@@ -583,7 +584,14 @@ object GraphOps {
     // Wedge at the orientation-minimal vertex: unordered out-neighbor
     // pairs, canonicalized by id so the closing edge lookup hits the
     // (src < dst) undirected list directly.
-    val closing = if (undCount <= BroadcastEdgeLimit) broadcast(und) else und
+    // Above the broadcast ceiling, hint the closing side into a SHUFFLED
+    // HASH join: the probe side is the wedge set — the far larger frame —
+    // and a sort-merge join would SORT it per partition (the sf1
+    // rehearsal measured that sort going superlinear); hashing the
+    // edge-list build side costs its size once and streams the wedges.
+    val closing =
+      if (undCount <= BroadcastEdgeLimit) broadcast(und)
+      else und.hint("shuffle_hash")
     oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
@@ -694,6 +702,37 @@ object GraphOps {
   def pagerankOracleSql(iters: Int = 10): String =
     pagerankChainSql(iters) + s"""
       |SELECT node, CAST(score AS BIGINT) AS score_fp FROM r$iters ORDER BY node""".stripMargin
+
+  /** DuckDB oracle for [[pagerankConverged]]: unroll `maxIters` frames,
+    * compute every iteration's EXACT squared fixed-point delta in
+    * HUGEINT, and select the first frame whose delta undercuts the
+    * threshold (falling back to the last frame, the Spark loop's
+    * iter == maxIters exit). Replays the data-dependent stopping
+    * decision itself, so the convergence-gate mode is hash-checked, not
+    * just rows-counted.
+    */
+  def pagerankConvergedOracleSql(
+      maxIters: Int = 20,
+      thresholdFp2: Long = 1000000L): String = {
+    val deltas = (1 to maxIters).map { i =>
+      s"""SELECT $i AS it,
+         | (SELECT sum(CAST(a.score - b.score AS HUGEINT)
+         |      * CAST(a.score - b.score AS HUGEINT))
+         |  FROM r$i a JOIN r${i - 1} b ON a.node = b.node) AS d2""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    val allr = (1 to maxIters)
+      .map(i => s"SELECT $i AS it, node, score FROM r$i")
+      .mkString("\n UNION ALL\n")
+    pagerankChainSql(maxIters) + s""",
+      |deltas AS MATERIALIZED (
+      |$deltas),
+      |conv AS (SELECT coalesce(min(it), $maxIters) AS it
+      |         FROM deltas WHERE d2 < $thresholdFp2),
+      |allr AS MATERIALIZED (
+      |$allr)
+      |SELECT node, CAST(score AS BIGINT) AS score_fp FROM allr
+      |WHERE it = (SELECT it FROM conv) ORDER BY node""".stripMargin
+  }
 
   /** DuckDB oracle for [[pagerankTopK]]: same chain, top-k final select
     * (score desc, node-id tie-break — exact because scores are integers).

@@ -57,7 +57,9 @@ object LinkOps {
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
       .join(if (undCount <= GraphOps.BroadcastEdgeLimit) broadcast(closing)
-            else closing,
+            // Shuffled-hash above the ceiling: build the edge list, stream
+            // the wedge set — never sort the big side (see triangleCount).
+            else closing.hint("shuffle_hash"),
         Seq("b", "c"))
     val perNode = triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))

@@ -28,17 +28,14 @@ class RegistrySpec extends AnyFunSuite {
   test("every registered query has an oracle or a documented omission") {
     val noOracle = Registry.queries.keySet -- Registry.oracleSql.keySet
     // The sanctioned rows-only set: the MLlib-KMeans-dependent entries
-    // (iterative fit, not oracle-SQL-expressible) plus the converged
-    // iterative modes (data-dependent round counts; their fixed-iteration
-    // twins are the oracle entries, and converged-vs-fixed agreement is
-    // pinned bit-for-bit by GraphSpec/PipelineOpsSpec) and the PCA
-    // eigensolve (pinned by eigen identities in AnnSpec). The Borůvka
-    // forest graduated to a full oracle (unrolled rounds) in r11.
+    // (iterative fit, not oracle-SQL-expressible) and the PCA eigensolve
+    // (pinned by eigen identities in AnnSpec). Everything else is
+    // oracle-checked — r11 graduated the four converged gate modes
+    // (fixpoint-selecting unrolled oracles) and the Borůvka forest.
     assert(
       noOracle == Set(
         "kmeans_sizes", "kmeans_centroids", "kmeans_assign", "ann_ivf_topk",
-        "ann_recall_ivf", "pagerank_conv", "components_conv", "kcore_conv",
-        "clusters_conv", "embedding_pca"),
+        "ann_recall_ivf", "embedding_pca"),
       s"missing oracles: $noOracle")
   }
 
