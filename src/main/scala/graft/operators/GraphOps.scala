@@ -1163,11 +1163,13 @@ object GraphOps {
           when(col("ca") === col("comp"), col("cb")).otherwise(col("ca"))
             .as("par"))
         val gp = ptr0.select(col("node").as("pn"), col("par").as("pp"))
-        var ptr = truncate(s,
-          ptr0.join(gp, ptr0("par") === gp("pn"), "left")
-            .select(col("node"),
-              when(col("pp") === col("node") && col("node") < col("par"),
-                col("node")).otherwise(col("par")).as("par")))
+        // NOT checkpointed: the 2-cycle break composes lazily into the
+        // first jump batch below (pickT is already truncated, so the
+        // lineage stays shallow) — one fewer materialization per round.
+        var ptr = ptr0.join(gp, ptr0("par") === gp("pn"), "left")
+          .select(col("node"),
+            when(col("pp") === col("node") && col("node") < col("par"),
+              col("node")).otherwise(col("par")).as("par"))
         // Square the parent pointer in BATCHES of 3 composed lazily, with
         // one checkpoint + one scalar moved-probe per batch: the typical
         // contraction (depth ≤ 8) costs a single driver round-trip where
