@@ -441,6 +441,17 @@ object Registry {
         |  ELSE 'und' END = lang AS BIGINT) AS is_correct
         |FROM s ORDER BY doc_id""".stripMargin)(TextOps.langId),
 
+    // Declared-vs-detected language confusion matrix: aggregates the
+    // same scored frame as lang_id, |langs|^2 cells with milli row share.
+    q("lang_confusion", TextOps.LangConfusionOracleSql)(
+      TextOps.langConfusion),
+
+    // Per-doc character-bigram self-information (compressibility-proxy
+    // junk detector): exact floor-log2 bits via the bitlen trick, the
+    // document's OWN statistics rather than the corpus vocabulary.
+    q("doc_char_entropy", TextOps.DocCharEntropyOracleSql)(
+      TextOps.docCharEntropy),
+
     // Oracle is the exact computation: inverted-index candidate pairs
     // (share >= 1 shingle, i.e. Jaccard > 0) + exact fixed-point Jaccard.
     // The Spark side uses MinHash-LSH candidates instead; at 32 bands x 2

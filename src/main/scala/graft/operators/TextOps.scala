@@ -590,6 +590,106 @@ object TextOps {
           .as("pieces_per_token_milli"))
       .orderBy("doc_id")
 
+  /** Declared-vs-detected language confusion matrix — the curation audit
+    * that tells you whether a feed's `lang` labels can be trusted before
+    * the mixture plan weights by them: one cell per (declared, [[langId]]
+    * argmax) combination with the doc count and its milli share of the
+    * declared language's row. Aggregates the same scored frame as the
+    * per-doc `lang_id` entry, so the two registered views can never
+    * disagree; cells are |langs|² — metadata-sized at any corpus scale.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val scored = langId(s, dir).select("lang", "predicted_lang")
+    val perLang = scored.groupBy("lang")
+      .agg(count(lit(1)).as("lang_docs"))
+    scored
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("docs"))
+      .join(broadcast(perLang), "lang")
+      .select(col("lang"), col("predicted_lang"), col("docs"),
+        expr("(1000 * docs) div lang_docs").as("share_milli"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  val LangConfusionOracleSql: String =
+    """WITH s AS (
+      | SELECT doc_id, lang,
+      |  CAST(len(regexp_extract_all(text, '\b(the|and|is|of)\b')) AS BIGINT) AS s_en,
+      |  CAST(len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) AS BIGINT) AS s_es,
+      |  CAST(len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS BIGINT) AS s_fr,
+      |  CAST(len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS BIGINT) AS s_de
+      | FROM documents),
+      |p AS (
+      | SELECT lang,
+      |  CASE
+      |   WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |   WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+      |   WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+      |   WHEN s_de > 0 THEN 'de'
+      |   ELSE 'und' END AS predicted_lang
+      | FROM s),
+      |pl AS (SELECT lang, count(*) AS lang_docs FROM p GROUP BY lang)
+      |SELECT p.lang, predicted_lang, count(*) AS docs,
+      | CAST((1000 * count(*)) // any_value(pl.lang_docs) AS BIGINT) AS share_milli
+      |FROM p JOIN pl ON p.lang = pl.lang
+      |GROUP BY p.lang, predicted_lang
+      |ORDER BY p.lang, predicted_lang""".stripMargin
+
+  /** Per-document character-bigram self-information — the compressibility
+    * proxy curation pipelines use as a junk detector (boilerplate and
+    * repeated patterns carry few bits per character; random gibberish
+    * carries many). For a doc with `n` bigram slots where bigram `g`
+    * occurs `cnt_g` times, the score is `Σ cnt_g · floor(log2(n div
+    * cnt_g))` bits — the [[lmSurprise]] bit-length trick (`bitlen(x)−1`,
+    * exact integers in both engines) applied to the document's OWN
+    * statistics instead of the corpus vocabulary, so repetitive docs
+    * score low even when their tokens are corpus-common. One explode +
+    * one (doc, bigram)-keyed aggregate; emitted per doc with the milli
+    * mean bits-per-bigram.
+    */
+  def docCharEntropy(s: SparkSession, dir: String): DataFrame =
+    docCharEntropyOf(Tables.documents(s, dir))
+
+  /** The same computation over an arbitrary `(doc_id, text)` frame — the
+    * composition surface (and the crafted-corpus test seam).
+    */
+  def docCharEntropyOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 1, 1))," +
+            " i -> substring(text, i, 2))")).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("cnt"))
+      // Doc-partitioned (never empty-spec) window for the per-doc slot
+      // total — bounded by the doc's distinct-bigram count per partition.
+      .withColumn("n", sum("cnt").over(Window.partitionBy("doc_id")))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_bigrams"),
+        sum(expr("cnt * (length(bin(n div cnt)) - 1)")).as("entropy_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("entropy_bits"),
+        expr("(1000 * entropy_bits) div n_bigrams").as("mean_bits_milli"))
+      .orderBy("doc_id")
+  }
+
+  val DocCharEntropyOracleSql: String =
+    """WITH bg AS (
+      | SELECT doc_id,
+      |  unnest([substr(text, i, 2)
+      |          for i in range(1, greatest(len(text) - 1, 1) + 1)]) AS bg
+      | FROM documents),
+      |c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |n AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY 1)
+      |SELECT c.doc_id,
+      | CAST(any_value(n.n) AS BIGINT) AS n_bigrams,
+      | CAST(sum(cnt * (length(bin(n.n // cnt)) - 1)) AS BIGINT) AS entropy_bits,
+      | CAST((1000 * sum(cnt * (length(bin(n.n // cnt)) - 1)))
+      |  // any_value(n.n) AS BIGINT) AS mean_bits_milli
+      |FROM c JOIN n ON c.doc_id = n.doc_id
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   /** Gopher-style document quality filter: each heuristic rule is its own
     * auditable flag column (too few tokens; mean token length outside the
     * natural-language band; zero stopwords; punctuation-heavy), and `keep`
