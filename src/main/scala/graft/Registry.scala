@@ -556,6 +556,12 @@ object Registry {
     q("ngram_stop_shingles", MinHashOps.NgramStopShinglesOracleSql)(
       MinHashOps.ngramStopShingles),
 
+    // Threshold-sensitivity curve: exact pair volume per 100-milli
+    // Jaccard bucket (from 300) with the cumulative at-or-above count —
+    // the tuning artifact for the dedup bar.
+    q("dedup_threshold_curve", MinHashOps.DedupThresholdCurveOracleSql)(
+      MinHashOps.dedupThresholdCurve),
+
     q("dedup_simhash", SimHashOps.oracleSql)(SimHashOps.dedupSimhash),
 
     // Cluster the near-dup pair graph (connected components) and pick one

@@ -151,13 +151,54 @@ object MinHashOps {
       dfCap: Option[Long] = None): DataFrame = {
     val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     dfCap match {
-      case Some(_) =>
-        val candidates = invertedIndex(sh, dfCap).as("a")
-          .join(invertedIndex(sh, dfCap).as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        jaccardVerify(sh, candidates, thresholdMilli)
+      case Some(cap) =>
+        // Everything past the shingle arrays moves as (doc_id, 8-byte
+        // shingle hash): the df count, the cap split, the candidate
+        // self-join, and the intersection counts all key on the same
+        // long. The self-join of the CAPPED index does double duty — its
+        // pair-count IS |A∩B| restricted to capped shingles (shingles are
+        // distinct per doc), so no second full-index verify pass exists.
+        // The dropped stop-shingles' contribution to the true
+        // intersection is added back by joining ONLY their postings onto
+        // the candidate pairs — volume Σ_pair |dropped(A)|, a correction
+        // term, not a second index scan — so every emitted Jaccard is
+        // the exact uncapped value. (A cross-shingle 64-bit collision
+        // perturbing a df count is the same ~|shingles|²/2^64 event the
+        // co-occurrence count already accepts.)
+        val inv = hashedIndex(sh)
+        val freq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+        val invT = inv.join(freq, "h")
+          .select(col("doc_id"), col("h"), (col("df") > cap).as("dropped"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val invC = invT.filter(!col("dropped"))
+        val interCapped = invC.as("a")
+          .join(invC.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter_c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val invD = invT.filter(col("dropped"))
+        val interDropped = interCapped.select("doc_a", "doc_b")
+          .join(invD.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+          .join(invD.select(col("doc_id").as("doc_b"), col("h")),
+            Seq("doc_b", "h"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter_d"))
+        val sizes = shingleSizes(sh)
+        interCapped
+          .join(interDropped, Seq("doc_a", "doc_b"), "left")
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            expr("""(1000 * (inter_c + coalesce(inter_d, 0L)))
+                   | div (na + nb - (inter_c + coalesce(inter_d, 0L)))"""
+              .stripMargin.replace("\n", " ")).as("jaccard_milli"))
+          .filter(col("jaccard_milli") >= thresholdMilli)
+          .orderBy("doc_a", "doc_b")
       case None =>
         val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
         val inv = invertedIndex(sh, None)
@@ -224,11 +265,23 @@ object MinHashOps {
     * strategies that produce their candidates elsewhere.
     */
   private def jaccardVerify(
-      sh: DataFrame, candidates: DataFrame, thresholdMilli: Int): DataFrame = {
-    val inv = sh
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      sh: DataFrame, candidates: DataFrame, thresholdMilli: Int): DataFrame =
+    jaccardVerifyHashed(hashedIndex(sh), shingleSizes(sh), candidates,
+      thresholdMilli)
+
+  /** The (doc_id, 8-byte shingle hash) index — seed -1 keeps this hash
+    * family disjoint from the 64 signature seeds.
+    */
+  private def hashedIndex(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(lit(-1), col("s")).as("h"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), size(col("shingles")).as("n"))
+
+  private def jaccardVerifyHashed(
+      inv: DataFrame, sizes: DataFrame, candidates: DataFrame,
+      thresholdMilli: Int): DataFrame = {
     candidates
       .join(inv.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
       .join(inv.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
@@ -289,6 +342,60 @@ object MinHashOps {
       | CAST(sum(CASE WHEN df > (SELECT cap FROM cap)
       |  THEN (df * (df - 1)) // 2 ELSE 0 END) AS BIGINT) AS avoided_candidates
       |FROM freq""".stripMargin
+
+  /** Threshold-sensitivity curve for the Jaccard dedup bar: bucket the
+    * exact pair volume by jaccard_milli (100-milli buckets from 300 up)
+    * with the cumulative count at-or-above each bucket — the artifact
+    * that answers "how many more pairs does lowering the bar to 0.5
+    * admit" BEFORE re-running the pipeline at each candidate threshold.
+    * One extra pass over the same capped-candidate + exact-verify
+    * machinery; the cumulative rollup is an 8-row self-join.
+    */
+  def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = ngramJaccardPairs(docs, thresholdMilli = 300,
+      dfCap = Some(defaultDfCap(docs.count())))
+    val hist = pairs
+      .select(expr("(jaccard_milli div 100) * 100").as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("pairs_in_bucket"))
+    hist.as("a")
+      .join(hist.as("b"), col("b.bucket_lo") >= col("a.bucket_lo"))
+      .groupBy(col("a.bucket_lo").as("threshold_milli"))
+      .agg(max(col("a.pairs_in_bucket")).as("pairs_in_bucket"),
+        sum(col("b.pairs_in_bucket")).as("pairs_at_or_above"))
+      .orderBy("threshold_milli")
+  }
+
+  val DedupThresholdCurveOracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |sh AS (
+      | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+      |  END AS shingles
+      | FROM tok),
+      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+      |cap AS (SELECT greatest(16, count(*) // 100) AS cap FROM sh),
+      |cand AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | JOIN freq f ON a.s = f.s
+      | WHERE f.df <= (SELECT cap FROM cap)),
+      |j AS (
+      | SELECT c.doc_a, c.doc_b,
+      |  (1000 * len(list_intersect(x.shingles, y.shingles)))
+      |   // len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard_milli
+      | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id),
+      |h AS (
+      | SELECT (jaccard_milli // 100) * 100 AS bucket_lo, count(*) AS pairs_in_bucket
+      | FROM j WHERE jaccard_milli >= 300 GROUP BY 1)
+      |SELECT a.bucket_lo AS threshold_milli,
+      | CAST(max(a.pairs_in_bucket) AS BIGINT) AS pairs_in_bucket,
+      | CAST(sum(b.pairs_in_bucket) AS BIGINT) AS pairs_at_or_above
+      |FROM h a JOIN h b ON b.bucket_lo >= a.bucket_lo
+      |GROUP BY a.bucket_lo ORDER BY threshold_milli""".stripMargin
 
   /** Containment near-dup pairs — the asymmetric companion to Jaccard:
     * `containment = |A∩B| / min(|A|,|B|)` flags a short document embedded

@@ -151,4 +151,29 @@ class MinHashSpec extends AnyFunSuite {
     sn.foreach { case (k, j) => assert(exact(k) == j, s"pair $k") }
     assert(sn.nonEmpty, "planted near-dups share normalized prefixes")
   }
+
+  test("threshold curve: cumulative counts reconcile with the exact pair set") {
+    val curve = MinHashOps.dedupThresholdCurve(spark, TestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.nonEmpty, "corpus should have pairs at or above 0.3 Jaccard")
+    // Buckets are 100-milli multiples in [300, 1000].
+    curve.foreach { case (lo, inB, _) =>
+      assert(lo % 100 == 0 && lo >= 300 && lo <= 1000, s"bucket_lo=$lo")
+      assert(inB > 0, "empty buckets must not be emitted")
+    }
+    // pairs_at_or_above is strictly the suffix-sum of pairs_in_bucket, so it
+    // is non-increasing in threshold and its minimum bucket holds the total.
+    val sorted = curve.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, _, cumLo), (_, _, cumHi)) => assert(cumLo >= cumHi)
+      case _ =>
+    }
+    assert(sorted.head._3 == sorted.map(_._2).sum)
+    // The lowest cumulative equals the exact pair volume at the same bar
+    // (same dfCap), tying the curve to the dedup machinery it tunes.
+    val docs = graft.Tables.documents(spark, TestSession.sf)
+    val all = MinHashOps.ngramJaccardPairs(docs, thresholdMilli = 300,
+      dfCap = Some(MinHashOps.defaultDfCap(docs.count()))).count()
+    assert(sorted.head._3 == all)
+  }
 }
