@@ -597,6 +597,12 @@ object Registry {
     q("mixture_plan", SampleOps.mixtureOracleSql())(
       (s, d) => SampleOps.mixturePlan(s, d)),
 
+    // Temperature-scaled (tau=1/2) source mixture: sqrt-weighted shares
+    // frozen to fixed point before the integer divides; raw-vs-tempered
+    // shares plus the boost factor per source.
+    q("mixture_temperature", SampleOps.MixtureTemperatureOracleSql)(
+      SampleOps.mixtureTemperature),
+
     // Flagship composition: quality filter -> stratified sample -> shard
     // routing in ONE declarative plan (single scan, one agg shuffle).
     q("curation_pipeline", SampleOps.curationOracleSql())(
@@ -674,6 +680,18 @@ object Registry {
     // top-K) broadcast against the token stream; per-lang OOV share.
     q("vocab_oov", TextOps.VocabOovOracleSql)(
       (s, d) => TextOps.vocabOovAudit(s, d)),
+
+    // Tokenizer fertility (BPE pieces per whitespace word) by declared
+    // language — the compute-per-word correction a multilingual mixture
+    // budget needs; exact integer sums per language.
+    q("token_fertility", TextOps.TokenFertilityOracleSql)(
+      TextOps.tokenFertility),
+
+    // Per-source boilerplate-prefix detector: most common leading
+    // 2-token prefix and its milli share of the source's docs
+    // (deterministic tie-break; |sources| output rows).
+    q("boilerplate_prefixes", TextOps.BoilerplatePrefixesOracleSql)(
+      TextOps.boilerplatePrefixes),
 
     q("token_count_bpe",
       """WITH t AS (
@@ -1111,6 +1129,12 @@ object Registry {
     // before any cross-row aggregation).
     q("embedding_norms", StatsOps.EmbeddingNormsOracleSql)(
       StatsOps.embeddingNorms),
+
+    // Symmetric int8 quantization-error audit: per-label worst/average
+    // reconstruction error (e9 fixed point via order-independent
+    // array_max) and saturated-dimension counts.
+    q("embedding_int8_audit", StatsOps.EmbeddingInt8AuditOracleSql)(
+      StatsOps.embeddingInt8Audit),
 
     // Per-dimension mean/variance of the embedding space (collapsed-dim
     // detector; exact integer variance identity in DECIMAL).

@@ -447,4 +447,50 @@ object SampleOps {
       | CAST(langs AS BIGINT) AS langs,
       | CAST(1000000 - (1000000 * ssq) // (docs * docs) AS BIGINT) AS gini_ppm
       |FROM p ORDER BY source""".stripMargin
+
+  /** Temperature-scaled source mixture (τ = 1/2): the Pile/LLaMA-style
+    * rebalancing that flattens the source distribution by sampling
+    * source i proportionally to n_i^τ instead of n_i — big feeds are
+    * de-emphasized, small curated feeds boosted, without hand-set
+    * targets. τ = 1/2 makes the weight `sqrt(n)`, an IEEE-754
+    * correctly-rounded op both engines compute bit-identically, frozen
+    * to fixed point (`floor(sqrt(n)·1e6)`) BEFORE any further
+    * arithmetic so shares divide as exact integers. Output: raw vs
+    * tempered milli shares and the boost factor. |sources| rows from
+    * one count aggregation — nothing corpus-sized moves.
+    */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n").cast("double")) * lit(1000000.0d)).cast("long"))
+    val tot = bySrc.agg(
+      sum("n").cast("long").as("total_docs"),
+      sum("w_fp").cast("long").as("total_w"))
+    bySrc.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n"),
+        expr("(1000 * n) div total_docs").as("raw_share_milli"),
+        expr("(1000 * w_fp) div total_w").as("temp_share_milli"),
+        expr("""(1000 * ((1000 * w_fp) div total_w))
+               | div greatest((1000 * n) div total_docs, 1)"""
+          .stripMargin.replace("\n", " ")).as("boost_milli"))
+      .orderBy("source")
+  }
+
+  val MixtureTemperatureOracleSql: String =
+    """WITH b AS (
+      | SELECT source, count(*) AS n,
+      |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |   AS w_fp
+      | FROM documents GROUP BY source),
+      |t AS (
+      | SELECT CAST(sum(n) AS BIGINT) AS total_docs,
+      |  CAST(sum(w_fp) AS BIGINT) AS total_w FROM b)
+      |SELECT source, n,
+      | (1000 * n) // total_docs AS raw_share_milli,
+      | (1000 * w_fp) // total_w AS temp_share_milli,
+      | (1000 * ((1000 * w_fp) // total_w))
+      |  // greatest((1000 * n) // total_docs, 1) AS boost_milli
+      |FROM b CROSS JOIN t ORDER BY source""".stripMargin
 }

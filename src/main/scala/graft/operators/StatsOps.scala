@@ -286,6 +286,70 @@ object StatsOps {
        | CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_fp2
        |FROM g ORDER BY dim""".stripMargin
 
+  /** Int8 quantization-error audit over the embedding table: simulate
+    * symmetric per-vector int8 quantization (`scale = max|x|/127`,
+    * `q = clamp(round(x/scale), ±127)`) and report, per label, the worst
+    * and average reconstruction error plus saturated-dimension count —
+    * the go/no-go readout before shipping a 4× -compressed ANN index
+    * (compare `ann_pq_topk`'s 32×). Every per-element step is a single
+    * IEEE-754 double op (both engines compute them bit-identically),
+    * frozen to e9 fixed point per VECTOR via the order-independent
+    * `array_max` BEFORE the integer group aggregate — no
+    * float-summation-order hazard anywhere. One narrow pass, |labels|
+    * output rows.
+    */
+  def embeddingInt8Audit(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"), col("embedding"))
+      .withColumn("amax",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("scale", col("amax") / lit(127.0d))
+      .withColumn("err_fp", expr(
+        """cast(floor(CASE WHEN amax > 0D THEN
+          |  array_max(transform(embedding, x ->
+          |    abs(cast(x as double) -
+          |        greatest(least(floor(cast(x as double) / scale + 0.5D),
+          |                       127.0D), -127.0D) * scale)))
+          |  ELSE 0D END * 1000000000.0D) as long)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("n_sat", expr(
+        """CASE WHEN amax > 0D THEN
+          |  cast(size(filter(embedding, x ->
+          |    floor(abs(cast(x as double)) / scale + 0.5D) >= 127.0D))
+          |   as long)
+          |ELSE 0L END""".stripMargin.replace("\n", " ")))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("vectors"),
+        max("err_fp").as("max_err_e9"),
+        expr("sum(err_fp) div count(*)").as("avg_err_e9"),
+        sum("n_sat").as("saturated_dims"))
+      .orderBy("label")
+
+  val EmbeddingInt8AuditOracleSql: String =
+    """WITH v AS (
+      | SELECT label, embedding,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+      |   AS amax
+      | FROM embeddings),
+      |w AS (
+      | SELECT label,
+      |  CASE WHEN amax > 0 THEN CAST(floor(list_max(list_transform(embedding,
+      |    x -> abs(CAST(x AS DOUBLE) -
+      |      greatest(least(floor(CAST(x AS DOUBLE) / (amax / CAST(127.0 AS DOUBLE)) + CAST(0.5 AS DOUBLE)),
+      |                     CAST(127.0 AS DOUBLE)), CAST(-127.0 AS DOUBLE))
+      |      * (amax / CAST(127.0 AS DOUBLE)))))
+      |    * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) ELSE 0 END AS err_fp,
+      |  CASE WHEN amax > 0 THEN CAST(len(list_filter(embedding,
+      |    x -> floor(abs(CAST(x AS DOUBLE)) / (amax / CAST(127.0 AS DOUBLE)) + CAST(0.5 AS DOUBLE))
+      |         >= CAST(127.0 AS DOUBLE))) AS BIGINT) ELSE 0 END AS n_sat
+      | FROM v)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS vectors,
+      | max(err_fp) AS max_err_e9,
+      | CAST(sum(err_fp) // count(*) AS BIGINT) AS avg_err_e9,
+      | CAST(sum(n_sat) AS BIGINT) AS saturated_dims
+      |FROM w GROUP BY label ORDER BY label""".stripMargin
+
   /** Heavy-user concentration — "what share of traffic do the top 1% of
     * users generate", the one-line skew summary next to `key_gini`'s
     * full curve. Top-k membership is EXACT: users rank by (count,

@@ -1204,4 +1204,96 @@ object TextOps {
       | CAST((1000 * (chars - letters - digits - spaces)) // chars AS BIGINT)
       |  AS other_permille
       |FROM g ORDER BY source""".stripMargin
+
+  /** Tokenizer fertility by declared language — pieces-per-word is the
+    * tokenizer-efficiency number a multilingual mixture is budgeted in
+    * (a language at 2× fertility costs 2× the compute per word, so the
+    * mixture plan under-trains it unless the shares are fertility-
+    * corrected). Corpus-level sums per language in exact integers; the
+    * per-doc regexp work is the same single-pass `regexp_count` as
+    * [[tokenCountBpe]], aggregated to |langs| rows.
+    */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("lang"),
+        size(tokens).cast("long").as("ws"),
+        regexp_count(col("text"), lit(bpePieceRe)).cast("long").as("pieces"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("ws").as("ws_tokens"),
+        sum("pieces").as("bpe_pieces"))
+      .select(
+        col("lang"), col("docs"), col("ws_tokens"), col("bpe_pieces"),
+        expr("(1000 * bpe_pieces) div greatest(ws_tokens, 1)")
+          .as("fertility_milli"))
+      .orderBy("lang")
+
+  val TokenFertilityOracleSql: String =
+    """WITH t AS (
+      | SELECT lang,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws,
+      |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) AS BIGINT) AS pieces
+      | FROM documents)
+      |SELECT lang, count(*) AS docs,
+      | CAST(sum(ws) AS BIGINT) AS ws_tokens,
+      | CAST(sum(pieces) AS BIGINT) AS bpe_pieces,
+      | CAST((1000 * sum(pieces)) // greatest(sum(ws), 1) AS BIGINT)
+      |  AS fertility_milli
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-source boilerplate-prefix detector: the most common leading
+    * 2-token prefix per source and its milli share of the source's
+    * documents — a high share means the feed stamps a template header
+    * (license banner, scraper artifact) that near-dup passes then score
+    * as content. Ties break to the lexicographically smallest prefix so
+    * the winner is deterministic. The shuffle carries (source, 2-token
+    * prefix) pairs — never bodies; output is |sources| rows.
+    */
+  def boilerplatePrefixes(s: SparkSession, dir: String): DataFrame =
+    boilerplatePrefixesOf(Tables.documents(s, dir))
+
+  /** The detector over any (source, text) frame — split out so a planted
+    * template corpus is testable.
+    */
+  def boilerplatePrefixesOf(docs: DataFrame): DataFrame = {
+    val prefixed = docs.select(
+      col("source"),
+      concat_ws(" ", slice(tokens, 1, 2)).as("prefix"))
+    val bySrc = prefixed.groupBy("source")
+      .agg(count(lit(1)).as("src_docs"))
+    val counted = prefixed.groupBy("source", "prefix")
+      .agg(count(lit(1)).as("docs_with_prefix"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("docs_with_prefix").desc, col("prefix").asc)
+    counted
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(broadcast(bySrc), "source")
+      .select(
+        col("source"), col("prefix"), col("docs_with_prefix"),
+        col("src_docs"),
+        expr("(1000 * docs_with_prefix) div src_docs").as("share_milli"))
+      .orderBy("source")
+  }
+
+  val BoilerplatePrefixesOracleSql: String =
+    """WITH p AS (
+      | SELECT source,
+      |  array_to_string(regexp_extract_all(text, '\S+')[1:2], ' ') AS prefix
+      | FROM documents),
+      |c AS (
+      | SELECT source, prefix, count(*) AS docs_with_prefix
+      | FROM p GROUP BY source, prefix),
+      |r AS (
+      | SELECT source, prefix, docs_with_prefix,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY docs_with_prefix DESC, prefix ASC) AS rk
+      | FROM c),
+      |s AS (SELECT source, count(*) AS src_docs FROM p GROUP BY source)
+      |SELECT r.source, r.prefix, r.docs_with_prefix, s.src_docs,
+      | (1000 * r.docs_with_prefix) // s.src_docs AS share_milli
+      |FROM r JOIN s ON r.source = s.source
+      |WHERE r.rk = 1 ORDER BY r.source""".stripMargin
 }

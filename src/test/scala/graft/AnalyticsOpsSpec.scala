@@ -185,4 +185,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(row.getLong(3) == 2000L) // mad_milli: deviations are {0 x10, 2000 x10, big}
     assert(row.getLong(4) == 1L, s"expected exactly the planted extreme flagged: $row")
   }
+
+  test("int8 audit: errors bounded by half a quantization step, amax dim saturates") {
+    val audit = graft.operators.StatsOps.embeddingInt8Audit(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(audit.nonEmpty)
+    // Per-label half-step bound: err <= scale/2 = amax/254 for every
+    // vector, so the label's worst error is bounded by its worst amax.
+    val bounds = graft.Tables.embeddings(spark, sf)
+      .select(col("label").cast("long").as("label"),
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))")
+          .as("amax"))
+      .groupBy("label").agg(max("amax").as("amax"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    audit.foreach { case (label, (vectors, maxErr, avgErr, sat)) =>
+      val bound = math.floor(bounds(label) / 254.0 * 1e9).toLong + 1
+      assert(maxErr <= bound, s"label $label maxErr=$maxErr > bound=$bound")
+      assert(avgErr <= maxErr, s"label $label avg above max")
+      // The dimension achieving amax quantizes to exactly +-127.
+      assert(sat >= vectors, s"label $label saturated=$sat < vectors=$vectors")
+    }
+  }
 }

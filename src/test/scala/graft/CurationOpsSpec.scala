@@ -222,6 +222,67 @@ class CurationOpsSpec extends AnyFunSuite {
       s"repetitive ${byDoc(0L)} should score below diverse ${byDoc(1L)}")
   }
 
+  test("temperature mixture flattens the source distribution") {
+    val m = operators.SampleOps.mixtureTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(m.nonEmpty)
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(m.map(_._2).sum == corpus, "source counts must conserve corpus")
+    // sqrt-weighting moves every extreme toward the middle: the biggest
+    // source loses share, the smallest gains (±1 milli floor rounding).
+    val biggest = m.maxBy(_._2)
+    val smallest = m.minBy(_._2)
+    if (biggest._2 > smallest._2) {
+      assert(biggest._4 <= biggest._3 + 1,
+        s"big source tempered ${biggest._4} vs raw ${biggest._3}")
+      assert(smallest._4 + 1 >= smallest._3,
+        s"small source tempered ${smallest._4} vs raw ${smallest._3}")
+    }
+    // Shares are a distribution (floor division loses < |sources| milli).
+    val t = m.map(_._4).sum
+    assert(t > 1000L - m.length && t <= 1000L, s"tempered shares sum $t")
+  }
+
+  test("token fertility: pieces dominate words, docs conserved") {
+    val f = TextOps.tokenFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(f.nonEmpty)
+    assert(f.map(_._2).sum == graft.Tables.documents(spark, sf).count())
+    // Every whitespace word is at least one BPE piece (and inter-word
+    // whitespace adds more), so fertility is always >= 1000 milli.
+    f.foreach { case (lang, _, ws, pieces, fert) =>
+      assert(pieces >= ws, s"$lang pieces=$pieces < words=$ws")
+      assert(fert >= 1000L, s"$lang fertility=$fert")
+    }
+  }
+
+  test("boilerplate prefixes finds a planted template header") {
+    import spark.implicits._
+    val crafted = Seq(
+      ("feedA", "LICENSE NOTICE all rights reserved body one"),
+      ("feedA", "LICENSE NOTICE all rights reserved body two"),
+      ("feedA", "organic document without any template stamp"),
+      ("feedB", "alpha beta gamma"),
+      ("feedB", "delta epsilon zeta")).toDF("source", "text")
+    val p = TextOps.boilerplatePrefixesOf(crafted).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(p("feedA") == (("LICENSE NOTICE", 2L, 3L, 666L)))
+    // All-unique prefixes tie at count 1; lexicographic break wins.
+    assert(p("feedB") == (("alpha beta", 1L, 2L, 500L)))
+    // And on the real corpus: one winner row per source, shares in range.
+    val real = TextOps.boilerplatePrefixes(spark, sf).collect()
+    val srcs = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(real.length == srcs, "exactly one winner row per source")
+    real.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+    }
+  }
+
   test("lang confusion conserves documents and row shares") {
     val m = TextOps.langConfusion(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
