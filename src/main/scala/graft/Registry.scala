@@ -535,7 +535,7 @@ object Registry {
         | FROM tok),
         |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
-        |cap AS (SELECT greatest(16, count(*) // 100) AS cap FROM sh),
+        |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
         |cand AS (
         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -561,6 +561,19 @@ object Registry {
     // the tuning artifact for the dedup bar.
     q("dedup_threshold_curve", MinHashOps.DedupThresholdCurveOracleSql)(
       MinHashOps.dedupThresholdCurve),
+
+    // Sub-threshold redundancy meter: share of each source's shingle
+    // occurrences first seen in that document (ingestion-order
+    // attribution) — low novelty flags a feed re-serving known content
+    // even when no pair clears the dedup bar.
+    q("source_novelty", MinHashOps.SourceNoveltyOracleSql)(
+      MinHashOps.sourceNovelty),
+
+    // Dedup byte-savings per source: chars/docs the converged near-dup
+    // clustering would remove, as a milli share of the source's bytes;
+    // independent recursive-reachability oracle.
+    q("dedup_savings", DedupClusterOps.dedupSavingsOracleSql())(
+      DedupClusterOps.dedupSavings),
 
     q("dedup_simhash", SimHashOps.oracleSql)(SimHashOps.dedupSimhash),
 

@@ -49,4 +49,21 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Decouple heavy per-row compute (regex tokenization, shingling,
+    * per-char explodes) from the SOURCE file's split layout: a corpus
+    * delivered as one fat row group scans as ONE task, and every narrow
+    * stage chained onto it — including map-side partial aggregation —
+    * runs serially no matter how many cores exist (the sf1 rehearsal
+    * measured a 50k-doc shingle audit at 67 s serial vs ~4 s parallel).
+    * If the scan already yields at least one split per core — the normal
+    * state on a real multi-file corpus — this is the identity, so no
+    * data is re-shuffled at 100 TB; the round-robin exchange only fires
+    * on row-group-starved inputs, where moving the (small) raw bytes
+    * once is strictly cheaper than serializing the compute.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -211,4 +211,57 @@ object DedupClusterOps {
        |FROM l$iters ORDER BY doc_id""".stripMargin)
     sb.toString
   }
+
+  /** Dedup byte-savings readout per source: the chars and docs that
+    * near-dup clustering ([[clustersConverged]], keep-min-id survivor)
+    * would REMOVE, as a milli share of each source's bytes — the number
+    * a curation owner actually negotiates feed contracts with. Rides the
+    * converged cluster labels (cluster-member-sized) plus two
+    * |sources|-row aggregates; sources with zero duplication still emit
+    * a row.
+    */
+  def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dups = clustersConverged(s, docs)._2
+      .filter(col("is_survivor") === 0L)
+      .select("doc_id")
+    val bySrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+    val dupBySrc = dups
+      .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("dup_docs"), sum("n_chars").as("dup_chars"))
+    bySrc.join(dupBySrc, Seq("source"), "left")
+      .select(
+        col("source"), col("docs"),
+        col("chars").cast("long").as("chars"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"))
+      .withColumn("savings_milli", expr("(1000 * dup_chars) div chars"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the same independent recursive-reachability components as
+    * [[convergedOracleSql]], rolled up to source-level removal totals.
+    */
+  def dedupSavingsOracleSql(thresholdMilli: Int = Threshold): String =
+    s"""WITH RECURSIVE${pairGraphSql(thresholdMilli)},
+       |reach AS (
+       | SELECT doc_id, doc_id AS r FROM n0
+       | UNION
+       | SELECT re.doc_id, e.dst AS r FROM reach re JOIN sym e ON re.r = e.src),
+       |lab AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+       |dups AS (SELECT doc_id FROM lab WHERE doc_id <> cluster),
+       |b AS (
+       | SELECT source, count(*) AS docs, sum(n_chars) AS chars
+       | FROM documents GROUP BY source),
+       |d AS (
+       | SELECT d2.source, count(*) AS dup_docs, sum(d2.n_chars) AS dup_chars
+       | FROM dups JOIN documents d2 USING (doc_id) GROUP BY d2.source)
+       |SELECT b.source, b.docs, CAST(b.chars AS BIGINT) AS chars,
+       | CAST(coalesce(d.dup_docs, 0) AS BIGINT) AS dup_docs,
+       | CAST(coalesce(d.dup_chars, 0) AS BIGINT) AS dup_chars,
+       | CAST((1000 * coalesce(d.dup_chars, 0)) // b.chars AS BIGINT)
+       |  AS savings_milli
+       |FROM b LEFT JOIN d ON b.source = d.source ORDER BY b.source""".stripMargin
 }

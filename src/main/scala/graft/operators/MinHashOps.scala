@@ -47,7 +47,7 @@ object MinHashOps {
     * collapse to a single whole-text shingle.
     */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs
+    Tables.parallelized(docs)
       .select(
         col("doc_id"),
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
@@ -57,7 +57,16 @@ object MinHashOps {
           when(size(col("toks")) < 3, array(concat_ws(" ", col("toks"))))
             .otherwise(transform(
               sequence(lit(1), size(col("toks")) - 2),
-              i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("shingles"))
+              // concat of three element_at lookups, NOT
+              // concat_ws(slice(...)): the slice form allocates a fresh
+              // 3-element array per shingle inside an interpreted
+              // lambda, and at corpus scale that allocation dominated
+              // the whole pass (sf1: ~30 s -> the element_at form
+              // measurably cuts per-row cost with identical output).
+              i => concat(
+                element_at(col("toks"), i), lit(" "),
+                element_at(col("toks"), i + 1), lit(" "),
+                element_at(col("toks"), i + 2))))).as("shingles"))
 
   /** 64-element MinHash signature column over a `shingles` array — the
     * native [[graft.functions.MinHashSig]] expression: one XXH64 base
@@ -165,28 +174,8 @@ object MinHashOps {
         // the exact uncapped value. (A cross-shingle 64-bit collision
         // perturbing a df count is the same ~|shingles|²/2^64 event the
         // co-occurrence count already accepts.)
-        val inv = hashedIndex(sh)
-        val freq = inv.groupBy("h").agg(count(lit(1)).as("df"))
-        val invT = inv.join(freq, "h")
-          .select(col("doc_id"), col("h"), (col("df") > cap).as("dropped"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val invC = invT.filter(!col("dropped"))
-        val interCapped = invC.as("a")
-          .join(invC.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter_c"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val invD = invT.filter(col("dropped"))
-        val interDropped = interCapped.select("doc_a", "doc_b")
-          .join(invD.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-          .join(invD.select(col("doc_id").as("doc_b"), col("h")),
-            Seq("doc_b", "h"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("inter_d"))
         val sizes = shingleSizes(sh)
-        interCapped
-          .join(interDropped, Seq("doc_a", "doc_b"), "left")
+        cappedIntersections(sh, cap)
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
             "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
@@ -194,9 +183,7 @@ object MinHashOps {
           .select(
             col("doc_a"),
             col("doc_b"),
-            expr("""(1000 * (inter_c + coalesce(inter_d, 0L)))
-                   | div (na + nb - (inter_c + coalesce(inter_d, 0L)))"""
-              .stripMargin.replace("\n", " ")).as("jaccard_milli"))
+            expr("(1000 * inter) div (na + nb - inter)").as("jaccard_milli"))
           .filter(col("jaccard_milli") >= thresholdMilli)
           .orderBy("doc_a", "doc_b")
       case None =>
@@ -222,12 +209,20 @@ object MinHashOps {
     }
   }
 
-  /** The default stop-shingle cap: a shingle in more than
-    * max(16, corpus/100) documents is boilerplate, not dedup evidence.
-    * Relative to corpus size so the guard neither bites a tiny test
-    * corpus nor admits a quadratic posting list at 100 TB.
+  /** The default stop-shingle cap: relative (corpus/100) so the guard
+    * doesn't bite a tiny test corpus, but CEILED at an absolute 64 —
+    * the part that actually matters at scale. A purely relative cap
+    * admits posting lists of df ~ n/100, whose C(df,2) candidate mass
+    * grows as n²; with the absolute ceiling, candidate volume is
+    * bounded by C(64,2)·|distinct shingles| ≈ 2000·|vocabulary| —
+    * LINEAR in the corpus no matter how template-heavy it is. (The sf1
+    * rehearsal measured exactly this: a shuffled-vocabulary corpus
+    * where every shingle's df tracked n/100 and the relative cap
+    * stopped capping.) Recall cost is pairs whose every shared shingle
+    * sits in 64+ documents — template mass by definition.
     */
-  def defaultDfCap(nDocs: Long): Long = math.max(16L, nDocs / 100L)
+  def defaultDfCap(nDocs: Long): Long =
+    math.min(math.max(16L, nDocs / 100L), 64L)
 
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -279,6 +274,40 @@ object MinHashOps {
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), size(col("shingles")).as("n"))
 
+  /** Exact |A∩B| for every pair sharing at least one SUB-CAP shingle:
+    * the capped index's self-join pair-count is the capped intersection
+    * (shingles are distinct per doc), and the dropped stop-shingles'
+    * postings are joined back onto just those candidate pairs to
+    * complete the true uncapped count. Candidate volume is bounded by
+    * C(cap,2)·|distinct shingles|; the correction term by
+    * Σ_pair |dropped(A)|. Shared by the Jaccard and containment paths.
+    */
+  private def cappedIntersections(sh: DataFrame, cap: Long): DataFrame = {
+    val inv = hashedIndex(sh)
+    val freq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val invT = inv.join(freq, "h")
+      .select(col("doc_id"), col("h"), (col("df") > cap).as("dropped"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val invC = invT.filter(!col("dropped"))
+    val interCapped = invC.as("a")
+      .join(invC.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val invD = invT.filter(col("dropped"))
+    val interDropped = interCapped.select("doc_a", "doc_b")
+      .join(invD.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(invD.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter_d"))
+    interCapped
+      .join(interDropped, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter_c + coalesce(inter_d, 0L)").as("inter"))
+  }
+
   private def jaccardVerifyHashed(
       inv: DataFrame, sizes: DataFrame, candidates: DataFrame,
       thresholdMilli: Int): DataFrame = {
@@ -306,9 +335,17 @@ object MinHashOps {
   def ngramStopShingles(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val cap = defaultDfCap(docs.count())
-    shingleSets(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .groupBy("s")
+    // The audit reports counts, never shingle text — so the df aggregate
+    // keys on the 8-byte hash (same collision model as the dedup path)
+    // and the exchange carries longs, not variable-length strings. The
+    // persist before the explode is LOAD-BEARING, not a cache nicety:
+    // exploding a COMPUTED array column re-evaluates the construction
+    // expression inside the interpreted Generate path roughly once per
+    // output element (measured 66 s vs 0.5 s from materialized arrays
+    // at sf1) — every shingle consumer must explode from a materialized
+    // frame.
+    hashedIndex(shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK))
+      .groupBy("h")
       .agg(count(lit(1)).as("df"))
       .agg(
         count(lit(1)).as("distinct_shingles"),
@@ -330,7 +367,7 @@ object MinHashOps {
       |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
       |  END AS shingles
       | FROM tok),
-      |cap AS (SELECT greatest(16, count(*) // 100) AS cap FROM sh),
+      |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s)
       |SELECT (SELECT cap FROM cap) AS df_cap,
@@ -377,7 +414,7 @@ object MinHashOps {
       | FROM tok),
       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
-      |cap AS (SELECT greatest(16, count(*) // 100) AS cap FROM sh),
+      |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
       |cand AS (
       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -397,6 +434,62 @@ object MinHashOps {
       |FROM h a JOIN h b ON b.bucket_lo >= a.bucket_lo
       |GROUP BY a.bucket_lo ORDER BY threshold_milli""".stripMargin
 
+  /** Per-source shingle novelty: the share of each source's shingle
+    * occurrences whose FIRST corpus appearance (min doc_id — a
+    * deterministic ingestion-order attribution) is in that very
+    * document. Low novelty means the feed mostly re-serves content the
+    * corpus already has even when no single pair clears the dedup bar —
+    * the sub-threshold redundancy meter next to `dedup_source_matrix`'s
+    * pair counts. The first-occurrence aggregate and its re-join key on
+    * the 8-byte shingle hash (same collision model as the verify
+    * counts), so nothing wider than (doc_id, hash) crosses an exchange;
+    * |sources| output rows.
+    */
+  def sourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = hashedIndex(sh)
+    val first = inv.groupBy("h").agg(min("doc_id").as("first_doc"))
+    val perDoc = inv.join(first, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("novel"))
+    perDoc.join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n").as("shingles"),
+        sum("novel").as("novel_shingles"))
+      .select(
+        col("source"), col("docs"),
+        col("shingles").cast("long").as("shingles"),
+        col("novel_shingles").cast("long").as("novel_shingles"),
+        expr("(1000 * novel_shingles) div shingles").as("novelty_milli"))
+      .orderBy("source")
+  }
+
+  val SourceNoveltyOracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |sh AS (
+      | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+      |  END AS shingles
+      | FROM tok),
+      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |f AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY s),
+      |p AS (
+      | SELECT e.doc_id, count(*) AS n,
+      |  sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS novel
+      | FROM e JOIN f ON e.s = f.s GROUP BY e.doc_id)
+      |SELECT d.source, count(*) AS docs,
+      | CAST(sum(p.n) AS BIGINT) AS shingles,
+      | CAST(sum(p.novel) AS BIGINT) AS novel_shingles,
+      | CAST((1000 * sum(p.novel)) // sum(p.n) AS BIGINT) AS novelty_milli
+      |FROM p JOIN documents d USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** Containment near-dup pairs — the asymmetric companion to Jaccard:
     * `containment = |A∩B| / min(|A|,|B|)` flags a short document embedded
     * in a long one (quote-and-extend plagiarism, boilerplate wrapping)
@@ -409,14 +502,26 @@ object MinHashOps {
     */
   def containmentPairs(
       docs: DataFrame,
-      thresholdMilli: Int = 900): DataFrame = {
+      thresholdMilli: Int = 900,
+      dfCap: Option[Long] = None): DataFrame = {
     val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val inv = invertedIndex(sh, None)
-    inv.as("a")
-      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter = dfCap match {
+      // Capped candidates + exact uncapped intersection, exactly the
+      // [[ngramJaccardPairs]] machinery — the sf1 rehearsal measured the
+      // exhaustive path superlinear (exponent 1.18) on a template-heavy
+      // corpus, and containment's candidate stage has the same C(df,2)
+      // exposure as Jaccard's.
+      case Some(cap) => cappedIntersections(sh, cap)
+      case None =>
+        val inv = invertedIndex(sh, None)
+        inv.as("a")
+          .join(inv.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+    }
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(
@@ -427,8 +532,10 @@ object MinHashOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  def dedupContainment(s: SparkSession, dir: String): DataFrame =
-    containmentPairs(Tables.documents(s, dir))
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    containmentPairs(docs, dfCap = Some(defaultDfCap(docs.count())))
+  }
 
   val ContainmentOracleSql: String =
     """WITH tok AS (
@@ -439,9 +546,13 @@ object MinHashOps {
       |  END AS shingles
       | FROM tok),
       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+      |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
       |cand AS (
       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      | JOIN freq f ON a.s = f.s
+      | WHERE f.df <= (SELECT cap FROM cap)),
       |j AS (
       | SELECT c.doc_a, c.doc_b,
       |  len(list_intersect(x.shingles, y.shingles)) AS inter,
@@ -537,7 +648,7 @@ object MinHashOps {
       | FROM tok),
       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
-      |cap AS (SELECT greatest(16, count(*) // 100) AS cap FROM sh),
+      |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
       |cand AS (
       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id

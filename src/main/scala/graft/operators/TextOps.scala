@@ -654,17 +654,18 @@ object TextOps {
     * composition surface (and the crafted-corpus test seam).
     */
   def docCharEntropyOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs
+    Tables.parallelized(docs)
       .select(col("doc_id"),
+        // The per-doc slot total is the bigram count itself —
+        // greatest(len-1, 1) — known from the row BEFORE the explode,
+        // so it rides along as a constant grouping key and no window
+        // pass over the counted bigrams is needed at all.
+        expr("greatest(length(text) - 1, 1)").as("n"),
         explode(expr(
           "transform(sequence(1, greatest(length(text) - 1, 1))," +
             " i -> substring(text, i, 2))")).as("bg"))
-      .groupBy("doc_id", "bg")
+      .groupBy("doc_id", "n", "bg")
       .agg(count(lit(1)).as("cnt"))
-      // Doc-partitioned (never empty-spec) window for the per-doc slot
-      // total — bounded by the doc's distinct-bigram count per partition.
-      .withColumn("n", sum("cnt").over(Window.partitionBy("doc_id")))
       .groupBy("doc_id")
       .agg(
         sum("cnt").as("n_bigrams"),

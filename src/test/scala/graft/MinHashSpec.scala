@@ -152,6 +152,44 @@ class MinHashSpec extends AnyFunSuite {
     assert(sn.nonEmpty, "planted near-dups share normalized prefixes")
   }
 
+  test("source novelty: each distinct shingle is novel exactly once corpus-wide") {
+    val rows = MinHashOps.sourceNovelty(spark, TestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, docs, sh, novel, milli) =>
+      assert(novel <= sh, s"$src novel=$novel > shingles=$sh")
+      assert(docs > 0 && milli >= 0 && milli <= 1000)
+    }
+    // First-occurrence attribution conserves the vocabulary: summing the
+    // novel counts over sources must equal the distinct-shingle count.
+    val distinctShingles = MinHashOps
+      .shingleSets(graft.Tables.documents(spark, TestSession.sf))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("shingles")).as("s"))
+      .distinct().count()
+    assert(rows.map(_._4).sum == distinctShingles)
+    assert(rows.map(_._2).sum ==
+      graft.Tables.documents(spark, TestSession.sf).count())
+  }
+
+  test("dedup savings reconcile with the converged cluster non-survivors") {
+    import graft.operators.DedupClusterOps
+    val sv = DedupClusterOps.dedupSavings(spark, TestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(sv.nonEmpty)
+    sv.foreach { case (src, docs, chars, dupDocs, dupChars, milli) =>
+      assert(dupDocs <= docs, s"$src dup_docs=$dupDocs > docs=$docs")
+      assert(dupChars <= chars && milli >= 0 && milli <= 1000, s"$src")
+    }
+    val nonSurvivors = DedupClusterOps.dedupClusters(spark, TestSession.sf)
+      .filter("is_survivor = 0").count()
+    assert(sv.map(_._4).sum == nonSurvivors,
+      "per-source dup docs must sum to the cluster non-survivor count")
+    assert(nonSurvivors > 0, "corpus should contain planted near-dups")
+  }
+
   test("threshold curve: cumulative counts reconcile with the exact pair set") {
     val curve = MinHashOps.dedupThresholdCurve(spark, TestSession.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

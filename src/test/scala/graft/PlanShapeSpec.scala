@@ -350,4 +350,18 @@ class PlanShapeSpec extends AnyFunSuite {
     // 2-3x this; a regression there trips the bound immediately.
     assert(n <= 50, s"mst_forest ran $n jobs")
   }
+
+  test("capped dedup shuffles 8-byte shingle hashes, never shingle strings") {
+    val plan = executedPlan(graft.operators.MinHashOps.dedupNgram(spark, sf))
+    // The fused path hashes shingles ONCE and keys every downstream
+    // exchange (df count, candidate self-join, dropped-correction,
+    // pair aggregate) on the 8-byte hash or on doc ids. A
+    // variable-length shingle string crossing an exchange is the
+    // regression that made the r11 pre-fix path 8x slower and would
+    // move corpus text volume through the network at 100 TB.
+    assert(!plan.contains("hashpartitioning(s#"),
+      s"raw shingle strings crossed an exchange:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      "tagged-index / candidate-pair caches missing from the plan")
+  }
 }
