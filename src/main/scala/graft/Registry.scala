@@ -694,6 +694,11 @@ object Registry {
     q("vocab_oov", TextOps.VocabOovOracleSql)(
       (s, d) => TextOps.vocabOovAudit(s, d)),
 
+    // Per-source lexical richness: type-token ratio + hapax share —
+    // the machine-generated/template-feed detector.
+    q("vocab_by_source", TextOps.VocabBySourceOracleSql)(
+      TextOps.vocabBySource),
+
     // Tokenizer fertility (BPE pieces per whitespace word) by declared
     // language — the compute-per-word correction a multilingual mixture
     // budget needs; exact integer sums per language.

@@ -1206,6 +1206,49 @@ object TextOps {
       |  AS other_permille
       |FROM g ORDER BY source""".stripMargin
 
+  /** Per-source vocabulary richness: type-token ratio and hapax-
+    * legomenon share. A machine-generated or template-stuffed feed has
+    * an anomalously LOW TTR (few types re-served many times) and a low
+    * hapax share; scraped natural text sits high on both — the lexical
+    * companion to [[charsetProfile]] when triaging feeds. One
+    * (source, token) count aggregate (map-side combined) collapsed to
+    * |sources| rows.
+    */
+  def vocabBySource(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(
+        sum("cnt").as("tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("hapax_tokens"))
+      .select(
+        col("source"),
+        col("tokens").cast("long").as("tokens"),
+        col("distinct_tokens"), col("hapax_tokens"),
+        expr("(1000 * distinct_tokens) div greatest(tokens, 1)")
+          .as("ttr_milli"),
+        expr("(1000 * hapax_tokens) div greatest(distinct_tokens, 1)")
+          .as("hapax_milli"))
+      .orderBy("source")
+
+  val VocabBySourceOracleSql: String =
+    """WITH t AS (
+      | SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+      | FROM documents),
+      |c AS (SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2)
+      |SELECT source, CAST(sum(cnt) AS BIGINT) AS tokens,
+      | count(*) AS distinct_tokens,
+      | CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS hapax_tokens,
+      | CAST((1000 * count(*)) // greatest(sum(cnt), 1) AS BIGINT)
+      |  AS ttr_milli,
+      | CAST((1000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END))
+      |  // greatest(count(*), 1) AS BIGINT) AS hapax_milli
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   /** Tokenizer fertility by declared language — pieces-per-word is the
     * tokenizer-efficiency number a multilingual mixture is budgeted in
     * (a language at 2× fertility costs 2× the compute per word, so the

@@ -283,6 +283,22 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab by source: hapax <= types <= tokens, corpus conserved") {
+    val v = TextOps.vocabBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(v.nonEmpty)
+    v.foreach { case (src, toks, types, hapax, ttr, hm) =>
+      assert(hapax <= types && types <= toks, s"$src $hapax/$types/$toks")
+      assert(ttr >= 0 && ttr <= 1000 && hm >= 0 && hm <= 1000, s"$src")
+    }
+    val corpusTokens = graft.Tables.documents(spark, sf)
+      .select(sum(size(expr("regexp_extract_all(text, '\\\\S+', 0)"))))
+      .collect()(0).getLong(0)
+    assert(v.map(_._2).sum == corpusTokens,
+      "per-source token counts must conserve the corpus token total")
+  }
+
   test("lang confusion conserves documents and row shares") {
     val m = TextOps.langConfusion(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
