@@ -122,6 +122,26 @@ object Bench {
       "link_prediction", "triangle_count", "knn_graph", "clustering_coeff",
       "markov_stationary", "graph_degrees")
 
+    // The shingle-dedup family persists (and eagerly materializes) the
+    // frames that carry essentially ALL of its work — shingle sets, the
+    // capped inverted index, the intersection counts. Under the default
+    // methodology the warm-up run leaves those caches warm and the timed
+    // reps re-find them by analyzed-plan identity, so the recorded
+    // median measures a few id-joins instead of the query (r11 driver
+    // run: dedup_ngram 0.47 s recorded vs 3.1-5.6 s standalone). These
+    // queries get COLD reps: every cache is dropped before each timed
+    // run, so the median is the number a fresh session would pay.
+    val coldFamily = Set(
+      "dedup_ngram", "dedup_containment", "dedup_source_matrix",
+      "dedup_threshold_curve", "dedup_minhash", "dedup_savings",
+      "dedup_sorted_neighborhood", "dedup_threshold", "ngram_stop_shingles",
+      "source_novelty", "dedup_simhash", "span_dedup")
+    def dropAllCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     // Optional comma-separated filter for quick single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val allNames = queries.keys.toVector.sorted
@@ -142,7 +162,10 @@ object Bench {
         case (_, Some(err)) => Timing(n, -1.0, Some(err), Vector.empty)
         case (warmSec, None) =>
           val reps = if (warmSec > slowCutoffSec) 1 else 3
-          val timed = Vector.fill(reps)(runOnce(n))
+          val timed = Vector.fill(reps) {
+            if (coldFamily(n)) dropAllCaches()
+            runOnce(n)
+          }
           timed.collectFirst { case (_, Some(err)) => err } match {
             case Some(err) => Timing(n, -1.0, Some(err), Vector.empty)
             case None =>

@@ -524,31 +524,13 @@ object Registry {
     // dedup_minhash, with stop-shingles above the default df cap pruned
     // from the CANDIDATE stage only (verification keeps the full sets,
     // so emitted values are the exact uncapped Jaccard — the oracle
-    // applies the identical cap to its candidate join).
-    q("dedup_ngram",
-      """WITH tok AS (
-        | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
-        |sh AS (
-        | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
-        |  END AS shingles
-        | FROM tok),
-        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
-        |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        | JOIN freq f ON a.s = f.s
-        | WHERE f.df <= (SELECT cap FROM cap)),
-        |j AS (
-        | SELECT c.doc_a, c.doc_b,
-        |  (1000 * len(list_intersect(x.shingles, y.shingles)))
-        |   // len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard_milli
-        | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
-        |SELECT doc_a, doc_b, CAST(jaccard_milli AS BIGINT) AS jaccard_milli
-        |FROM j WHERE jaccard_milli >= 600 ORDER BY doc_a, doc_b""".stripMargin)(
-      MinHashOps.dedupNgram),
+    // applies the identical cap to its candidate join). Documents with
+    // IDENTICAL shingle sets bypass the cap entirely (the mass-
+    // duplication exemption): without it, a doc duplicated 64+ times has
+    // every shingle above the cap and would silently vanish from the
+    // candidate stage. Residual blind spot, by design: a near-but-not-
+    // exact pair whose every shared shingle is 64+-doc template mass.
+    q("dedup_ngram", MinHashOps.DedupNgramOracleSql)(MinHashOps.dedupNgram),
 
     // Stop-shingle audit next to the capped dedup: how much index and
     // candidate volume the default df cap removes (the quadratic-bomb
@@ -936,6 +918,13 @@ object Registry {
     // across label permutations, rows-only like the other kmeans
     // artifacts (MLlib fit not oracle-SQL-expressible).
     rowsOnly("kmeans_assign")((s, d) => KMeansOps.kmeansAssign(s, d)),
+
+    // Fixed-point Lloyd's twin — the oracle-CLOSED member of the KMeans
+    // family: deterministic lowest-id init, 4 fixed rounds, every step
+    // in e6 integers, so the DuckDB oracle replays the identical
+    // algorithm round for round (the `pagerank`-style unrolled chain).
+    // The MLlib entries above stay rows-only beside it by contract.
+    q("kmeans_lloyd", LloydOps.oracleSql())(LloydOps.kmeansLloyd),
 
     // IVF ANN scale path: depends on an MLlib KMeans fit, so (like the
     // kmeans_* entries) not oracle-SQL-expressible — rows-only here;

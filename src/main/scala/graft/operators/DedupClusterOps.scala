@@ -43,7 +43,11 @@ object DedupClusterOps {
       docs: DataFrame,
       thresholdMilli: Int = Threshold,
       iters: Int = Iters): DataFrame = {
-    val pairs = MinHashOps.ngramJaccardPairs(docs, thresholdMilli)
+    // df-capped pair graph (with the mass-duplication set-identity
+    // exemption), so the clustering family shares the exact candidate
+    // bound — and the exact pair view — of `dedup_ngram`.
+    val pairs = MinHashOps.ngramJaccardPairs(docs, thresholdMilli,
+        dfCap = Some(MinHashOps.defaultDfCap(docs.count())))
       .select(col("doc_a"), col("doc_b"))
     val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -105,7 +109,11 @@ object DedupClusterOps {
       docs: DataFrame,
       thresholdMilli: Int = Threshold,
       maxIters: Int = 50): (Int, DataFrame) = {
-    val pairs = MinHashOps.ngramJaccardPairs(docs, thresholdMilli)
+    // Same df-capped + set-exempted pair graph as `dedup_ngram` (see
+    // [[clusters]]) — an uncapped graph here would re-open the C(df,2)
+    // candidate bomb this family's siblings eliminated.
+    val pairs = MinHashOps.ngramJaccardPairs(docs, thresholdMilli,
+        dfCap = Some(MinHashOps.defaultDfCap(docs.count())))
       .select(col("doc_a"), col("doc_b"))
     val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -148,17 +156,7 @@ object DedupClusterOps {
     * `dedup_ngram` oracle), symmetrized, plus the node set.
     */
   private[operators] def pairGraphSql(thresholdMilli: Int): String =
-    s""" tok AS MATERIALIZED (
-       | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
-       |sh AS MATERIALIZED (
-       | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
-       |  END AS shingles
-       | FROM tok),
-       |e AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |cand AS MATERIALIZED (
-       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id),
+    s""" ${MinHashOps.cappedCandCtes(materialized = true)},
        |pairs AS MATERIALIZED (
        | SELECT c.doc_a, c.doc_b
        | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id

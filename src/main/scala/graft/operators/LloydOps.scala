@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Fixed-point Lloyd's K-Means — the ORACLE-CLOSED twin of the MLlib
+  * entries (`kmeans_sizes`/`kmeans_centroids`/`kmeans_assign`, which are
+  * rows-only by declared contract because MLlib's k-means|| init and
+  * float tree-aggregation are not SQL-expressible). This one is:
+  * deterministic init (the k lowest-id vectors), a FIXED iteration
+  * count, and every arithmetic step in e6 fixed-point integers, so a
+  * DuckDB oracle can replay the algorithm exactly, round for round
+  * (semantics mirrored: kmeans_spark.py:140-162's Lloyd loop).
+  *
+  * Determinism contract, engine by engine:
+  *  - coordinates quantize once to e6 (`floor(x·1e6 + 0.5)` — pure IEEE,
+  *    bit-identical both sides), so distances are exact BIGINT sums;
+  *  - assignment is argmin over exact integers with ties broken toward
+  *    the LOWEST cluster id (Spark: first `array_position` match over
+  *    the distance array; oracle: `row_number() ORDER BY dist, cluster`);
+  *  - centroid update is integer mean `sum div count` (both engines
+  *    truncate toward zero) — each round re-synchronizes to the integer
+  *    grid, so no cross-engine drift can accumulate;
+  *  - a cluster that loses all members KEEPS its previous centroid.
+  *
+  * Scale notes (100 TB): the corpus-sized work per round is one
+  * assignment pass (centroids enter as a k×64 LITERAL array — a plan
+  * constant, nothing is broadcast or joined) and one k×64-cell partial
+  * aggregation (posexplode combines map-side, the exchange carries
+  * k·dims cells regardless of corpus size). The only driver state is
+  * the k×64 integer centroid table per round — the same constant-size
+  * judgment call as PageRank's convergence scalar or PCA's moment
+  * matrix. Iteration count is fixed (the oracle-replayable contract);
+  * production convergence-mode would add the one-scalar-per-round
+  * changed-count check of [[GraphOps.connectedComponentsConverged]].
+  */
+object LloydOps {
+
+  val K = 8
+  val Iters = 4
+  val Dims: Int = StatsOps.EmbedDims
+
+  /** e6-quantized coordinate arrays: (vec_id, xq Array[Long]). */
+  private def quantized(embeddings: DataFrame): DataFrame =
+    Tables.parallelized(embeddings)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as long))")
+          .as("xq"))
+
+  /** Squared L2 distance from `xq` to a literal centroid — exact
+    * integer (diff·diff) terms folded into one codegen'd expression.
+    */
+  private def distCol(c: Array[Long]): Column =
+    c.indices.map { d =>
+      val diff = element_at(col("xq"), d + 1) - lit(c(d))
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Points with their argmin cluster for the given centroid table. */
+  private def assign(pts: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val dists = array(cents.map(distCol): _*)
+    pts.select(col("vec_id"), col("xq"),
+      (array_position(dists, array_min(dists)) - 1L).as("cluster"))
+  }
+
+  /** Runs `iters` fixed-point Lloyd rounds; returns (final centroids,
+    * last-assignment sizes). Exposed for the spec's convergence checks.
+    */
+  private[graft] def run(
+      embeddings: DataFrame, k: Int, iters: Int)
+      : (Array[Array[Long]], Array[Long]) = {
+    val pts = quantized(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    var cents: Array[Array[Long]] = pts.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(cents.length == k, s"corpus smaller than k=$k")
+    val sizes = new Array[Long](k)
+    for (_ <- 1 to iters) {
+      val cells = assign(pts, cents)
+        .select(col("cluster"), posexplode(col("xq")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect() // k×64 cells — constant-size driver state per round
+      java.util.Arrays.fill(sizes, 0L)
+      val next = cents.map(_.clone())
+      cells.foreach { r =>
+        val cl = r.getLong(0).toInt
+        val dim = r.getInt(1)
+        next(cl)(dim) = r.getLong(2) / r.getLong(3) // JVM /: trunc-to-zero, = div
+        sizes(cl) = r.getLong(3)
+      }
+      cents = next
+    }
+    pts.unpersist(false)
+    (cents, sizes)
+  }
+
+  /** Registered query: (cluster, dim, centroid_fp, n) after [[Iters]]
+    * rounds — k×64 rows, built on the driver from the constant-size
+    * centroid table.
+    */
+  def kmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    val (cents, sizes) = run(Tables.embeddings(s, dir), K, Iters)
+    val rows = for {
+      cl <- 0 until K
+      d <- 0 until Dims
+    } yield Row(cl.toLong, d.toLong, cents(cl)(d), sizes(cl))
+    val schema = StructType(Seq(
+      StructField("cluster", LongType, nullable = false),
+      StructField("dim", LongType, nullable = false),
+      StructField("centroid_fp", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    s.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .orderBy("cluster", "dim")
+  }
+
+  /** DuckDB oracle: the IDENTICAL unrolled algorithm — quantize, init
+    * from the k lowest ids, then per round an argmin assignment
+    * (`row_number() ORDER BY dist, cluster` = lowest-cluster tie-break)
+    * and an integer-mean update with empty-cluster carry, all in BIGINT.
+    */
+  def oracleSql(k: Int = K, iters: Int = Iters): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH x AS MATERIALIZED (
+         | SELECT vec_id, t.i - 1 AS dim,
+         |  CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+         | FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i) t),
+         |ids AS (
+         | SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+         | FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |c0 AS MATERIALIZED (
+         | SELECT ids.cluster, x.dim, x.xq AS c FROM ids JOIN x USING (vec_id))""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+         |d$i AS MATERIALIZED (
+         | SELECT x.vec_id, c.cluster, sum((x.xq - c.c) * (x.xq - c.c)) AS dist
+         | FROM x JOIN c${i - 1} c ON x.dim = c.dim GROUP BY 1, 2),
+         |a$i AS MATERIALIZED (
+         | SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |  FROM d$i) WHERE rn = 1),
+         |m$i AS MATERIALIZED (
+         | SELECT a.cluster, x.dim, sum(x.xq) // count(*) AS c
+         | FROM a$i a JOIN x USING (vec_id) GROUP BY 1, 2),
+         |c$i AS MATERIALIZED (
+         | SELECT p.cluster, p.dim, coalesce(m.c, p.c) AS c
+         | FROM c${i - 1} p LEFT JOIN m$i m ON p.cluster = m.cluster AND p.dim = m.dim)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT CAST(c.cluster AS BIGINT) AS cluster, CAST(c.dim AS BIGINT) AS dim,
+       | CAST(c.c AS BIGINT) AS centroid_fp, CAST(coalesce(sz.n, 0) AS BIGINT) AS n
+       |FROM c$iters c LEFT JOIN (
+       | SELECT cluster, count(*) AS n FROM a$iters GROUP BY 1) sz
+       | ON c.cluster = sz.cluster
+       |ORDER BY cluster, dim""".stripMargin)
+    sb.toString
+  }
+}

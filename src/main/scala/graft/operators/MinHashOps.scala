@@ -80,11 +80,61 @@ object MinHashOps {
   private def signature: Column =
     graft.functions.GraftFunctions.minhash_sig(col("shingles"), NumHashes)
 
+  /** 64-bit set-identity fingerprint of a document's shingle SET: the
+    * xxhash64 of the lexicographically sorted per-shingle hash strings.
+    * Documents with identical shingle sets — exact duplicates at the
+    * shingle level, which is exactly the mass-duplication case — share
+    * the key; two DISTINCT sets collide with probability ~2^-64 per
+    * pair, the same budget the hashed verify counts already accept.
+    */
+  private def setKey: Column =
+    xxhash64(lit(-2L), concat_ws(",",
+      sort_array(transform(col("shingles"),
+        x => xxhash64(lit(-1L), x).cast("string")))))
+
+  /** Band-bucket size ceiling for the LSH candidate stage: with exact
+    * set-duplicates already collapsed to one representative, a single
+    * band bucket holding 512+ DISTINCT shingle sets is template mass
+    * (many different documents agreeing on two MinHash rows), whose
+    * C(size,2) candidate pairs carry almost no duplication evidence.
+    * The cap bounds per-bucket candidate work at C(512,2) regardless of
+    * how template-heavy the corpus is — the LSH analogue of
+    * [[defaultDfCap]]. A genuinely near-dup pair shares ~32·J² bands in
+    * expectation (≈11 at the 0.6 threshold), so it is lost only if ALL
+    * its shared buckets are over-full — in practice only when its whole
+    * overlap is the very template mass the cap targets.
+    */
+  val DefaultBucketCap: Int = 512
+
   /** Near-duplicate pairs with exact fixed-point Jaccard >= `thresholdMilli`,
     * found via banded LSH over MinHash signatures.
+    *
+    * Mass-duplication safety: exact shingle-set duplicates are collapsed
+    * to one representative per set ([[setKey]] grouping) BEFORE the LSH
+    * stage, and the verified representative pairs are expanded back to
+    * member pairs afterwards (identical sets ⇒ identical Jaccard, and
+    * within-group pairs are Jaccard 1000 by construction). A document
+    * duplicated 100 000× therefore contributes ONE row to every band
+    * bucket instead of 100 000 — the C(g,2)·32 bucket bomb never forms —
+    * with zero recall loss: the expansion emits exactly the pairs the
+    * exhaustive oracle emits. `bucketCap` additionally drops over-full
+    * band buckets (post-collapse those are non-identical template mass).
     */
-  def nearDupPairs(docs: DataFrame, thresholdMilli: Int = 600): DataFrame = {
+  def nearDupPairs(docs: DataFrame, thresholdMilli: Int = 600,
+      bucketCap: Option[Int] = Some(DefaultBucketCap)): DataFrame = {
     val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // (1) Collapse exact set-duplicates: one representative (min doc_id)
+    // per distinct shingle set; `members` maps every doc to its rep.
+    val keyed = sh.select(col("doc_id"), setKey.as("set_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = keyed.groupBy("set_key").agg(min("doc_id").as("rep"))
+    val members = keyed.join(reps, "set_key")
+      .select(col("doc_id"), col("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repSh = sh.join(
+      members.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bandKeys = transform(
       sequence(lit(0), lit(Bands - 1)),
@@ -94,31 +144,43 @@ object MinHashOps {
           element_at(col("sig"), b * RowsPerBand + 1),
           element_at(col("sig"), b * RowsPerBand + 2)))
 
-    val buckets = sh
-      .select(col("doc_id"), signature.as("sig"))
-      .select(col("doc_id"), explode(bandKeys).as("bucket"))
+    // Persist the signature frame BEFORE exploding band keys: exploding
+    // an array computed over an unmaterialized expensive column re-pays
+    // the construction inside the interpreted Generate path (the sf1
+    // explode trap) — and `sig` is the costliest column in the pipeline.
+    val sigs = repSh.select(col("doc_id"), signature.as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = sigs.select(col("doc_id"), explode(bandKeys).as("bucket"))
+    val kept = bucketCap.fold(buckets) { cap =>
+      buckets.join(
+        buckets.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") <= cap)
+          .select("bucket"),
+        "bucket")
+    }
 
-    val candidates = buckets.as("x")
+    val candidates = kept.as("x")
       .join(
-        buckets.as("y"),
+        kept.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // Verify stage: shingles are distinct per document, so counting the
-    // (doc_a, doc_b, hash) co-occurrences of an inverted hash index IS
-    // |A∩B|, and |A∪B| = |A|+|B|-|A∩B|. Seed -1 keeps this hash family
-    // disjoint from the 64 signature seeds; a 64-bit cross-shingle
-    // collision inside one pair's union (~|A||B|/2^64) is far below the
-    // banding miss rate, so exactness vs the string-based oracle holds.
-    // LSH false-positive candidates sharing zero shingles drop out of the
-    // inner join — correct, their Jaccard is 0.
-    val inv = sh
+    // Verify stage (REPRESENTATIVES ONLY): shingles are distinct per
+    // document, so counting the (doc_a, doc_b, hash) co-occurrences of
+    // an inverted hash index IS |A∩B|, and |A∪B| = |A|+|B|-|A∩B|. Seed
+    // -1 keeps this hash family disjoint from the 64 signature seeds; a
+    // 64-bit cross-shingle collision inside one pair's union
+    // (~|A||B|/2^64) is far below the banding miss rate, so exactness vs
+    // the string-based oracle holds. LSH false-positive candidates
+    // sharing zero shingles drop out of the inner join — correct, their
+    // Jaccard is 0.
+    val inv = repSh
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(lit(-1), col("s")).as("h"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    candidates
+    val sizes = repSh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val repPairs = candidates
       .join(inv.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
       .join(inv.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
@@ -130,7 +192,27 @@ object MinHashOps {
         col("doc_b"),
         expr("(1000 * inter) div (na + nb - inter)").as("jaccard_milli"))
       .filter(col("jaccard_milli") >= thresholdMilli)
-      .orderBy("doc_a", "doc_b")
+
+    // (3) Expand representative pairs back to member pairs. Identical
+    // sets have identical signatures and Jaccards, so every (member of
+    // A's group, member of B's group) pair inherits the rep pair's exact
+    // value, and within-group pairs are exact duplicates at Jaccard
+    // 1000. Pure id-equi-joins — the expansion volume IS the output.
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("ma")),
+        "doc_a")
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("mb")),
+        "doc_b")
+      .select(
+        least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"),
+        col("jaccard_milli"))
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1000L).as("jaccard_milli"))
+    cross.union(within).orderBy("doc_a", "doc_b")
   }
 
   /** Registered-query entry over the `documents` table. */
@@ -281,8 +363,12 @@ object MinHashOps {
     * complete the true uncapped count. Candidate volume is bounded by
     * C(cap,2)·|distinct shingles|; the correction term by
     * Σ_pair |dropped(A)|. Shared by the Jaccard and containment paths.
+    * Returns the lazy plan plus the intermediate persisted frames (the
+    * caller materializes and releases them — exposed separately so plan
+    * tests can inspect the pre-materialization shape).
     */
-  private def cappedIntersections(sh: DataFrame, cap: Long): DataFrame = {
+  private[operators] def cappedIntersectionsPlan(
+      sh: DataFrame, cap: Long): (DataFrame, Seq[DataFrame]) = {
     val inv = hashedIndex(sh)
     val freq = inv.groupBy("h").agg(count(lit(1)).as("df"))
     val invT = inv.join(freq, "h")
@@ -302,10 +388,46 @@ object MinHashOps {
         Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter_d"))
-    interCapped
+    val out = interCapped
       .join(interDropped, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
         expr("inter_c + coalesce(inter_d, 0L)").as("inter"))
+    (out, Seq(invT, interCapped))
+  }
+
+  /** [[cappedIntersectionsPlan]] plus the MASS-DUPLICATION exemption: a
+    * document duplicated more than `cap` times has EVERY shingle above
+    * the df cap, so the capped candidate stage alone would emit zero
+    * pairs for it — silently missing exactly the highest-multiplicity
+    * duplicates, the largest byte-savings targets. Pairs of documents
+    * with identical shingle SETS ([[setKey]] equality) are therefore
+    * routed around the cap entirely: their intersection is the full set
+    * size by construction, at pure id-join cost. A near-but-not-exact
+    * pair whose every shared shingle is 64+-doc template mass remains
+    * out of scope by design (its overlap IS the template).
+    *
+    * The returned frame is materialized eagerly so the intermediate
+    * index persists can be released here instead of leaking per
+    * invocation in a long-lived session; the (output-sized) result
+    * itself stays cached until the session's cache sweep.
+    */
+  private def cappedIntersections(sh: DataFrame, cap: Long): DataFrame = {
+    val (inter, temps) = cappedIntersectionsPlan(sh, cap)
+    val keyed = sh.select(col("doc_id"), setKey.as("k"),
+      size(col("shingles")).cast("long").as("n"))
+    val setPairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("inter"))
+    // Both branches carry the exact uncapped intersection wherever they
+    // overlap, so max() is a dedup, not a choice.
+    val out = inter.union(setPairs)
+      .groupBy("doc_a", "doc_b").agg(max("inter").as("inter"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    temps.foreach(_.unpersist(false))
+    out
   }
 
   private def jaccardVerifyHashed(
@@ -325,6 +447,54 @@ object MinHashOps {
       .filter(col("jaccard_milli") >= thresholdMilli)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Shared DuckDB CTE prefix for the df-capped ngram dedup family
+    * (`dedup_ngram`, `dedup_containment`, `dedup_source_matrix`,
+    * `dedup_threshold_curve`, and the cluster family's pair graph):
+    * tokenize → shingles → inverted index → df cap → candidates =
+    * sub-cap shared-shingle pairs ∪ identical-shingle-set pairs (the
+    * mass-duplication exemption, mirroring [[cappedIntersections]] —
+    * set identity here is list_sort equality, the exact semantics the
+    * Spark side's sorted-hash fingerprint approximates at ~2^-64).
+    */
+  private[operators] def cappedCandCtes(materialized: Boolean = false): String = {
+    val M = if (materialized) " MATERIALIZED" else ""
+    s"""tok AS$M (
+       | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |sh AS$M (
+       | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+       |  END AS shingles
+       | FROM tok),
+       |e AS$M (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |freq AS$M (SELECT s, count(*) AS df FROM e GROUP BY s),
+       |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
+       |setp AS$M (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM sh a JOIN sh b
+       |  ON md5(array_to_string(list_sort(a.shingles), chr(30))) =
+       |     md5(array_to_string(list_sort(b.shingles), chr(30)))
+       |  AND a.doc_id < b.doc_id),
+       |cand AS$M (
+       | SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN freq f ON a.s = f.s
+       |  WHERE f.df <= (SELECT cap FROM cap)
+       |  UNION ALL SELECT doc_a, doc_b FROM setp) u)""".stripMargin
+  }
+
+  /** Exact-Jaccard oracle over the capped candidate CTEs — the
+    * `dedup_ngram` gate SQL. */
+  val DedupNgramOracleSql: String =
+    s"""WITH ${cappedCandCtes()},
+       |j AS (
+       | SELECT c.doc_a, c.doc_b,
+       |  (1000 * len(list_intersect(x.shingles, y.shingles)))
+       |   // len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard_milli
+       | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, CAST(jaccard_milli AS BIGINT) AS jaccard_milli
+       |FROM j WHERE jaccard_milli >= 600 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Stop-shingle audit for the df-capped inverted index: how many
     * distinct shingles exceed [[defaultDfCap]], how many index postings
@@ -405,21 +575,7 @@ object MinHashOps {
   }
 
   val DedupThresholdCurveOracleSql: String =
-    """WITH tok AS (
-      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
-      |sh AS (
-      | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
-      |  END AS shingles
-      | FROM tok),
-      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
-      |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
-      |cand AS (
-      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      | JOIN freq f ON a.s = f.s
-      | WHERE f.df <= (SELECT cap FROM cap)),
+    s"""WITH ${cappedCandCtes()},
       |j AS (
       | SELECT c.doc_a, c.doc_b,
       |  (1000 * len(list_intersect(x.shingles, y.shingles)))
@@ -538,21 +694,7 @@ object MinHashOps {
   }
 
   val ContainmentOracleSql: String =
-    """WITH tok AS (
-      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
-      |sh AS (
-      | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
-      |  END AS shingles
-      | FROM tok),
-      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
-      |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
-      |cand AS (
-      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      | JOIN freq f ON a.s = f.s
-      | WHERE f.df <= (SELECT cap FROM cap)),
+    s"""WITH ${cappedCandCtes()},
       |j AS (
       | SELECT c.doc_a, c.doc_b,
       |  len(list_intersect(x.shingles, y.shingles)) AS inter,
@@ -639,21 +781,7 @@ object MinHashOps {
   }
 
   val DedupSourceMatrixOracleSql: String =
-    """WITH tok AS (
-      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
-      |sh AS (
-      | SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |  ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
-      |  END AS shingles
-      | FROM tok),
-      |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      |freq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
-      |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM sh),
-      |cand AS (
-      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      | FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      | JOIN freq f ON a.s = f.s
-      | WHERE f.df <= (SELECT cap FROM cap)),
+    s"""WITH ${cappedCandCtes()},
       |j AS (
       | SELECT c.doc_a, c.doc_b,
       |  (1000 * len(list_intersect(x.shingles, y.shingles)))

@@ -29,11 +29,45 @@ object PcaOps {
   val Dims: Int = StatsOps.EmbedDims
   private val Tri = Dims * (Dims + 1) / 2 // upper-triangle cell count
 
-  /** buffer = [n, sum_0..63, upper-triangle products row-major]. */
+  /** buffer = [n, sum_0..63, product HI words (Tri), product LO words
+    * (Tri)] — the Σx·xᵀ cells are 128-bit two's-complement (hi, lo)
+    * pairs. Products of e6 fixed-point values run ~1e12 per cell for
+    * unit-magnitude components, so a 64-bit cell saturates around ~9e6
+    * rows — a number a 100 TB embedding feed passes in one partition
+    * batch. 128 bits push the ceiling past 10²⁰ rows at any magnitude
+    * the e6 quantization itself survives. n and Σx stay 64-bit under
+    * addExact (they saturate ~10¹² rows — loudly, not silently).
+    */
   final case class Moments(buf: Array[Long])
 
+  private val HiBase = 1 + Dims       // first product-hi slot
+  private val LoBase = 1 + Dims + Tri // first product-lo slot
+
+  /** acc(hiIdx, loIdx) += v, 128-bit two's complement: lo words add as
+    * unsigned with carry-out `((lo & v) | ((lo | v) & ~nlo)) >>> 63`;
+    * the hi word absorbs the carry plus v's sign extension.
+    */
+  @inline private def add128(b: Array[Long], hiIdx: Int, loIdx: Int, v: Long): Unit = {
+    val lo = b(loIdx)
+    val nlo = lo + v
+    b(loIdx) = nlo
+    b(hiIdx) += (v >> 63) + (((lo & v) | ((lo | v) & ~nlo)) >>> 63)
+  }
+
+  /** Exact value of a 128-bit (hi, lo) cell. */
+  private def toBigInt(hi: Long, lo: Long): BigInt =
+    (BigInt(hi) << 64) + (BigInt(lo) & ((BigInt(1) << 64) - 1))
+
+  /** Exact Σx_i·x_j read-back for the (i, j) upper-triangle cell —
+    * exposed for the overflow-regression spec.
+    */
+  private[graft] def productCell(m: Moments, i: Int, j: Int): BigInt = {
+    val t = i * Dims - i * (i - 1) / 2 + (j - i)
+    toBigInt(m.buf(HiBase + t), m.buf(LoBase + t))
+  }
+
   final class MomentAggregator extends Aggregator[Seq[Float], Moments, Moments] {
-    override def zero: Moments = Moments(new Array[Long](1 + Dims + Tri))
+    override def zero: Moments = Moments(new Array[Long](1 + Dims + 2 * Tri))
     override def reduce(m: Moments, v: Seq[Float]): Moments = {
       val x = new Array[Long](Dims)
       var i = 0
@@ -44,19 +78,15 @@ object PcaOps {
       val b = m.buf
       b(0) += 1L
       i = 0
-      var t = 1 + Dims
+      var t = 0
       while (i < Dims) {
         b(1 + i) += x(i)
         var j = i
         while (j < Dims) {
-          // Products of e6 fixed-point values: ~1e12 per cell for
-          // unit-magnitude components, so the GLOBAL sum (reduce and
-          // merge share one accumulator) hits Long range around ~9e6
-          // unit-magnitude rows. Silent wraparound would corrupt the
-          // eigensolve invisibly — addExact/multiplyExact make the
-          // capacity boundary a loud ArithmeticException instead, the
-          // signal to move this corpus to a wider accumulator.
-          b(t) = Math.addExact(b(t), Math.multiplyExact(x(i), x(j)))
+          // The per-row product still must fit 64 bits (multiplyExact
+          // throws at coordinate magnitudes ~3e9 fp = 3e3 raw — far
+          // outside any sane embedding); the running SUM is 128-bit.
+          add128(b, HiBase + t, LoBase + t, Math.multiplyExact(x(i), x(j)))
           t += 1
           j += 1
         }
@@ -66,8 +96,19 @@ object PcaOps {
     }
     override def merge(a: Moments, b: Moments): Moments = {
       var i = 0
-      while (i < a.buf.length) {
+      while (i < HiBase) {
         a.buf(i) = Math.addExact(a.buf(i), b.buf(i)); i += 1
+      }
+      var t = 0
+      while (t < Tri) {
+        // 128+128 merge: unsigned lo add with carry into the hi sum.
+        val lo = a.buf(LoBase + t)
+        val vlo = b.buf(LoBase + t)
+        val nlo = lo + vlo
+        a.buf(LoBase + t) = nlo
+        a.buf(HiBase + t) = a.buf(HiBase + t) + b.buf(HiBase + t) +
+          (((lo & vlo) | ((lo | vlo) & ~nlo)) >>> 63)
+        t += 1
       }
       a
     }
@@ -92,12 +133,11 @@ object PcaOps {
     val n = m.buf(0).toDouble
     val mean = Array.tabulate(Dims)(i => m.buf(1 + i) / n)
     val cov = Array.ofDim[Double](Dims, Dims)
-    var t = 1 + Dims
     for (i <- 0 until Dims; j <- i until Dims) {
-      val c = m.buf(t) / n - mean(i) * mean(j)
+      // Exact 128-bit Σx_i·x_j → double once, at the very end.
+      val c = productCell(m, i, j).toDouble / n - mean(i) * mean(j)
       cov(i)(j) = c
       cov(j)(i) = c
-      t += 1
     }
 
     def powerIter(deflate: Option[(Array[Double], Double)]): (Array[Double], Double) = {

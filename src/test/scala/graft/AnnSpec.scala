@@ -134,6 +134,25 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("PCA moment cells survive Long-overflowing product sums (128-bit)") {
+    import graft.operators.PcaOps
+    val agg = new PcaOps.MomentAggregator
+    // Coordinate 3000.0 → 3e9 fixed-point; ONE row's product is ~9e18 ≈
+    // Long.MaxValue, so three rows push every Σx·xᵀ cell out of 64-bit
+    // range — exactly the silent-overflow scenario the old addExact
+    // guard could only turn into a crash. Mixed signs exercise the
+    // signed-carry path; the merge exercises the 128+128 combine.
+    val pos = Seq.tabulate(PcaOps.Dims)(i => if (i == 1) -3000.0f else 3000.0f)
+    var m = agg.reduce(agg.zero, pos)
+    m = agg.merge(m, agg.reduce(agg.zero, pos))
+    m = agg.reduce(m, pos)
+    val p = BigInt(3000000000L)
+    assert(PcaOps.productCell(m, 0, 0) == 3 * p * p)
+    assert(PcaOps.productCell(m, 0, 1) == -3 * p * p)
+    assert(PcaOps.productCell(m, 1, 1) == 3 * p * p)
+    assert(3 * p * p > BigInt(Long.MaxValue)) // genuinely past 64-bit
+  }
+
   test("embedding norm and per-dim audits match a serial replay") {
     import graft.operators.StatsOps
     val vecs = Tables.embeddings(spark, sf)
