@@ -147,16 +147,26 @@ object Bench {
     val allNames = queries.keys.toVector.sorted
       .filter(n => only.forall(_.contains(n)))
     val (graphNames, regularNames) = allNames.partition(iterativeFamily)
-    val names = regularNames ++ graphNames
-    val graphStart = regularNames.size
+    // The family runs FIRST, in the youngest possible JVM. r11 ran it
+    // last and the driver measured triangle_count at 7.4-14.4 s; the r12
+    // bisection reproduced that only with the 178 regular queries ahead
+    // of it in the SAME JVM — the family alone, any order, measures
+    // 1-6 s per member (triangle_count 3.5-4.3 s standalone, after its 4
+    // in-family predecessors, and 21-deep in a family-only run alike).
+    // Session recycling cannot shed JVM-level aging (code cache,
+    // metaspace, heap fragmentation), so position is the only lever: the
+    // memory-bound iterative queries get the fresh JVM, and the short
+    // scan-agg regulars — insensitive to aging in two rounds of driver
+    // data — absorb the late positions.
+    val names = graphNames ++ regularNames
+    val familyEnd = graphNames.size
+    if (graphNames.nonEmpty) recycleEvery = 8 // tight cadence in-family
     val results: Vector[Timing] = names.zipWithIndex.map { case (n, idx) =>
-      if (idx == graphStart && graphNames.nonEmpty) {
-        // Family boundary: force a fresh session regardless of cadence.
+      if (idx == familyEnd && graphNames.nonEmpty && regularNames.nonEmpty) {
+        // Family→regular boundary: fresh session, relax the cadence.
         sinceRecycle = recycleEvery
         maybeRecycle()
-        // Tighter cadence inside the family (checkpoint blocks and
-        // per-round broadcasts accumulate fastest here).
-        recycleEvery = 8
+        recycleEvery = 40
       }
       val out = runOnce(n) match {
         case (_, Some(err)) => Timing(n, -1.0, Some(err), Vector.empty)

@@ -75,70 +75,124 @@ object StreamBench {
       } finally query.stop()
     }
 
+    // Chunk size was A/B-measured: 2500-row chunks fragment the drain
+    // into many microbatches whose per-batch planning+commit overhead
+    // HALVES every component's throughput; 20000 keeps the drain in a
+    // few large batches.
     val chunk = 20000
+
+    // Optional comma-separated component filter for diagnosis runs;
+    // filtered output goes to streaming_bench_partial.json so a partial
+    // run can never clobber the committed full record (the same guard
+    // the batch bench grew in r11 after two clobber incidents).
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def component(name: String)(body: => (String, String)): Option[(String, String)] =
+      if (only.forall(_.contains(name))) Some(body) else None
 
     // 1) Streaming curation: quality filter → PII redact → watermarked
     // first-seen dedup on the cleaned digest.
-    val curationRows = 100000L
-    val curationIn = MemoryStream[Doc]
-    (0L until curationRows).grouped(chunk).foreach { ids =>
-      curationIn.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+    val curation = component("curation") {
+      val curationRows = 100000L
+      val curationIn = MemoryStream[Doc]
+      (0L until curationRows).grouped(chunk).foreach { ids =>
+        curationIn.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+      }
+      drain("curation", curationRows,
+        StreamingCuration.curate(curationIn.toDF()).writeStream.outputMode("append"))
     }
-    val curation = drain("curation", curationRows,
-      StreamingCuration.curate(curationIn.toDF()).writeStream.outputMode("append"))
+
+    // 1b) The stateless curation tier alone (filter → redact → digest,
+    // no state store): prices the columnar work separately so the
+    // curation number can be attributed between regex/digest cost and
+    // state-store commit cost instead of guessed at.
+    val curationStateless = component("curation_stateless") {
+      val rows = 100000L
+      val in = MemoryStream[Doc]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+      }
+      drain("curation_stateless", rows,
+        StreamingCuration.cleaned(in.toDF()).writeStream.outputMode("append"))
+    }
+
+    // 1c) The digest-only curation scale path: same semantics, but the
+    // cleaned body never enters the dedup exchange or state store. The
+    // three curation rows decompose the pipeline's cost — stateless
+    // regex/digest tier, + state commit (digests), + body serialization
+    // (full curate).
+    val curationDigests = component("curation_digests") {
+      val rows = 100000L
+      val in = MemoryStream[Doc]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+      }
+      drain("curation_digests", rows,
+        StreamingCuration.curateDigests(in.toDF()).writeStream.outputMode("append"))
+    }
 
     // 2) Stateful sessionization (flatMapGroupsWithState): 5000 users,
     // consecutive events per user arrive > gap apart, so nearly every
     // event closes a session — worst-case state churn.
-    val sessionRows = 200000L
-    val sessionIn = MemoryStream[SessionEvent]
-    (0L until sessionRows).grouped(chunk).foreach { ids =>
-      sessionIn.addData(ids.map(i =>
-        SessionEvent(i % 5000, new Timestamp(t0 + i * 1000), (i % 100).toDouble)))
+    val sessions = component("stateful_sessions") {
+      val sessionRows = 200000L
+      val sessionIn = MemoryStream[SessionEvent]
+      (0L until sessionRows).grouped(chunk).foreach { ids =>
+        sessionIn.addData(ids.map(i =>
+          SessionEvent(i % 5000, new Timestamp(t0 + i * 1000), (i % 100).toDouble)))
+      }
+      drain("stateful_sessions", sessionRows,
+        StatefulSessions.sessions(spark, sessionIn.toDS()).writeStream.outputMode("append"))
     }
-    val sessions = drain("stateful_sessions", sessionRows,
-      StatefulSessions.sessions(spark, sessionIn.toDS()).writeStream.outputMode("append"))
 
     // 3) Streaming exact dedup alone (the state-heaviest single stage).
-    val dedupRows = 200000L
-    val dedupIn = MemoryStream[Doc]
-    (0L until dedupRows).grouped(chunk).foreach { ids =>
-      dedupIn.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+    val dedup = component("dedup") {
+      val dedupRows = 200000L
+      val dedupIn = MemoryStream[Doc]
+      (0L until dedupRows).grouped(chunk).foreach { ids =>
+        dedupIn.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+      }
+      drain("dedup", dedupRows,
+        StreamingDedup.firstSeen(dedupIn.toDF()).writeStream.outputMode("append"))
     }
-    val dedup = drain("dedup", dedupRows,
-      StreamingDedup.firstSeen(dedupIn.toDF()).writeStream.outputMode("append"))
 
     // 4) Watermarked tumbling-window aggregation.
-    val aggRows = 500000L
-    val aggIn = MemoryStream[Event]
-    (0L until aggRows).grouped(chunk).foreach { ids =>
-      aggIn.addData(ids.map(i =>
-        Event(new Timestamp(t0 + i * 100), s"type${i % 5}", (i % 100).toDouble)))
+    val agg = component("windowed_agg") {
+      val aggRows = 500000L
+      val aggIn = MemoryStream[Event]
+      (0L until aggRows).grouped(chunk).foreach { ids =>
+        aggIn.addData(ids.map(i =>
+          Event(new Timestamp(t0 + i * 100), s"type${i % 5}", (i % 100).toDouble)))
+      }
+      drain("windowed_agg", aggRows,
+        StreamingAggregates.windowedTypeCounts(aggIn.toDF())
+          .writeStream.outputMode("append"))
     }
-    val agg = drain("windowed_agg", aggRows,
-      StreamingAggregates.windowedTypeCounts(aggIn.toDF())
-        .writeStream.outputMode("append"))
 
     // 5) Streaming CDC upsert changelog (mapGroups latest-state store):
     // 5000 keys, every batch touches every key, 1-in-3 rows out of order.
-    val upsertRows = 200000L
-    val upsertIn = MemoryStream[UpsertEvent]
-    (0L until upsertRows).grouped(chunk).foreach { ids =>
-      upsertIn.addData(ids.map { i =>
-        val shuffled = if (i % 3 == 0) i / 2 else i // out-of-order arrivals
-        UpsertEvent(i % 5000, new Timestamp(t0 + shuffled * 100), i,
-          s"type${i % 5}", (i % 100).toDouble)
-      })
+    val upsert = component("cdc_upsert") {
+      val upsertRows = 200000L
+      val upsertIn = MemoryStream[UpsertEvent]
+      (0L until upsertRows).grouped(chunk).foreach { ids =>
+        upsertIn.addData(ids.map { i =>
+          val shuffled = if (i % 3 == 0) i / 2 else i // out-of-order arrivals
+          UpsertEvent(i % 5000, new Timestamp(t0 + shuffled * 100), i,
+            s"type${i % 5}", (i % 100).toDouble)
+        })
+      }
+      drain("cdc_upsert", upsertRows,
+        StreamingUpsert.changelog(spark, upsertIn.toDS()).writeStream.outputMode("append"))
     }
-    val upsert = drain("cdc_upsert", upsertRows,
-      StreamingUpsert.changelog(spark, upsertIn.toDS()).writeStream.outputMode("append"))
 
-    val comps = Seq(curation, sessions, dedup, agg, upsert)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val comps =
+      Seq(curation, curationStateless, curationDigests, sessions, dedup, agg, upsert).flatten
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"streaming_throughput","unit":"rows_per_sec","components":$comps,"cpus":$cpus}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("streaming_bench.json"), out + "\n")
+    val target =
+      if (only.isDefined) "streaming_bench_partial.json" else "streaming_bench.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(target), out + "\n")
     println(out)
     System.out.flush()
     spark.stop()

@@ -367,7 +367,7 @@ object MinHashOps {
     * caller materializes and releases them — exposed separately so plan
     * tests can inspect the pre-materialization shape).
     */
-  private[operators] def cappedIntersectionsPlan(
+  private[graft] def cappedIntersectionsPlan(
       sh: DataFrame, cap: Long): (DataFrame, Seq[DataFrame]) = {
     val inv = hashedIndex(sh)
     val freq = inv.groupBy("h").agg(count(lit(1)).as("df"))

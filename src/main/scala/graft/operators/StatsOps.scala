@@ -288,10 +288,19 @@ object StatsOps {
 
   /** Int8 quantization-error audit over the embedding table: simulate
     * symmetric per-vector int8 quantization (`scale = max|x|/127`,
-    * `q = clamp(round(x/scale), ±127)`) and report, per label, the worst
-    * and average reconstruction error plus saturated-dimension count —
-    * the go/no-go readout before shipping a 4× -compressed ANN index
-    * (compare `ann_pq_topk`'s 32×). Every per-element step is a single
+    * `q = clamp(floor(x/scale + 0.5), ±127)` — half-up, i.e. negative
+    * half-steps round toward +inf; NOT banker's or away-from-zero
+    * rounding) and report, per label, the worst and average
+    * reconstruction error plus the saturated-dimension count. A
+    * dimension is "saturated" when its pre-clamp magnitude REACHES the
+    * ±127 rail — by that definition each vector's own amax dimension
+    * always counts, so `saturated_dims >= vectors` by construction and
+    * the column reads as "rail-touching dims", an upper bound on actual
+    * clipping (strictly-beyond-rail clipping is impossible under
+    * per-vector scaling; under a SHARED scale this same census would
+    * count true clips). The go/no-go readout before shipping a
+    * 4×-compressed ANN index (compare `ann_pq_topk`'s 32×). Every
+    * per-element step is a single
     * IEEE-754 double op (both engines compute them bit-identically),
     * frozen to e9 fixed point per VECTOR via the order-independent
     * `array_max` BEFORE the integer group aggregate — no

@@ -224,6 +224,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("digest-only curation agrees with full curation on survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new Timestamp(t0 + offsetSec * 1000)
+    val base = ("the quick brown fox jumps over lazy dogs near banks " * 3).trim
+    input.addData(
+      (1L, ts(0), base + " mail bob@example.com now"),
+      (2L, ts(10), base + " mail eve@example.net now"), // dup after scrub
+      (3L, ts(20), "tiny doc."),                        // fails quality
+      (4L, ts(30), base))
+    val query = graft.streaming.StreamingCuration.curateDigests(docs)
+      .writeStream.format("memory").queryName("curation_digests_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("curation_digests_test").collect()
+      // Same survivor set as `curate`, no body column in the output.
+      assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+      assert(rows.head.schema.fieldNames.toSeq == Seq("doc_id", "ts", "clean_hash"))
+      assert(rows.map(_.getString(2)).distinct.length == 2)
+    } finally query.stop()
+  }
+
   test("file-stream ingest loads a partitioned parquet table exactly once") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.StreamingIngest
