@@ -663,6 +663,11 @@ object Registry {
     // independent-algorithm cross-check.
     q("repetition_stats", TextOps.RepetitionOracleSql)(TextOps.repetitionStats),
 
+    // Phrase-level repetition (Gopher dup-2/3-gram + top-2-gram share):
+    // same zero-shuffle per-row shape, independent relational oracle.
+    q("ngram_repetition", TextOps.NgramRepetitionOracleSql)(
+      TextOps.ngramRepetition),
+
     // LM-flavored novelty proxy: per-doc mean bigram rarity vs the
     // corpus bigram table (boilerplate ~0, novel prose high).
     q("bigram_surprise", TextOps.BigramSurpriseOracleSql)(TextOps.bigramSurprise),

@@ -112,6 +112,98 @@ object TextOps {
       | (1000 * coalesce(max_token_count, 0)) // greatest(coalesce(n_tokens, 0), 1) AS max_freq_milli
       |FROM tok LEFT JOIN a ON tok.doc_id = a.doc_id ORDER BY tok.doc_id""".stripMargin
 
+  /** Per-document duplicate n-gram repetition — the Gopher/MassiveText
+    * quality rules `repetition_stats` does NOT cover: duplicate word
+    * 2-gram / 3-gram share and top-2-gram share (templated spam repeats
+    * PHRASES, not just tokens, so a doc can pass the unigram TTR gate
+    * while a single boilerplate bigram covers a third of it).
+    *
+    * Scale shape: ZERO shuffle, like `repetition_stats` — the n-gram
+    * arrays are built per row (`transform` over an index `sequence`),
+    * distinct counts via `array_distinct`, and the top-bigram count is
+    * the longest run in the sorted bigram array (an `aggregate` lambda,
+    * all inside codegen). The DuckDB oracle runs the relational
+    * explode → GROUP BY formulation — an independent algorithm for the
+    * same quantities. `sequence(0, size-2)` DESCENDS for size < 2 (Spark
+    * yields [0,-1]), hence the explicit size guards.
+    */
+  def ngramRepetition(s: SparkSession, dir: String): DataFrame =
+    ngramRepetitionOf(Tables.documents(s, dir))
+
+  def ngramRepetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(
+        col("doc_id"),
+        expr(
+          """CASE WHEN size(toks) >= 2 THEN
+            | transform(sequence(0, size(toks) - 2),
+            |  i -> concat(toks[i], ' ', toks[i + 1]))
+            |ELSE cast(array() as array<string>) END"""
+            .stripMargin.replace("\n", " ")).as("g2"),
+        expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            | transform(sequence(0, size(toks) - 3),
+            |  i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))
+            |ELSE cast(array() as array<string>) END"""
+            .stripMargin.replace("\n", " ")).as("g3"))
+      .select(
+        col("doc_id"),
+        size(col("g2")).cast("long").as("n2_total"),
+        size(array_distinct(col("g2"))).cast("long").as("n2_distinct"),
+        expr(
+          """aggregate(array_sort(g2),
+            | named_struct('prev', cast(null as string),
+            |  'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+            | (acc, t) -> named_struct(
+            |  'prev', t,
+            |  'run', if(acc.prev <=> t, acc.run + 1, cast(1 as bigint)),
+            |  'best', greatest(acc.best,
+            |   if(acc.prev <=> t, acc.run + 1, cast(1 as bigint)))),
+            | acc -> acc.best)""".stripMargin).as("top2"),
+        size(col("g3")).cast("long").as("n3_total"),
+        size(array_distinct(col("g3"))).cast("long").as("n3_distinct"))
+      .select(
+        col("doc_id"), col("n2_total"), col("n2_distinct"),
+        expr("(1000 * (n2_total - n2_distinct)) div greatest(n2_total, 1)")
+          .as("dup2_milli"),
+        expr("(1000 * top2) div greatest(n2_total, 1)").as("top2_milli"),
+        col("n3_total"), col("n3_distinct"),
+        expr("(1000 * (n3_total - n3_distinct)) div greatest(n3_total, 1)")
+          .as("dup3_milli"))
+      .orderBy("doc_id")
+
+  val NgramRepetitionOracleSql: String =
+    """WITH tok AS (
+      | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |b AS (
+      | SELECT doc_id, toks[u.i+1] || ' ' || toks[u.i+2] AS g
+      | FROM tok, unnest(range(greatest(len(toks)-1, 0))) AS u(i)),
+      |g2 AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+      |a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2_total,
+      |        CAST(count(*) AS BIGINT) AS n2_distinct,
+      |        CAST(max(c) AS BIGINT) AS top2
+      |       FROM g2 GROUP BY 1),
+      |t3 AS (
+      | SELECT doc_id, toks[u.i+1] || ' ' || toks[u.i+2] || ' ' || toks[u.i+3] AS g
+      | FROM tok, unnest(range(greatest(len(toks)-2, 0))) AS u(i)),
+      |g3 AS (SELECT doc_id, g, count(*) AS c FROM t3 GROUP BY 1, 2),
+      |a3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3_total,
+      |        CAST(count(*) AS BIGINT) AS n3_distinct FROM g3 GROUP BY 1)
+      |SELECT tok.doc_id,
+      | coalesce(n2_total, 0) AS n2_total,
+      | coalesce(n2_distinct, 0) AS n2_distinct,
+      | (1000 * (coalesce(n2_total, 0) - coalesce(n2_distinct, 0)))
+      |   // greatest(coalesce(n2_total, 0), 1) AS dup2_milli,
+      | (1000 * coalesce(top2, 0)) // greatest(coalesce(n2_total, 0), 1) AS top2_milli,
+      | coalesce(n3_total, 0) AS n3_total,
+      | coalesce(n3_distinct, 0) AS n3_distinct,
+      | (1000 * (coalesce(n3_total, 0) - coalesce(n3_distinct, 0)))
+      |   // greatest(coalesce(n3_total, 0), 1) AS dup3_milli
+      |FROM tok LEFT JOIN a2 ON tok.doc_id = a2.doc_id
+      |         LEFT JOIN a3 ON tok.doc_id = a3.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
   /** Corpus-wide top-k word-bigram heavy hitters — the boilerplate probe
     * a pipeline runs before choosing its stop-shingle df cap (the
     * `dedup_ngram` mitigation): which exact bigrams dominate the corpus,

@@ -222,6 +222,39 @@ class CurationOpsSpec extends AnyFunSuite {
       s"repetitive ${byDoc(0L)} should score below diverse ${byDoc(1L)}")
   }
 
+  test("ngram repetition: hand-computed duplicate-phrase shares") {
+    import spark.implicits._
+    // "a b a b a b": bigrams [ab, ba, ab, ba, ab] → 5 total, 2 distinct,
+    // top "a b" ×3; trigrams [aba, bab, aba, bab] → 4 total, 2 distinct.
+    // "x y z w": all bigrams/trigrams unique. "solo": no n-grams at all.
+    val crafted = Seq(
+      (0L, "a b a b a b"), (1L, "x y z w"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramRepetitionOf(crafted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rep = out(0L)
+    assert(rep.getLong(1) == 5L && rep.getLong(2) == 2L,
+      s"bigram totals: $rep")
+    assert(rep.getLong(3) == 1000L * 3 / 5, s"dup2_milli: $rep")
+    assert(rep.getLong(4) == 1000L * 3 / 5, s"top2_milli: $rep")
+    assert(rep.getLong(5) == 4L && rep.getLong(6) == 2L &&
+      rep.getLong(7) == 500L, s"trigram totals: $rep")
+    val uniq = out(1L)
+    assert(uniq.getLong(3) == 0L && uniq.getLong(7) == 0L &&
+      uniq.getLong(4) == 333L, s"unique doc: $uniq")
+    val solo = out(2L)
+    (1 to 7).foreach(i => assert(solo.getLong(i) == 0L, s"solo: $solo"))
+    // Corpus invariants at sf: one row per doc; distinct <= total;
+    // top-share >= ceil-free uniform floor 1/total.
+    val corpus = TextOps.ngramRepetition(spark, sf).collect()
+    assert(corpus.length == 500)
+    corpus.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(6) <= r.getLong(5))
+      assert(r.getLong(3) + 1000L * r.getLong(2) / math.max(r.getLong(1), 1L)
+        <= 1000L)
+    }
+  }
+
   test("temperature mixture flattens the source distribution") {
     val m = operators.SampleOps.mixtureTemperature(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -27,6 +27,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == Set("range"), s"unexpected exchanges $exchanges in:\n$plan")
   }
 
+  test("ngram_repetition computes with zero shuffles before the output sort") {
+    val plan = executedPlan(TextOps.ngramRepetition(spark, sf))
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges == Set("range"), s"unexpected exchanges $exchanges in:\n$plan")
+  }
+
   test("decontamination anti-join broadcasts the eval digests") {
     val plan = executedPlan(TextOps.decontaminationStats(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
