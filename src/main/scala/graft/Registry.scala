@@ -69,7 +69,9 @@ object Registry {
         | round(l_extendedprice * (1 - l_discount), 4) AS net_price,
         | round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged_price,
         | CAST(floor(l_extendedprice / (l_quantity + 1) * 1000 + 0.5) AS BIGINT) AS value_density_milli
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)(EtlOps.compositeScores),
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, net_price, charged_price, value_density_milli"""
+        .stripMargin)(EtlOps.compositeScores),
 
     q("etl_summary_stats",
       """SELECT event_type,

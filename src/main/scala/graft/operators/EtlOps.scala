@@ -132,7 +132,14 @@ object EtlOps {
           .as("charged_price"),
         floor(col("l_extendedprice") / (col("l_quantity") + lit(1)) * 1000 + 0.5)
           .cast("long").as("value_density_milli"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (sf0.01 carries ~12k duplicate pairs with distinct payloads), so
+      // the output sort must be total over every emitted column — engines
+      // ordered duplicate keys identically at sf0.01 only by luck, and the
+      // sf1 rehearsal (where Tables.parallelized reshuffles the scan)
+      // exposed the tie. Residual ties are now bit-identical rows.
+      .orderBy("l_orderkey", "l_linenumber", "net_price", "charged_price",
+        "value_density_milli")
 
   /** Schema'd JSON payload parsing (the production path for the `props`
     * column — `from_json` with a declared schema stays in codegen and
