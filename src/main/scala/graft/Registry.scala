@@ -655,6 +655,11 @@ object Registry {
     // the corpus with itself).
     q("dedup_incremental", TextOps.DedupIncrementalOracleSql)(TextOps.dedupIncremental),
 
+    // Near-dup twin of dedup_incremental: batch postings PROBE the capped
+    // index (O(batch) candidates), full dedup_ngram exactness contract.
+    q("dedup_incremental_neardup", MinHashOps.DedupIncrementalNearDupOracleSql)(
+      MinHashOps.dedupIncrementalNearDup),
+
     // Integer-exact TF-IDF keyword extraction: vocabulary-sized df table
     // broadcast onto term rows, per-doc bounded ranking window.
     q("tfidf_top_terms", TfIdfOps.oracleSql())(

@@ -496,6 +496,106 @@ object MinHashOps {
        |SELECT doc_a, doc_b, CAST(jaccard_milli AS BIGINT) AS jaccard_milli
        |FROM j WHERE jaccard_milli >= 600 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Batch membership convention shared with `dedup_incremental`:
+    * doc_id % 10 >= 8 is the "incoming batch", the rest the standing
+    * corpus snapshot.
+    */
+  private def batchPred(id: Column): Column = id % 10 >= 8
+
+  /** Incremental NEAR-dup probe — the nightly-crawl shape: only pairs
+    * involving at least one batch document are found, and only batch
+    * postings ever PROBE the index. Where `dedup_incremental` answers
+    * "is this batch doc an exact duplicate of the snapshot",
+    * this answers the near-dup version of the same question without
+    * re-running the corpus×corpus self-join the full `dedup_ngram`
+    * pays.
+    *
+    * Scale shape: candidate generation joins the BATCH slice of the
+    * df-capped hashed inverted index against the full capped index —
+    * volume Σ_s df_batch(s)·df(s) ≤ cap·|batch postings|, linear in the
+    * batch and independent of snapshot², vs the full self-join's
+    * C(cap,2)·|vocabulary|. Each qualifying pair is emitted exactly once
+    * by construction (the probe side is batch-only; a batch partner
+    * counts only when its id is higher, a corpus partner always). The
+    * df-cap correction join and the identical-set mass-duplication
+    * exemption mirror [[cappedIntersections]], restricted to the probe:
+    * every emitted Jaccard is the exact uncapped value. Output is the
+    * pair list with its class — `corpus_batch` (stale content re-served
+    * by a feed) vs `batch_batch` (intra-crawl duplication).
+    */
+  def incrementalNearDups(
+      docs: DataFrame, thresholdMilli: Int, cap: Long): DataFrame = {
+    val sh = shingleSets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = hashedIndex(sh)
+    val freq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val invT = inv.join(freq, "h")
+      .select(col("doc_id"), col("h"), (col("df") > cap).as("dropped"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val invC = invT.filter(!col("dropped"))
+    val once = // each pair once: batch partners only upward, corpus always
+      col("b.doc_id") > col("a.doc_id") || !batchPred(col("b.doc_id"))
+    val interCapped = invC.filter(batchPred(col("doc_id"))).as("a")
+      .join(invC.as("b"), col("a.h") === col("b.h") && once)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val invD = invT.filter(col("dropped"))
+    val interDropped = interCapped.select("doc_a", "doc_b")
+      .join(invD.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(invD.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_d"))
+    val interIdx = interCapped.join(interDropped, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter_c + coalesce(inter_d, 0L)").as("inter"))
+    val keyed = sh.select(col("doc_id"), setKey.as("k"),
+      size(col("shingles")).cast("long").as("n"))
+    val setPairs = keyed.filter(batchPred(col("doc_id"))).as("a")
+      .join(keyed.as("b"), col("a.k") === col("b.k") && once)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.n").as("inter"))
+    val inter = interIdx.union(setPairs)
+      .groupBy("doc_a", "doc_b").agg(max("inter").as("inter"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    inter.count() // materialize so the index persists can be released now
+    invT.unpersist(false); interCapped.unpersist(false)
+    val sizes = shingleSizes(sh)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("(1000 * inter) div (na + nb - inter)").as("jaccard_milli"))
+      .filter(col("jaccard_milli") >= thresholdMilli)
+      .withColumn("pair_class",
+        when(batchPred(col("doc_a")) && batchPred(col("doc_b")),
+          lit("batch_batch")).otherwise(lit("corpus_batch")))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    incrementalNearDups(docs, 600, defaultDfCap(docs.count()))
+  }
+
+  /** Oracle: the shared capped-candidate CTEs filtered to batch-involving
+    * pairs — the full-corpus candidate set restricted is exactly the
+    * probe-generated set.
+    */
+  val DedupIncrementalNearDupOracleSql: String =
+    s"""WITH ${cappedCandCtes()},
+       |bc AS (SELECT doc_a, doc_b FROM cand
+       | WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8),
+       |j AS (
+       | SELECT c.doc_a, c.doc_b,
+       |  (1000 * len(list_intersect(x.shingles, y.shingles)))
+       |   // len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard_milli
+       | FROM bc c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, CAST(jaccard_milli AS BIGINT) AS jaccard_milli,
+       | CASE WHEN doc_a % 10 >= 8 AND doc_b % 10 >= 8 THEN 'batch_batch'
+       |  ELSE 'corpus_batch' END AS pair_class
+       |FROM j WHERE jaccard_milli >= 600 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Stop-shingle audit for the df-capped inverted index: how many
     * distinct shingles exceed [[defaultDfCap]], how many index postings
     * they carry, and the candidate-pair volume (Σ C(df,2)) the cap

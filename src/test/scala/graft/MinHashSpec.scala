@@ -96,6 +96,26 @@ class MinHashSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("incremental near-dup probe equals the full pair set restricted to the batch") {
+    // The O(batch) probe must find exactly the dedup_ngram pairs with at
+    // least one batch member (doc_id % 10 >= 8) — no duplicate emissions
+    // from the two-sided orientation, no missed corpus partners, correct
+    // class labels.
+    val docs = graft.Tables.documents(spark, TestSession.sf)
+    val cap = MinHashOps.defaultDfCap(docs.count())
+    val probe = MinHashOps.incrementalNearDups(docs, 600, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    val full = MinHashOps.ngramJaccardPairs(docs, 600, Some(cap)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => a % 10 >= 8 || b % 10 >= 8 }
+      .map { case (a, b, j) =>
+        (a, b, j, if (a % 10 >= 8 && b % 10 >= 8) "batch_batch" else "corpus_batch")
+      }.toSeq
+    assert(probe == full, s"probe ${probe.length} vs restricted full ${full.length}")
+    assert(probe.nonEmpty, "planted near-dups should straddle the batch split")
+  }
+
   test("mass-duplicated docs collapse to one LSH representative and still pair fully") {
     import spark.implicits._
     // 200 identical copies + 1 near-dup: pre-collapse this corpus put
