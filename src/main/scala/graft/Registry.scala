@@ -938,6 +938,11 @@ object Registry {
     // The MLlib entries above stay rows-only beside it by contract.
     q("kmeans_lloyd", LloydOps.oracleSql())(LloydOps.kmeansLloyd),
 
+    // Simplified (centroid-based) silhouette over the Lloyd twin's final
+    // centroids — per-cluster separation/compactness, fully replayed.
+    q("kmeans_silhouette", LloydOps.silhouetteOracleSql())(
+      LloydOps.kmeansSilhouette),
+
     // IVF ANN scale path: depends on an MLlib KMeans fit, so (like the
     // kmeans_* entries) not oracle-SQL-expressible — rows-only here;
     // AnnSpec cross-checks its scores against the exact baseline.
@@ -1011,6 +1016,16 @@ object Registry {
     // bits — bitlen instead of engine-variant floating logs.
     q("lm_surprise", operators.TextOps.LmSurpriseOracleSql)(
       (s, d) => operators.TextOps.lmSurprise(s, d)),
+
+    // DSIR-style importance weights (target-domain vs corpus unigram LM,
+    // exact integer bits) — the data-selection score, per document.
+    q("dsir_weights", operators.TextOps.dsirWeightsOracleSql())(
+      (s, d) => operators.TextOps.dsirWeights(s, d)),
+
+    // Context-window truncation-loss curve: tokens lost / docs truncated
+    // / padding headroom at each candidate max-seq-len. Zero shuffles.
+    q("truncation_loss", operators.TextOps.TruncationLossOracleSql)(
+      operators.TextOps.truncationLoss),
 
     // Vocabulary-growth (Heaps'-law) curve by ingest batch: first-seen
     // attribution via one min(batch) aggregate; cumulative vocab walks

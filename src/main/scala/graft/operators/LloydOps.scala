@@ -126,7 +126,10 @@ object LloydOps {
     * (`row_number() ORDER BY dist, cluster` = lowest-cluster tie-break)
     * and an integer-mean update with empty-cluster carry, all in BIGINT.
     */
-  def oracleSql(k: Int = K, iters: Int = Iters): String = {
+  /** Shared WITH-chain: quantize → init → `iters` unrolled rounds,
+    * ending with centroid table `c<iters>` and assignment `a<iters>`.
+    */
+  private def oracleChain(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH x AS MATERIALIZED (
@@ -155,13 +158,94 @@ object LloydOps {
          | SELECT p.cluster, p.dim, coalesce(m.c, p.c) AS c
          | FROM c${i - 1} p LEFT JOIN m$i m ON p.cluster = m.cluster AND p.dim = m.dim)""".stripMargin)
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  def oracleSql(k: Int = K, iters: Int = Iters): String =
+    oracleChain(k, iters) + s"""
        |SELECT CAST(c.cluster AS BIGINT) AS cluster, CAST(c.dim AS BIGINT) AS dim,
        | CAST(c.c AS BIGINT) AS centroid_fp, CAST(coalesce(sz.n, 0) AS BIGINT) AS n
        |FROM c$iters c LEFT JOIN (
        | SELECT cluster, count(*) AS n FROM a$iters GROUP BY 1) sz
        | ON c.cluster = sz.cluster
-       |ORDER BY cluster, dim""".stripMargin)
-    sb.toString
+       |ORDER BY cluster, dim""".stripMargin
+
+  /** Simplified-silhouette clustering-quality audit over the Lloyd twin's
+    * FINAL centroids — the go/no-go a curation pipeline reads before
+    * trusting cluster-balanced sampling or cluster-aware splits: per
+    * cluster, size, the mean simplified silhouette
+    * `s = (b − a) / max(a, b)` (a = squared distance to own centroid,
+    * b = to the nearest OTHER centroid; milli fixed-point, integer div)
+    * and the mean intra-cluster squared distance (compactness). Mean
+    * s_milli near 0 ⇒ the cluster bleeds into a neighbor; near 1000 ⇒
+    * well-separated. Centroid-based silhouette is the standard
+    * O(n·k) surrogate for the O(n²) pairwise definition — the only one
+    * that exists at corpus scale.
+    *
+    * Determinism: a and b are the 1st/2nd elements of the
+    * struct-sorted (dist, cluster) array — ties break to the LOWEST
+    * cluster id, exactly the oracle's `row_number() ORDER BY dist,
+    * cluster`; all ratios are nonnegative-integer `div`.
+    *
+    * Scale shape: one assignment-style pass over the quantized corpus
+    * (centroids are a k×dims plan literal), one k-row aggregate. The
+    * Lloyd rounds it replays are the fixed [[Iters]]; everything else is
+    * a single scan.
+    */
+  def kmeansSilhouette(s: SparkSession, dir: String): DataFrame =
+    silhouetteOf(Tables.embeddings(s, dir), K, Iters)
+
+  private[graft] def silhouetteOf(
+      emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (cents, _) = run(emb, k, iters)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val dists = transform(centsLit, c =>
+      aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    quantized(emb)
+      .select(dists.as("ds"))
+      // one sorted (dist, cluster) struct array; [0] = own cluster
+      .select(expr(
+        "array_sort(transform(ds, (d, i) -> struct(d AS dist, i AS cluster)))")
+        .as("z"))
+      .select(col("z")(0).getField("cluster").cast("long").as("cluster"),
+        col("z")(0).getField("dist").as("a"),
+        col("z")(1).getField("dist").as("b"))
+      .withColumn("s_milli",
+        expr("((b - a) * 1000) div greatest(greatest(a, b), 1L)"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum("s_milli").as("sum_s"), sum("a").as("sum_a"))
+      .select(col("cluster"), col("n"),
+        expr("sum_s div n").as("mean_s_milli"),
+        expr("sum_a div n").as("mean_intra_dist"))
+      .orderBy("cluster")
   }
+
+  /** Oracle: the shared Lloyd chain, then the same 1st/2nd-nearest
+    * ranking off the final centroid table.
+    */
+  def silhouetteOracleSql(k: Int = K, iters: Int = Iters): String =
+    oracleChain(k, iters) + s""",
+       |df AS (
+       | SELECT x.vec_id, c.cluster, sum((x.xq - c.c) * (x.xq - c.c)) AS dist
+       | FROM x JOIN c$iters c ON x.dim = c.dim GROUP BY 1, 2),
+       |rk AS (
+       | SELECT vec_id, cluster, dist,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       | FROM df),
+       |ab AS (
+       | SELECT vec_id,
+       |  max(CASE WHEN rn = 1 THEN cluster END) AS cluster,
+       |  max(CASE WHEN rn = 1 THEN dist END) AS a,
+       |  max(CASE WHEN rn = 2 THEN dist END) AS b
+       | FROM rk WHERE rn <= 2 GROUP BY 1),
+       |sm AS (
+       | SELECT cluster, a,
+       |  ((b - a) * 1000) // greatest(greatest(a, b), 1) AS s_milli
+       | FROM ab)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n,
+       | CAST(sum(s_milli) // count(*) AS BIGINT) AS mean_s_milli,
+       | CAST(sum(a) // count(*) AS BIGINT) AS mean_intra_dist
+       |FROM sm GROUP BY cluster ORDER BY cluster""".stripMargin
 }

@@ -1069,6 +1069,145 @@ object TextOps {
       |FROM t JOIN b USING (token)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its
+    * tokens are under a TARGET domain's unigram LM than under the raw
+    * corpus LM, then sample high scorers to shift the training mixture
+    * toward the target. The published estimator is
+    * Σ_tok log p_tgt(tok) − log p_raw(tok); this twin keeps the exact
+    * integer-bits formulation of [[lmSurprise]] — per-token surprise is
+    * `floor(log2(total div cnt)) = bitlen(total div cnt) − 1` under each
+    * LM (Laplace +1 smoothing on the target side, so out-of-domain
+    * tokens cost the full smoothed-vocabulary surprise), and the score
+    * is `raw_bits − tgt_bits` per token, occurrence-weighted. Positive
+    * milli-score ⇒ the doc reads more like the target than the corpus.
+    *
+    * The target domain is the `source = targetSource` slice — the
+    * "small clean seed set" of the paper (a curated wiki/book slice in
+    * production; a fixed source here so the oracle is deterministic).
+    *
+    * Scale shape: identical to [[lmSurprise]] — ONE cached (doc, token,
+    * tf) collapse feeds the raw vocab, the target vocab (a filter of the
+    * same frame), and the scoring join; totals broadcast as 1-row
+    * frames; the token-keyed vocab join is the only corpus-sized
+    * shuffle. All divisions run on nonnegative integers, and both
+    * engines truncate `div` toward zero, so the subtraction-of-means
+    * never crosses an engine-variant rounding rule.
+    */
+  def dsirWeights(
+      s: SparkSession, dir: String, targetSource: String = "src0"): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(tokens).as("token"))
+      .groupBy("doc_id", "source", "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = tf.groupBy("token").agg(sum("tf").as("c_raw"))
+    val tgt = tf.filter(col("source") === targetSource)
+      .groupBy("token").agg(sum("tf").as("c_tgt"))
+    val vocab = raw.join(tgt, Seq("token"), "left")
+      .select(col("token"), col("c_raw"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = vocab.agg(
+      sum("c_raw").as("t_raw"), sum("c_tgt").as("t_tgt"),
+      count(lit(1)).as("v_size"))
+    val bits = vocab.crossJoin(broadcast(totals))
+      .select(col("token"),
+        expr("length(bin(t_raw div c_raw)) - 1").cast("long").as("raw_b"),
+        expr("length(bin((t_tgt + v_size) div (c_tgt + 1))) - 1")
+          .cast("long").as("tgt_b"))
+    val out = tf.join(bits, Seq("token"))
+      .groupBy("doc_id", "source")
+      .agg(sum("tf").as("n_tokens"),
+        sum(expr("raw_b * tf")).as("raw_bits"),
+        sum(expr("tgt_b * tf")).as("tgt_bits"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("raw_bits"), col("tgt_bits"),
+        expr("(1000 * raw_bits) div n_tokens - (1000 * tgt_bits) div n_tokens")
+          .as("dsir_score_milli"))
+      .orderBy("doc_id")
+    out
+  }
+
+  def dsirWeightsOracleSql(targetSource: String = "src0"): String =
+    s"""WITH t AS (
+       | SELECT doc_id, source, unnest(regexp_extract_all(text, '\\S+')) AS token
+       | FROM documents),
+       |tf AS MATERIALIZED (
+       | SELECT doc_id, source, token, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+       |raw AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c_raw FROM tf GROUP BY 1),
+       |tgt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c_tgt FROM tf
+       | WHERE source = '$targetSource' GROUP BY 1),
+       |v AS (
+       | SELECT raw.token, c_raw, coalesce(c_tgt, 0) AS c_tgt
+       | FROM raw LEFT JOIN tgt USING (token)),
+       |tot AS (
+       | SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+       |  CAST(sum(c_tgt) AS BIGINT) AS t_tgt, count(*) AS v_size FROM v),
+       |b AS (
+       | SELECT token,
+       |  length(bin(t_raw // c_raw)) - 1 AS raw_b,
+       |  length(bin((t_tgt + v_size) // (c_tgt + 1))) - 1 AS tgt_b
+       | FROM v CROSS JOIN tot)
+       |SELECT tf.doc_id, tf.source, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       | CAST(sum(b.raw_b * tf.tf) AS BIGINT) AS raw_bits,
+       | CAST(sum(b.tgt_b * tf.tf) AS BIGINT) AS tgt_bits,
+       | CAST((1000 * sum(b.raw_b * tf.tf)) // sum(tf.tf)
+       |  - (1000 * sum(b.tgt_b * tf.tf)) // sum(tf.tf) AS BIGINT)
+       |  AS dsir_score_milli
+       |FROM tf JOIN b USING (token)
+       |GROUP BY tf.doc_id, tf.source ORDER BY tf.doc_id""".stripMargin
+
+  /** Context-window truncation-loss table — the max-seq-len planning
+    * audit: for each candidate context length (powers of two), how many
+    * documents exceed it, what share of corpus tokens a hard truncation
+    * at that length would discard, and the packing headroom (tokens in
+    * under-length docs). A pre-training run picks its sequence length
+    * off exactly this curve: the knee where truncation loss stops
+    * falling faster than compute cost rises.
+    *
+    * Scale shape: ONE narrow per-doc token-count projection (no explode
+    * — `regexp_count` over the scan) cross-joined against a 4-row
+    * literal window spine, aggregated map-side to 4 rows. Zero
+    * corpus-sized shuffles.
+    */
+  def truncationLoss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windows = Seq(64L, 128L, 256L, 512L)
+    val lens = Tables.documents(s, dir)
+      .select(size(tokens).cast("long").as("n_tok"))
+    lens.crossJoin(broadcast(windows.toDF("window_len")))
+      .groupBy("window_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("case when n_tok > window_len then 1L else 0L end"))
+          .as("docs_truncated"),
+        sum("n_tok").as("corpus_tokens"),
+        sum(expr("greatest(n_tok - window_len, 0L)")).as("tokens_lost"),
+        sum(expr("case when n_tok <= window_len then window_len - n_tok else 0L end"))
+          .as("padding_headroom"))
+      .select(col("window_len"), col("n_docs"), col("docs_truncated"),
+        col("tokens_lost"),
+        expr("(10000 * tokens_lost) div corpus_tokens").as("loss_share_bp"),
+        col("padding_headroom"))
+      .orderBy("window_len")
+  }
+
+  val TruncationLossOracleSql: String =
+    """WITH lens AS (
+      | SELECT len(regexp_extract_all(text, '\S+')) AS n_tok FROM documents),
+      |w AS (SELECT unnest([64, 128, 256, 512]) AS window_len)
+      |SELECT CAST(window_len AS BIGINT) AS window_len,
+      | count(*) AS n_docs,
+      | CAST(sum(CASE WHEN n_tok > window_len THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS docs_truncated,
+      | CAST(sum(greatest(n_tok - window_len, 0)) AS BIGINT) AS tokens_lost,
+      | CAST((10000 * sum(greatest(n_tok - window_len, 0)))
+      |  // sum(n_tok) AS BIGINT) AS loss_share_bp,
+      | CAST(sum(CASE WHEN n_tok <= window_len THEN window_len - n_tok
+      |  ELSE 0 END) AS BIGINT) AS padding_headroom
+      |FROM lens CROSS JOIN w
+      |GROUP BY window_len ORDER BY window_len""".stripMargin
+
   /** Vocabulary-growth (Heaps'-law) audit over ingest order: documents
     * batch by `doc_id div batchSize` (the ingest-sequence proxy — the
     * driver's synthetic ids are assigned in generation order), and each

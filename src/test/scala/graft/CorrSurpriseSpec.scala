@@ -56,4 +56,60 @@ class CorrSurpriseSpec extends AnyFunSuite {
     // The corpus must actually discriminate: not all docs score alike.
     assert(got.values.map(_._3).toSet.size > 1)
   }
+
+  test("dsir weights equal the naive smoothed two-LM recompute; target scores higher") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        "\\S+".r.findAllIn(r.getString(2)).toSeq))
+    val raw = docs.flatMap(_._3).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val tgt = docs.filter(_._2 == "src0").flatMap(_._3).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val tRaw = raw.values.sum
+    val tTgt = tgt.values.sum
+    val vSize = raw.size.toLong
+    def rawB(t: String) = BigInt(tRaw / raw(t)).bitLength - 1L
+    def tgtB(t: String) =
+      BigInt((tTgt + vSize) / (tgt.getOrElse(t, 0L) + 1L)).bitLength - 1L
+    val got = TextOps.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.size == docs.count(_._3.nonEmpty))
+    docs.filter(_._3.nonEmpty).foreach { case (id, src, toks) =>
+      val rb = toks.map(rawB).sum
+      val tb = toks.map(tgtB).sum
+      val n = toks.length.toLong
+      assert(got(id) == ((src, n, rb, tb, 1000L * rb / n - 1000L * tb / n)),
+        s"doc $id")
+    }
+    // DSIR's point: docs FROM the target domain must score higher on
+    // average than the rest (they define the target LM).
+    val (inT, outT) = got.values.partition(_._1 == "src0")
+    def mean(xs: Iterable[Long]) = xs.sum.toDouble / xs.size
+    assert(mean(inT.map(_._5)) > mean(outT.map(_._5)),
+      "target-source docs should out-score the corpus on the DSIR signal")
+  }
+
+  test("truncation loss: exact recompute and monotonicity across window lengths") {
+    val lens = Tables.documents(spark, sf).select("text").collect()
+      .map(r => "\\S+".r.findAllIn(r.getString(0)).length.toLong)
+    val corpus = lens.sum
+    val got = TextOps.truncationLoss(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == Seq(64L, 128L, 256L, 512L))
+    got.foreach { case (w, (nDocs, truncated, lost, shareBp, headroom)) =>
+      assert(nDocs == lens.length.toLong)
+      assert(truncated == lens.count(_ > w).toLong, s"w=$w truncated")
+      assert(lost == lens.map(l => math.max(l - w, 0L)).sum, s"w=$w lost")
+      assert(shareBp == 10000L * lost / corpus, s"w=$w share")
+      assert(headroom == lens.filter(_ <= w).map(w - _).sum, s"w=$w headroom")
+    }
+    // Doubling the window can only reduce loss and grow headroom.
+    got.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b._3 <= a._3 && b._2 <= a._2 && b._5 >= a._5)
+    }
+  }
 }

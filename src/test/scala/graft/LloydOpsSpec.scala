@@ -47,4 +47,40 @@ class LloydOpsSpec extends AnyFunSuite {
     val again = LloydOps.kmeansLloyd(spark, TestSession.sf).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("silhouette: well-separated planted blobs score near 1000, exact values") {
+    val d = emb(
+      1L -> Seq(0.0f, 0.0f), 2L -> Seq(0.2f, 0.0f), 3L -> Seq(0.0f, 0.2f),
+      4L -> Seq(10.0f, 10.0f), 5L -> Seq(10.2f, 10.0f), 6L -> Seq(10.0f, 10.2f))
+    val out = LloydOps.silhouetteOf(d, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sum == 6L, "every point scored exactly once")
+    // Converged centroids (from the blob-means test): (66666, 66666) and
+    // (10066666, 10066666). Per point a = dist^2 to own mean ~ 2*66666^2
+    // scale, b ~ 2*10e6^2 scale -> s_milli = ((b-a)*1000) div b ~ 999.
+    out.foreach { case (cl, n, s, intra) =>
+      assert(n == 3L, s"cluster $cl size")
+      assert(s >= 990L && s <= 1000L, s"cluster $cl mean_s_milli=$s")
+      assert(intra >= 0L, s"cluster $cl intra=$intra")
+    }
+  }
+
+  test("silhouette registered query: bounds, conservation, determinism") {
+    val out = LloydOps.kmeansSilhouette(spark, TestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.embeddings(spark, TestSession.sf).count()
+    assert(out.map(_._2).sum == total, "cluster sizes conserve the corpus")
+    out.foreach { case (cl, _, s, intra) =>
+      assert(cl >= 0L && cl < LloydOps.K)
+      // Simplified silhouette is (b-a)/max(a,b) with b >= a >= 0.
+      assert(s >= 0L && s <= 1000L, s"cluster $cl mean_s_milli=$s")
+      assert(intra >= 0L)
+    }
+    // NOTE: sizes here come from re-assignment under the FINAL centroids
+    // (post-round-4 update); kmeans_lloyd's n is the round-4 entering
+    // assignment — equal only at convergence, so not cross-asserted.
+    val again = LloydOps.kmeansSilhouette(spark, TestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == again.toSeq, "deterministic across runs")
+  }
 }
