@@ -135,7 +135,13 @@ object Bench {
       "dedup_ngram", "dedup_containment", "dedup_source_matrix",
       "dedup_threshold_curve", "dedup_minhash", "dedup_savings",
       "dedup_sorted_neighborhood", "dedup_threshold", "ngram_stop_shingles",
-      "source_novelty", "dedup_simhash", "span_dedup")
+      "source_novelty", "dedup_simhash", "span_dedup",
+      // Same self-flattering mechanism outside the shingle family: these
+      // persist their own dominant frame (token collapse / inverted
+      // index), so warm reps would re-find the warm-up's cache and time
+      // only the tail.
+      "dedup_incremental_neardup", "dsir_weights", "lm_surprise",
+      "source_similarity", "split_leakage_audit")
     def dropAllCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values

@@ -916,6 +916,16 @@ object Registry {
     q("split_cluster_aware", SplitOps.oracleSql())(
       (s, d) => SplitOps.splitStats(s, d)),
 
+    // Naive vs cluster-aware split leakage, side by side: crossing
+    // near-dup pairs + contaminated eval docs (cluster row must be 0).
+    q("split_leakage_audit", SplitOps.leakageOracleSql())(
+      SplitOps.splitLeakageAudit),
+
+    // Token-budget epoch schedule: tempered token shares -> whole epochs
+    // + remainder sampling rate per source, the loader-executable table.
+    q("epoch_schedule", SampleOps.EpochScheduleOracleSql)(
+      SampleOps.epochSchedule),
+
     // ---- ML: KMeans (reference: analysis/kmeans_spark.py:104-162) ----
     // Iterative MLlib fit is not oracle-SQL-expressible; the driver records
     // a rows-only check and the scalatest suite pins determinism at sf0.001.

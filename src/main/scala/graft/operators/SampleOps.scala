@@ -478,6 +478,83 @@ object SampleOps {
       .orderBy("source")
   }
 
+  /** Token-budget epoch schedule — the executable form of a tempered
+    * mixture: given a training token budget (`BudgetX`× the corpus) and
+    * τ = 1/2 source weights over TOKEN counts (not doc counts — the
+    * unit a trainer actually consumes), each source's allocation splits
+    * into whole epochs (full passes) plus a fractional-epoch remainder
+    * expressed as a milli sampling rate for the final pass. This is the
+    * table a data loader executes directly: `full_epochs` passes over
+    * source i, then one pass sampled at `rem_rate_milli`. Upsampling
+    * (epochs > 1 for small curated feeds) and downsampling (epochs = 0,
+    * remainder-only for huge feeds) fall out of the same arithmetic.
+    *
+    * Scale shape: one `size(tokens)` projection (no explode) collapsed
+    * to |sources| rows map-side; everything after is a 1-row broadcast
+    * cross-join. sqrt freezes to fixed point before any division, as in
+    * [[mixtureTemperature]].
+    */
+  val BudgetX = 2L
+
+  def epochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(s, dir)
+      .select(col("source"),
+        expr("cast(size(regexp_extract_all(text, '\\\\S+', 0)) as long)")
+          .as("n_tok"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0d))
+          .cast("long"))
+    val tot = bySrc.agg(
+      sum("n_tokens").cast("long").as("total_tokens"),
+      sum("w_fp").cast("long").as("total_w"))
+    // STAGED fixed-point (the tokenLiftProfile rule): share_ppm first,
+    // then target — never w_fp·Budget·total in one monomial, which
+    // overflows BIGINT near 1e26 at 100 TB token counts (w_fp ~4.5e12 ×
+    // budget ~4e13). target uses the EXACT split
+    // `s·B div 1e6 = s·(B div 1e6) + (s·(B mod 1e6)) div 1e6` — both
+    // products stay under 4e13 / 1e12, and the identity is exact floor
+    // division, so small corpora (B < 1e6) lose nothing.
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(1000000 * w_fp) div total_w"))
+      .withColumn("target_tokens",
+        expr(s"""share_ppm * (($BudgetX * total_tokens) div 1000000)
+                | + (share_ppm * (($BudgetX * total_tokens) % 1000000))
+                |  div 1000000""".stripMargin.replace("\n", " ")))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        col("share_ppm"), col("target_tokens"),
+        expr("target_tokens div n_tokens").as("full_epochs"),
+        expr("(1000 * (target_tokens % n_tokens)) div n_tokens")
+          .as("rem_rate_milli"))
+      .orderBy("source")
+  }
+
+  val EpochScheduleOracleSql: String =
+    s"""WITH b AS (
+       | SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+       | FROM documents GROUP BY source),
+       |w AS (
+       | SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+       |  AS BIGINT) AS w_fp FROM b),
+       |t AS (
+       | SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(w_fp) AS BIGINT) AS total_w FROM w),
+       |sh AS (
+       | SELECT w.*, t.total_tokens,
+       |  (1000000 * w_fp) // total_w AS share_ppm
+       | FROM w CROSS JOIN t),
+       |tg AS (
+       | SELECT *, share_ppm * (($BudgetX * total_tokens) // 1000000)
+       |  + (share_ppm * (($BudgetX * total_tokens) % 1000000)) // 1000000
+       |  AS target_tokens FROM sh)
+       |SELECT source, n_docs, n_tokens, share_ppm, target_tokens,
+       | target_tokens // n_tokens AS full_epochs,
+       | (1000 * (target_tokens % n_tokens)) // n_tokens AS rem_rate_milli
+       |FROM tg ORDER BY source""".stripMargin
+
   val MixtureTemperatureOracleSql: String =
     """WITH b AS (
       | SELECT source, count(*) AS n,

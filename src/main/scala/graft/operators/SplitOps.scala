@@ -70,6 +70,121 @@ object SplitOps {
     * fixpoint (the [[DedupClusterOps.convergedOracleSql]] algorithm),
     * then the identical hash-bucket split math.
     */
+  private def splitOf(bucket: org.apache.spark.sql.Column) =
+    when(bucket < TrainMilli, "train")
+      .when(bucket < ValMilli, "val")
+      .otherwise("test")
+
+  /** Split-leakage audit — the number that justifies cluster-aware
+    * splitting: for the NAIVE per-document hash split and the
+    * cluster-aware split side by side, how many near-dup pairs straddle
+    * a split boundary and how many eval (val/test) documents have a
+    * training-set near-duplicate (i.e. are contaminated). The
+    * cluster-aware row must read 0 crossing pairs BY CONSTRUCTION —
+    * this query measures the invariant instead of asserting it, and
+    * prices what the naive split would have leaked on the same corpus.
+    *
+    * Scale shape: the pair set is the df-capped inverted-index pass
+    * (bounded candidates); assignments are one broadcast left join; the
+    * pair-side audit joins the pair list (small) against the doc-keyed
+    * assignment frame twice, then everything collapses to two 1-row
+    * aggregates unioned — no corpus-sized shuffle beyond the pair stage
+    * itself.
+    */
+  def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = MinHashOps.ngramJaccardPairs(docs, DedupClusterOps.Threshold,
+        dfCap = Some(MinHashOps.defaultDfCap(docs.count())))
+      .select(col("doc_a"), col("doc_b"))
+    val clustered = DedupClusterOps.clustersConverged(s, docs)._2
+      .select(col("doc_id"), col("cluster"))
+    val asg = docs.select(col("doc_id"))
+      .join(broadcast(clustered), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        splitOf(expr(s"((doc_id % $P) * $K % $P) % 1000")).as("s_naive"),
+        splitOf(expr(
+          s"((coalesce(cluster, doc_id) % $P) * $K % $P) % 1000"))
+          .as("s_cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val px = pairs
+      .join(asg.select(col("doc_id").as("doc_a"), col("s_naive").as("na"),
+        col("s_cluster").as("ca")), "doc_a")
+      .join(asg.select(col("doc_id").as("doc_b"), col("s_naive").as("nb"),
+        col("s_cluster").as("cb")), "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairAgg(a: String, b: String, strategy: String) = px.agg(
+      count(lit(1)).as("n_pairs"),
+      sum((col(a) =!= col(b)).cast("long")).as("cross_pairs"),
+      count_distinct(expr(
+        s"""CASE WHEN $a = 'train' AND $b <> 'train' THEN doc_b
+           | WHEN $b = 'train' AND $a <> 'train' THEN doc_a END""".stripMargin))
+        .as("leaked_eval_docs"))
+      .withColumn("strategy", lit(strategy))
+    def evalAgg(c: String, strategy: String) = asg.agg(
+      sum((col(c) =!= lit("train")).cast("long")).as("n_eval_docs"))
+      .withColumn("strategy", lit(strategy))
+    pairAgg("na", "nb", "naive").union(pairAgg("ca", "cb", "cluster"))
+      .join(evalAgg("s_naive", "naive").union(evalAgg("s_cluster", "cluster")),
+        "strategy")
+      .select(col("strategy"), col("n_pairs"), col("cross_pairs"),
+        col("leaked_eval_docs"), col("n_eval_docs"))
+      .orderBy("strategy")
+  }
+
+  /** Oracle: independent recursive-fixpoint clusters (as
+    * [[oracleSql]]), both split assignments from the identical bucket
+    * math, and the same pair-crossing aggregation.
+    */
+  def leakageOracleSql(thresholdMilli: Int = DedupClusterOps.Threshold): String =
+    s"""WITH RECURSIVE${DedupClusterOps.pairGraphSql(thresholdMilli)},
+       |reach AS (
+       | SELECT doc_id, doc_id AS r FROM n0
+       | UNION
+       | SELECT re.doc_id, e.dst AS r FROM reach re JOIN sym e ON re.r = e.src),
+       |cl AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+       |asg AS (
+       | SELECT d.doc_id,
+       |  CASE WHEN ((d.doc_id % $P) * $K % $P) % 1000 < $TrainMilli THEN 'train'
+       |   WHEN ((d.doc_id % $P) * $K % $P) % 1000 < $ValMilli THEN 'val'
+       |   ELSE 'test' END AS s_naive,
+       |  CASE WHEN ((coalesce(cl.cluster, d.doc_id) % $P) * $K % $P) % 1000
+       |    < $TrainMilli THEN 'train'
+       |   WHEN ((coalesce(cl.cluster, d.doc_id) % $P) * $K % $P) % 1000
+       |    < $ValMilli THEN 'val'
+       |   ELSE 'test' END AS s_cluster
+       | FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       |px AS (
+       | SELECT p.doc_a, p.doc_b, xa.s_naive AS na, xb.s_naive AS nb,
+       |  xa.s_cluster AS ca, xb.s_cluster AS cb
+       | FROM pairs p JOIN asg xa ON p.doc_a = xa.doc_id
+       |  JOIN asg xb ON p.doc_b = xb.doc_id),
+       |pagg AS (
+       | SELECT 'naive' AS strategy, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT) AS cross_pairs,
+       |  CAST(count(DISTINCT CASE WHEN na = 'train' AND nb <> 'train' THEN doc_b
+       |   WHEN nb = 'train' AND na <> 'train' THEN doc_a END) AS BIGINT)
+       |   AS leaked_eval_docs
+       | FROM px
+       | UNION ALL
+       | SELECT 'cluster', CAST(count(*) AS BIGINT),
+       |  CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(count(DISTINCT CASE WHEN ca = 'train' AND cb <> 'train' THEN doc_b
+       |   WHEN cb = 'train' AND ca <> 'train' THEN doc_a END) AS BIGINT)
+       | FROM px),
+       |sagg AS (
+       | SELECT 'naive' AS strategy,
+       |  CAST(sum(CASE WHEN s_naive <> 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_eval_docs
+       | FROM asg
+       | UNION ALL
+       | SELECT 'cluster',
+       |  CAST(sum(CASE WHEN s_cluster <> 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       | FROM asg)
+       |SELECT p.strategy, p.n_pairs, p.cross_pairs, p.leaked_eval_docs,
+       | s.n_eval_docs
+       |FROM pagg p JOIN sagg s ON p.strategy = s.strategy
+       |ORDER BY p.strategy""".stripMargin
+
   def oracleSql(thresholdMilli: Int = DedupClusterOps.Threshold): String =
     s"""WITH RECURSIVE${DedupClusterOps.pairGraphSql(thresholdMilli)},
        |reach AS (

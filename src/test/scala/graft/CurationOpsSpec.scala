@@ -115,6 +115,86 @@ class CurationOpsSpec extends AnyFunSuite {
     assign.unpersist()
   }
 
+  test("split leakage audit: cluster row reads zero, naive recompute matches") {
+    import graft.operators.{SplitOps, MinHashOps, DedupClusterOps}
+    val out = SplitOps.splitLeakageAudit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set("naive", "cluster"))
+    // The invariant the operator exists to measure: cluster-aware
+    // splitting leaks NOTHING.
+    assert(out("cluster")._2 == 0L, "cluster-aware split must not cross pairs")
+    assert(out("cluster")._3 == 0L)
+    // Both strategies audit the same pair set.
+    assert(out("naive")._1 == out("cluster")._1)
+    // Naive recompute of the naive strategy from the raw pair set.
+    val docs = Tables.documents(spark, sf)
+    val cap = MinHashOps.defaultDfCap(docs.count())
+    val pairs = MinHashOps
+      .ngramJaccardPairs(docs, DedupClusterOps.Threshold, Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def bucket(id: Long) =
+      ((id % graft.operators.SketchOps.P) * graft.operators.SketchOps.K %
+        graft.operators.SketchOps.P) % 1000
+    def split(id: Long) =
+      if (bucket(id) < SplitOps.TrainMilli) "train"
+      else if (bucket(id) < SplitOps.ValMilli) "val" else "test"
+    val crossing = pairs.filter { case (a, b) => split(a) != split(b) }
+    val leakedDocs = crossing.flatMap { case (a, b) =>
+      Seq(a, b).filter(split(_) != "train")
+        .filter(_ => split(a) == "train" || split(b) == "train")
+    }.distinct
+    assert(out("naive")._1 == pairs.length.toLong)
+    assert(out("naive")._2 == crossing.length.toLong)
+    assert(out("naive")._3 == leakedDocs.length.toLong)
+    // The audit only means something if the naive strategy actually
+    // leaks on this corpus.
+    assert(out("naive")._2 > 0L, "corpus should exhibit naive-split leakage")
+  }
+
+  test("epoch schedule: exact staged recompute, budget conservation, tempering") {
+    import graft.operators.SampleOps
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        "\\S+".r.findAllIn(r.getString(1)).length.toLong)
+    val bySrc = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val totalTok = bySrc.values.map(_._2).sum
+    val wFp = bySrc.map { case (s, (_, t)) =>
+      s -> math.floor(math.sqrt(t.toDouble) * 1000000.0).toLong
+    }
+    val totalW = wFp.values.sum
+    val budget = SampleOps.BudgetX * totalTok
+    val got = SampleOps.epochSchedule(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, (nd, nt)) =>
+      val share = 1000000L * wFp(s) / totalW
+      val target = share * (budget / 1000000L) +
+        share * (budget % 1000000L) / 1000000L
+      assert(got(s) == ((nd, nt, share, target, target / nt,
+        1000L * (target % nt) / nt)), s"source $s")
+    }
+    // Conservation: targets sum to the budget within |sources| ppm-floor
+    // truncations of it.
+    val sumTarget = got.values.map(_._4).sum
+    assert(sumTarget <= budget &&
+      budget - sumTarget <= budget / 1000000L * got.size + got.size.toLong,
+      s"sum=$sumTarget budget=$budget")
+    // Tempering direction: the SMALLEST source must be upsampled relative
+    // to its raw share more than the largest is.
+    val smallest = bySrc.minBy(_._2._2)._1
+    val largest = bySrc.maxBy(_._2._2)._1
+    def amplify(s: String) = got(s)._4.toDouble / (SampleOps.BudgetX *
+      bySrc(s)._2)
+    assert(amplify(smallest) > amplify(largest),
+      "sqrt tempering must boost small sources relative to large ones")
+  }
+
   test("hll estimate is shard-merge-exact and lands near the true cardinality") {
     val r = graft.operators.HllOps.hllDistinctUsers(spark, sf).collect().head
     val (est, merged, truth) = (r.getLong(1), r.getLong(2), r.getLong(3))
