@@ -488,6 +488,11 @@ object Registry {
     q("ann_topk_filtered", AnnOps.annTopkFilteredOracleSql())(
       (s, d) => AnnOps.annTopKFiltered(s, d)),
 
+    // Contrastive hard-negative mining: top-k most-similar DIFFERENT-
+    // label candidates per query (the filtered path's complement).
+    q("hard_negatives", AnnOps.hardNegativesOracleSql())(
+      (s, d) => AnnOps.hardNegatives(s, d)),
+
     // Approximate k-NN graph: top-k neighbors of EVERY vector from its
     // LSH bucket neighborhood — the semantic-dedup primitive; oracle
     // runs the identical bucketed algorithm.
@@ -952,6 +957,11 @@ object Registry {
     // centroids — per-cluster separation/compactness, fully replayed.
     q("kmeans_silhouette", LloydOps.silhouetteOracleSql())(
       LloydOps.kmeansSilhouette),
+
+    // Cluster purity vs ground-truth labels (external validation next
+    // to the silhouette's internal one), same replayed Lloyd chain.
+    q("kmeans_purity", LloydOps.purityOracleSql())(
+      LloydOps.kmeansPurity),
 
     // IVF ANN scale path: depends on an MLlib KMeans fit, so (like the
     // kmeans_* entries) not oracle-SQL-expressible — rows-only here;

@@ -133,6 +133,53 @@ object AnnOps {
     rankTopK(s, scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training complement of
+    * [[annTopKFiltered]]: for each query, the top-k most-similar
+    * candidates with a DIFFERENT label. These are the negatives that
+    * actually move an embedding model (random negatives are trivially
+    * separable; the informative ones sit just across the class
+    * boundary), and mining them is a standard pass over the training
+    * corpus before each contrastive epoch (in-batch negatives'
+    * offline twin). Same pre-filter discipline as the filtered path:
+    * the label inequality joins BEFORE scoring, and the tiny query
+    * side broadcasts so the candidate scan never shuffles. At 100 TB
+    * the same swap as `ann_lsh`/`ann_ivf` applies — bucket the
+    * candidates, mine within probed buckets — with this exact pass as
+    * the recall yardstick.
+    */
+  def hardNegatives(s: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+      col("label").as("c_label"))
+    val scored = cand
+      .join(broadcast(q), col("q_label") =!= col("c_label"))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
+    rankTopK(s, scored, k)
+  }
+
+  def hardNegativesOracleSql(k: Int = 10, nQueries: Int = 5): String =
+    s"""WITH q AS (
+       | SELECT vec_id AS q_id, embedding AS qv, label AS ql
+       | FROM embeddings WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv, label AS cl FROM embeddings),
+       |p AS (
+       | SELECT q_id, c_id,
+       |  round(
+       |   list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform(qv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(cv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6) AS cosine_r6
+       | FROM q, c WHERE ql <> cl),
+       |r AS (
+       | SELECT q_id, c_id, cosine_r6,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+       | FROM p)
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   def annTopkFilteredOracleSql(k: Int = 10, nQueries: Int = 5): String =
     s"""WITH q AS (
        | SELECT vec_id AS q_id, embedding AS qv, label AS ql

@@ -222,6 +222,71 @@ object LloydOps {
       .orderBy("cluster")
   }
 
+  /** External-validation twin of [[kmeansSilhouette]]: cluster PURITY
+    * against the corpus's ground-truth `label` column — per cluster,
+    * size, number of distinct labels present, the majority label (ties
+    * to the lowest label id) and its milli share. Silhouette says the
+    * geometry is tight; purity says the geometry agrees with the
+    * labels — a curation pipeline wants both before trusting
+    * cluster-balanced sampling to preserve class structure.
+    *
+    * Scale shape: one final-centroid assignment pass (k×dims literal),
+    * one (cluster, label) aggregate — cells bounded by k·|labels|
+    * regardless of corpus size — then a k-row ranking.
+    */
+  def kmeansPurity(s: SparkSession, dir: String): DataFrame =
+    purityOf(Tables.embeddings(s, dir), K, Iters)
+
+  private[graft] def purityOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (cents, _) = run(emb, k, iters)
+    val assigned = assign(quantized(emb), cents)
+    val cells = Tables.parallelized(emb)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    cells
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(col("c").desc, col("label"))))
+      .groupBy("cluster")
+      .agg(sum("c").as("n"),
+        count(lit(1)).as("n_labels"),
+        max(when(col("rk") === 1, col("label"))).as("majority_label"),
+        max(when(col("rk") === 1, col("c"))).as("maj_c"))
+      .select(col("cluster"), col("n"), col("n_labels"),
+        col("majority_label"),
+        expr("(1000 * maj_c) div n").as("purity_milli"))
+      .orderBy("cluster")
+  }
+
+  /** Oracle: shared Lloyd chain → final assignment → the identical
+    * (cluster, label) contingency and majority ranking.
+    */
+  def purityOracleSql(k: Int = K, iters: Int = Iters): String =
+    oracleChain(k, iters) + s""",
+       |df AS (
+       | SELECT x.vec_id, c.cluster, sum((x.xq - c.c) * (x.xq - c.c)) AS dist
+       | FROM x JOIN c$iters c ON x.dim = c.dim GROUP BY 1, 2),
+       |fa AS (
+       | SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM df) WHERE rn = 1),
+       |cells AS (
+       | SELECT fa.cluster, CAST(e.label AS BIGINT) AS label, count(*) AS c
+       | FROM fa JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |rk AS (
+       | SELECT *, row_number() OVER (PARTITION BY cluster
+       |   ORDER BY c DESC, label) AS r
+       | FROM cells)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(sum(c) AS BIGINT) AS n,
+       | count(*) AS n_labels,
+       | CAST(max(CASE WHEN r = 1 THEN label END) AS BIGINT) AS majority_label,
+       | CAST((1000 * max(CASE WHEN r = 1 THEN c END)) // sum(c) AS BIGINT)
+       |  AS purity_milli
+       |FROM rk GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** Oracle: the shared Lloyd chain, then the same 1st/2nd-nearest
     * ranking off the final centroid table.
     */

@@ -97,6 +97,38 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: cross-label only, complement of the filtered path") {
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val negs = AnnOps.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Exactly k per query (500 vectors across several labels always
+    // leave >= 10 cross-label candidates).
+    assert(negs.map(_._1).distinct.length == 5)
+    assert(negs.length == 50)
+    negs.foreach { case (q, c, _, _) =>
+      assert(labels(q) != labels(c), s"($q,$c) shares a label")
+    }
+    // Ranks are 1..k with non-increasing cosine per query.
+    negs.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to 10L))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq)
+    }
+    // Disjoint from the same-label filtered results by construction.
+    val filtered = AnnOps.annTopKFiltered(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negs.forall { case (q, c, _, _) => !filtered.contains((q, c)) })
+    // Every hard negative scores <= the exact unrestricted neighbor at
+    // the same rank (the exact set optimizes over a superset).
+    val exactByRank = exact.map(r =>
+      (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    negs.foreach { case (q, _, rk, cos) =>
+      assert(cos <= exactByRank((q, rk)) + 1e-9, s"q=$q rank=$rk")
+    }
+  }
+
   test("embedding PCA satisfies the eigen identities on the exact covariance") {
     import graft.operators.PcaOps
     val rows = PcaOps.embeddingPca(spark, sf).collect()

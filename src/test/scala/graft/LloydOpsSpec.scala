@@ -83,4 +83,40 @@ class LloydOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == again.toSeq, "deterministic across runs")
   }
+
+  test("purity: label-aligned planted blobs are pure; mixed blob splits majority") {
+    import spark.implicits._
+    // Blob A = label 7 (pure); blob B mixes labels 3 (x2) and 9 (x1):
+    // majority must be 3 with purity 666.
+    val d = Seq(
+      (1L, Seq(0.0f, 0.0f), 7), (2L, Seq(0.2f, 0.0f), 7), (3L, Seq(0.0f, 0.2f), 7),
+      (4L, Seq(10.0f, 10.0f), 3), (5L, Seq(10.2f, 10.0f), 3), (6L, Seq(10.0f, 10.2f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = LloydOps.purityOf(d, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._2).sum == 6L)
+    val byCluster = out.map(t => t._1 -> t).toMap
+    val pure = out.find(_._4 == 7L).get
+    assert(pure._2 == 3L && pure._3 == 1L && pure._5 == 1000L)
+    val mixed = out.find(_._4 == 3L).get
+    assert(mixed._2 == 3L && mixed._3 == 2L && mixed._5 == 666L)
+    assert(byCluster.size == 2)
+  }
+
+  test("purity registered query: conservation, bounds, labels valid") {
+    val out = LloydOps.kmeansPurity(spark, TestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    assert(out.map(_._2).sum == emb.count())
+    val labels = emb.select("label").distinct().collect()
+      .map(_.getInt(0).toLong).toSet
+    out.foreach { case (cl, n, nLabels, maj, purity) =>
+      assert(labels.contains(maj), s"cluster $cl majority $maj")
+      assert(nLabels >= 1L && nLabels <= labels.size.toLong)
+      // Majority share is at least an even split and at most everything.
+      assert(purity >= 1000L / nLabels && purity <= 1000L,
+        s"cluster $cl purity $purity of $nLabels labels")
+      assert(n >= 1L)
+    }
+  }
 }
