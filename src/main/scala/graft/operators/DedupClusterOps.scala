@@ -108,12 +108,17 @@ object DedupClusterOps {
       s: SparkSession,
       docs: DataFrame,
       thresholdMilli: Int = Threshold,
-      maxIters: Int = 50): (Int, DataFrame) = {
+      maxIters: Int = 50,
+      pairsIn: Option[DataFrame] = None): (Int, DataFrame) = {
     // Same df-capped + set-exempted pair graph as `dedup_ngram` (see
     // [[clusters]]) — an uncapped graph here would re-open the C(df,2)
-    // candidate bomb this family's siblings eliminated.
-    val pairs = MinHashOps.ngramJaccardPairs(docs, thresholdMilli,
-        dfCap = Some(MinHashOps.defaultDfCap(docs.count())))
+    // candidate bomb this family's siblings eliminated. Callers that
+    // already materialized that exact pair set (split_leakage_audit)
+    // inject it via `pairsIn` instead of paying the inverted-index
+    // stage a second time.
+    val pairs = pairsIn.getOrElse(
+      MinHashOps.ngramJaccardPairs(docs, thresholdMilli,
+        dfCap = Some(MinHashOps.defaultDfCap(docs.count()))))
       .select(col("doc_a"), col("doc_b"))
     val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

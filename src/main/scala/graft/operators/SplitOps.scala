@@ -96,7 +96,11 @@ object SplitOps {
     val pairs = MinHashOps.ngramJaccardPairs(docs, DedupClusterOps.Threshold,
         dfCap = Some(MinHashOps.defaultDfCap(docs.count())))
       .select(col("doc_a"), col("doc_b"))
-    val clustered = DedupClusterOps.clustersConverged(s, docs)._2
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The clustering consumes the SAME materialized pair set — the
+    // inverted-index stage (this query's dominant cost) runs once.
+    val clustered = DedupClusterOps
+      .clustersConverged(s, docs, pairsIn = Some(pairs))._2
       .select(col("doc_id"), col("cluster"))
     val asg = docs.select(col("doc_id"))
       .join(broadcast(clustered), Seq("doc_id"), "left")

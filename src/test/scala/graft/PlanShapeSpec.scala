@@ -402,4 +402,28 @@ class PlanShapeSpec extends AnyFunSuite {
         s"hashed inverted index missing from the exchanges:\n$plan")
     } finally temps.foreach(_.unpersist(false))
   }
+
+  test("hard negatives broadcast the query side; candidates never sort-merge") {
+    val plan = executedPlan(
+      graft.operators.AnnOps.hardNegatives(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidate scan shuffled into a sort-merge join:\n$plan")
+  }
+
+  test("epoch schedule collapses map-side: no token or text crosses an exchange") {
+    val plan = executedPlan(
+      graft.operators.SampleOps.epochSchedule(spark, sf))
+    // The only shuffled key may be `source` (plus the output range sort):
+    // partial aggregation collapses per-source token counts before the
+    // exchange, and the totals join is a 1-row broadcast.
+    "Exchange hashpartitioning\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).foreach { key =>
+        assert(key.startsWith("source"), s"unexpected shuffle key $key in:\n$plan")
+      }
+    assert(!plan.contains("Exchange hashpartitioning(text") &&
+      !plan.contains("Exchange hashpartitioning(n_tok"), plan)
+  }
 }
