@@ -963,6 +963,22 @@ object Registry {
     q("kmeans_purity", LloydOps.purityOracleSql())(
       LloydOps.kmeansPurity),
 
+    // SemDedup-style semantic prune: Lloyd clusters -> within-cluster
+    // sorted-neighborhood (distance-shell bands) -> exact-cosine
+    // verdicts. Full per-vector decision list, fully replayed.
+    q("semdedup_prune", LloydOps.semdedupOracleSql())(
+      LloydOps.semdedupPrune),
+
+    // Oracle-gated IVF twin of ann_ivf_topk: the Lloyd chain IS the
+    // coarse quantizer, so index build + probe + rank all replay.
+    q("ann_ivf_lloyd_topk", LloydOps.ivfLloydOracleSql())(
+      (s, d) => LloydOps.ivfLloydTopK(s, d)),
+
+    // ...and its recall@k against the exact baseline — both sides of
+    // the comparison hash-verified (the MLlib IVF audit is rows-only).
+    q("ann_recall_ivf_lloyd", LloydOps.annRecallIvfLloydOracleSql())(
+      LloydOps.annRecallIvfLloyd),
+
     // IVF ANN scale path: depends on an MLlib KMeans fit, so (like the
     // kmeans_* entries) not oracle-SQL-expressible — rows-only here;
     // AnnSpec cross-checks its scores against the exact baseline.

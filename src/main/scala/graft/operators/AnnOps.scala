@@ -34,7 +34,7 @@ object AnnOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def cosine(a: Column, b: Column): Column =
+  private[operators] def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
   /** Bounded per-query top-k: keeps the k best (cosine desc, id asc)

@@ -313,4 +313,211 @@ object LloydOps {
        | CAST(sum(s_milli) // count(*) AS BIGINT) AS mean_s_milli,
        | CAST(sum(a) // count(*) AS BIGINT) AS mean_intra_dist
        |FROM sm GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  /** SemDedup prune threshold: consecutive-neighbor pairs with rounded
+    * cosine >= this are marked pruned. Calibrated to THIS corpus (pairwise
+    * cosines top out near 0.5; the 99th percentile is ~0.29), so the
+    * mechanism produces a non-empty decision set — a production corpus
+    * with real semantic duplicates would run the same pass at ~0.9.
+    */
+  val SemDedupTau = 0.25
+
+  /** Distance-shell band width for the within-cluster neighbor windows.
+    * Unit-norm 64-dim vectors put squared-distance-to-centroid in a thin
+    * shell (measured 1.5e12–2.1e12 at e6 quantization), so 1e11 bands
+    * yield ~6–10 occupied bands per cluster independent of corpus size.
+    */
+  val SemDedupBand = 100000000000L
+
+  /** SemDedup-style semantic near-duplicate pruning (Abbas et al. 2023):
+    * cluster the embedding space, then mark within-cluster near-identical
+    * vectors as pruned. The pairwise stage is the linear sorted-
+    * neighborhood variant: within each final-Lloyd cluster, members sort
+    * by (distance-to-centroid, vec_id) and each vector is compared to its
+    * PREDECESSOR only — O(n) exact-cosine verifications instead of the
+    * within-cluster O(n²), the same neighborhood discipline as
+    * `dedup_sorted_neighborhood` but keyed on learned geometry rather
+    * than lexical prefixes.
+    *
+    * Scale shape: one assignment pass (k×dims literal centroids), then
+    * windows partitioned by (cluster, distance band). Parallelism is
+    * k × bands here; in production SemDedup k itself scales with the
+    * corpus (50k clusters on LAION), so window partitions stay bounded —
+    * fixed K=8 is this repo's oracle-replay contract, not the deployment
+    * shape. Emits the full per-vector decision list (cluster, band,
+    * distance, predecessor, cosine, pruned flag), so the gate hashes
+    * every assignment, every neighbor pairing, and every verdict.
+    */
+  def semdedupPrune(s: SparkSession, dir: String): DataFrame =
+    semdedupOf(Tables.embeddings(s, dir), K, Iters)
+
+  private[graft] def semdedupOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, _) = run(emb, k, iters)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val dists = transform(centsLit, c =>
+      aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    val asg = quantized(emb)
+      .select(col("vec_id"), dists.as("ds"))
+      .select(col("vec_id"), expr(
+        "array_sort(transform(ds, (d, i) -> struct(d AS dist, i AS cluster)))")
+        .as("z"))
+      .select(col("vec_id"),
+        col("z")(0).getField("cluster").cast("long").as("cluster"),
+        col("z")(0).getField("dist").as("dist_fp"))
+      .withColumn("band", expr(s"dist_fp div ${SemDedupBand}L"))
+    val w = Window.partitionBy("cluster", "band")
+      .orderBy(col("dist_fp"), col("vec_id"))
+    asg
+      .join(Tables.parallelized(emb).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .withColumn("prev_id", lag(col("vec_id"), 1).over(w))
+      .withColumn("prev_vec", lag(col("embedding"), 1).over(w))
+      .withColumn("cosine_r6",
+        when(col("prev_id").isNotNull,
+          AnnOps.cosine(col("embedding"), col("prev_vec"))))
+      .withColumn("pruned",
+        when(col("cosine_r6") >= SemDedupTau, 1L).otherwise(0L))
+      .select(col("cluster"), col("band"), col("vec_id"), col("dist_fp"),
+        col("prev_id"), col("cosine_r6"), col("pruned"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: shared Lloyd chain → final-centroid assignment + distance →
+    * the identical banded lag pairing and rounded-cosine verdicts.
+    */
+  def semdedupOracleSql(k: Int = K, iters: Int = Iters): String =
+    oracleChain(k, iters) + s""",
+       |df AS (
+       | SELECT x.vec_id, c.cluster, sum((x.xq - c.c) * (x.xq - c.c)) AS dist
+       | FROM x JOIN c$iters c ON x.dim = c.dim GROUP BY 1, 2),
+       |own AS (
+       | SELECT vec_id, cluster, dist AS dist_fp, dist // $SemDedupBand AS band
+       | FROM (
+       |  SELECT vec_id, cluster, dist,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM df) WHERE rn = 1),
+       |lg AS (
+       | SELECT vec_id, cluster, dist_fp, band,
+       |  lag(vec_id) OVER (PARTITION BY cluster, band ORDER BY dist_fp, vec_id) AS prev_id
+       | FROM own),
+       |cs AS (
+       | SELECT lg.*,
+       |  round(
+       |   list_sum(list_transform(list_zip(e.embedding, p.embedding),
+       |     t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform(e.embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(p.embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6)
+       |   AS cosine_r6
+       | FROM lg JOIN embeddings e ON lg.vec_id = e.vec_id
+       |  LEFT JOIN embeddings p ON lg.prev_id = p.vec_id)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(band AS BIGINT) AS band,
+       | vec_id, CAST(dist_fp AS BIGINT) AS dist_fp, prev_id, cosine_r6,
+       | CAST(CASE WHEN cosine_r6 >= $SemDedupTau THEN 1 ELSE 0 END AS BIGINT) AS pruned
+       |FROM cs ORDER BY vec_id""".stripMargin
+
+  val IvfProbes = 2
+
+  /** Oracle-gated IVF top-k — the fixed-point twin of the MLlib-backed
+    * `ann_ivf_topk` (rows-only by contract), exactly as [[kmeansLloyd]]
+    * twins `kmeans_sizes`: the coarse quantizer is the Lloyd chain's
+    * final centroid table, every corpus vector files into its argmin
+    * list, each query probes its [[IvfProbes]] nearest lists, and exact
+    * rounded-cosine ranks within the probed candidates. Every step is
+    * integer-or-rounded, so DuckDB replays the whole index build AND the
+    * search.
+    *
+    * Scale shape: the index build is one assignment pass (k×dims literal
+    * centroids — a plan constant); the search joins the tiny broadcast
+    * (query × probe) set against candidates hash-partitioned by list id,
+    * touching ~nprobe/k of the corpus per query instead of all of it;
+    * the ranking is the bounded map-side top-k aggregator shared with
+    * every other ANN path. No N×Q product anywhere.
+    */
+  def ivfLloydTopK(
+      s: SparkSession, dir: String,
+      k: Int = 10, nQueries: Int = 5, nprobe: Int = IvfProbes): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (cents, _) = run(emb, K, Iters)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val dists = transform(centsLit, c =>
+      aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    val pts = quantized(emb)
+    val asg = assign(pts, cents).select(col("vec_id").as("c_id"),
+      col("cluster"))
+    val cand = Tables.parallelized(emb)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .join(asg, "c_id")
+    val qProbes = pts.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), dists.as("ds"))
+      .select(col("q_id"), expr(
+        "array_sort(transform(ds, (d, i) -> struct(d AS dist, i AS cluster)))")
+        .as("z"))
+      .select(col("q_id"),
+        explode(expr(s"transform(slice(z, 1, $nprobe), p -> p.cluster)"))
+          .as("cl0"))
+      .select(col("q_id"), col("cl0").cast("long").as("cluster"))
+      .join(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), "q_id")
+    val scored = cand
+      .join(broadcast(qProbes), Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        AnnOps.cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
+    AnnOps.rankTopK(s, scored, k)
+  }
+
+  /** Oracle: Lloyd chain → assignment lists + per-query probe ranking →
+    * rounded-cosine row_number within probed candidates.
+    */
+  def ivfLloydOracleSql(
+      k: Int = 10, nQueries: Int = 5, nprobe: Int = IvfProbes,
+      kClusters: Int = K, iters: Int = Iters): String =
+    oracleChain(kClusters, iters) + s""",
+       |df AS (
+       | SELECT x.vec_id, c.cluster, sum((x.xq - c.c) * (x.xq - c.c)) AS dist
+       | FROM x JOIN c$iters c ON x.dim = c.dim GROUP BY 1, 2),
+       |rkd AS (
+       | SELECT vec_id, cluster,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       | FROM df),
+       |asg AS (SELECT vec_id AS c_id, cluster FROM rkd WHERE rn = 1),
+       |probes AS (
+       | SELECT vec_id AS q_id, cluster FROM rkd
+       | WHERE vec_id < $nQueries AND rn <= $nprobe),
+       |qv AS (
+       | SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       | WHERE vec_id < $nQueries),
+       |cv AS (
+       | SELECT a.c_id, a.cluster, e.embedding AS c_vec
+       | FROM asg a JOIN embeddings e ON a.c_id = e.vec_id),
+       |p AS (
+       | SELECT q.q_id, c.c_id,
+       |  round(
+       |   list_sum(list_transform(list_zip(q.q_vec, c.c_vec),
+       |     t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform(q.q_vec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(c.c_vec, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6)
+       |   AS cosine_r6
+       | FROM qv q JOIN probes pr ON q.q_id = pr.q_id
+       |  JOIN cv c ON pr.cluster = c.cluster
+       | WHERE q.q_id <> c.c_id),
+       |r AS (
+       | SELECT q_id, c_id, cosine_r6,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+       | FROM p)
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Recall@k of the oracle-gated IVF against the exact baseline — the
+    * first recall audit where BOTH the index build and the comparison
+    * are hash-verified end to end (the MLlib IVF audit is rows-only).
+    */
+  def annRecallIvfLloyd(s: SparkSession, dir: String): DataFrame =
+    AnnOps.recallOf(AnnOps.annTopK(s, dir), ivfLloydTopK(s, dir))
+
+  def annRecallIvfLloydOracleSql(): String =
+    AnnOps.recallAuditSql(AnnOps.annTopkOracleSql(), ivfLloydOracleSql())
 }
