@@ -498,6 +498,12 @@ object Registry {
     // runs the identical bucketed algorithm.
     q("knn_graph", AnnOps.knnGraphOracleSql())((s, d) => AnnOps.knnGraph(s, d)),
 
+    // kNN label-agreement audit off the same bucketed graph: per-label
+    // mean neighborhood agreement + suspect counts — the mislabel
+    // detector a labeled-embedding corpus runs before training.
+    q("knn_label_agreement", AnnOps.knnLabelAgreementOracleSql())(
+      (s, d) => AnnOps.knnLabelAgreement(s, d)),
+
     // The LSH scale path for ANN as a first-class checked query: same
     // output contract as ann_topk, oracle generated from the identical
     // fixed-point code/probe constants (no recall mismatch possible).
@@ -551,6 +557,13 @@ object Registry {
     q("dedup_threshold_curve", MinHashOps.DedupThresholdCurveOracleSql)(
       MinHashOps.dedupThresholdCurve),
 
+    // LSH recall contract as a gated query: modeled (1-J^2)^32 miss ppm
+    // per Jaccard bucket via an exact integer chain, plus the measured
+    // exact-vs-LSH differential — missed_pairs hashing to zero IS the
+    // recall gate; a banding or bucket-cap regression fails it.
+    q("lsh_miss_audit", MinHashOps.lshMissAuditOracleSql())(
+      (s, d) => MinHashOps.lshMissAudit(s, d)),
+
     // Sub-threshold redundancy meter: share of each source's shingle
     // occurrences first seen in that document (ingestion-order
     // attribution) — low novelty flags a feed re-serving known content
@@ -563,6 +576,12 @@ object Registry {
     // independent recursive-reachability oracle.
     q("dedup_savings", DedupClusterOps.dedupSavingsOracleSql())(
       DedupClusterOps.dedupSavings),
+
+    // Survivor POLICY audit: keep-min-id vs keep-the-quality-passing
+    // member, one hashed decision row per duplicate cluster; independent
+    // recursive-reachability oracle, quality CTEs from quality_filter.
+    q("dedup_survivor_quality", DedupClusterOps.survivorQualityOracleSql())(
+      DedupClusterOps.survivorQuality),
 
     q("dedup_simhash", SimHashOps.oracleSql)(SimHashOps.dedupSimhash),
 
@@ -1052,6 +1071,12 @@ object Registry {
     // bits — bitlen instead of engine-variant floating logs.
     q("lm_surprise", operators.TextOps.LmSurpriseOracleSql)(
       (s, d) => operators.TextOps.lmSurprise(s, d)),
+
+    // CCNet-style perplexity terciles: per-language head/middle/tail cut
+    // over the lm_surprise score with doc/token mass and score ranges —
+    // the train/sample/drop planning table (Wenzek et al. 2020).
+    q("ccnet_buckets", operators.TextOps.CcnetBucketsOracleSql)(
+      operators.TextOps.ccnetBuckets),
 
     // DSIR-style importance weights (target-domain vs corpus unigram LM,
     // exact integer bits) — the data-selection score, per document.

@@ -399,7 +399,12 @@ object AnnOps {
     rankTopK(s, scored, k)
   }
 
-  def knnGraphOracleSql(k: Int = 3, bits: Int = DefaultEmbedBits): String = {
+  /** Shared oracle chain for the knn-graph family: codes → Hamming≤1
+    * probes → directed candidates → exact cosine → per-query rank, as the
+    * `r` CTE. Both [[knnGraphOracleSql]] and the label-agreement audit
+    * select from it.
+    */
+  private def knnChainSql(bits: Int): String = {
     val masks = (Seq(0L) ++ (0 until bits).map(1L << _)).mkString("[", ", ", "]")
     s"""WITH ${codesSql(bits)},
        |probes AS (SELECT vec_id, xor(code, unnest($masks)) AS probe FROM codes),
@@ -412,10 +417,72 @@ object AnnOps {
        | FROM cand c JOIN e x ON c.q_id = x.vec_id JOIN e y ON c.c_id = y.vec_id),
        |r AS (SELECT q_id, c_id, cosine_r6,
        | CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
-       | FROM p)
+       | FROM p)""".stripMargin
+  }
+
+  def knnGraphOracleSql(k: Int = 3, bits: Int = DefaultEmbedBits): String =
+    s"""${knnChainSql(bits)}
        |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
+
+  /** kNN label-agreement audit — the confident-learning-style mislabel
+    * detector for an embedding corpus: each vector's milli share of its
+    * top-k neighbors (from the [[knnGraph]] bucketed pass) that carry
+    * the SAME label, rolled up per label as mean agreement and the
+    * count of suspects below 500 milli (neighborhood majority disagrees
+    * with the stored label). A label whose mean agreement is low is
+    * noisy as a CLASS; individual suspects are the rows a relabeling
+    * queue reads. Vectors whose Hamming≤1 neighborhood is empty have no
+    * evidence either way and drop out (same coverage contract as the
+    * knn-graph itself).
+    *
+    * Scale shape: everything downstream of the knn-graph is id-keyed
+    * joins against the (vec_id, label) projection and two bounded
+    * aggregates — |labels| output rows regardless of corpus size.
+    */
+  def knnLabelAgreement(
+      s: SparkSession,
+      dir: String,
+      k: Int = 3,
+      bits: Int = DefaultEmbedBits): DataFrame = {
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val perVec = knnGraph(s, dir, k, bits)
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_lab")),
+        "q_id")
+      .join(labels.select(col("vec_id").as("c_id"), col("label").as("c_lab")),
+        "c_id")
+      .groupBy("q_id", "q_lab")
+      .agg(
+        count(lit(1)).as("nbrs"),
+        sum((col("q_lab") === col("c_lab")).cast("long")).as("agree"))
+      .select(col("q_id"), col("q_lab").as("label"),
+        expr("(1000 * agree) div nbrs").as("agree_milli"))
+    perVec.groupBy("label")
+      .agg(
+        count(lit(1)).as("vectors"),
+        expr("sum(agree_milli) div count(*)").as("mean_agree_milli"),
+        sum((col("agree_milli") < 500).cast("long")).as("suspects"))
+      .orderBy("label")
   }
+
+  def knnLabelAgreementOracleSql(
+      k: Int = 3, bits: Int = DefaultEmbedBits): String =
+    s"""${knnChainSql(bits)},
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |pv AS (
+       | SELECT r.q_id, ql.label,
+       |  CAST((1000 * sum(CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END))
+       |   // count(*) AS BIGINT) AS agree_milli
+       | FROM r JOIN lab ql ON r.q_id = ql.vec_id
+       |        JOIN lab cl ON r.c_id = cl.vec_id
+       | WHERE r.rank <= $k
+       | GROUP BY r.q_id, ql.label)
+       |SELECT label, count(*) AS vectors,
+       | CAST(sum(agree_milli) // count(*) AS BIGINT) AS mean_agree_milli,
+       | CAST(sum(CASE WHEN agree_milli < 500 THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS suspects
+       |FROM pv GROUP BY label ORDER BY label""".stripMargin
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * assigns every vector to a cell; each query probes only its `nProbe`

@@ -244,6 +244,86 @@ object DedupClusterOps {
       .orderBy("source")
   }
 
+  /** Quality-aware survivor selection — the policy question a real
+    * pipeline answers after clustering: keep-min-id is deterministic but
+    * blind; keeping the cluster member that PASSES the Gopher quality
+    * filter (tie → min doc_id) retains a trainable document where the
+    * min-id pick may retain a junk one. One row per duplicate cluster:
+    * both policies' survivors, their `keep` flags, and whether the
+    * policies disagree — so the gate hashes every decision and the
+    * aggregate "how many clusters does the quality policy rescue" is a
+    * one-line rollup the curator reads off the dump.
+    *
+    * Scale shape: cluster labels are pair-member-sized; the quality
+    * flags attach by doc_id join (one scan, no shuffle beyond the
+    * label join); the per-cluster argmin/argmax is a single aggregate
+    * with struct-ordering (no window over the corpus). Output =
+    * |clusters| rows.
+    */
+  def survivorQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labels = clustersConverged(s, docs)._2.select("doc_id", "cluster")
+    val member = labels.join(
+      TextOps.qualityFlags(docs).select(col("doc_id"), col("keep")), "doc_id")
+    member
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("members"),
+        min("doc_id").as("minid_survivor"),
+        // argmin over (doc_id) given keep DESC: struct ordering picks the
+        // lowest (1 - keep, doc_id), i.e. a keep=1 doc when one exists.
+        min(struct((lit(1L) - col("keep")).as("nk"), col("doc_id")))
+          .getField("doc_id").as("quality_survivor"),
+        max("keep").as("quality_keep"),
+        min(struct(col("doc_id"), col("keep"))).getField("keep")
+          .as("minid_keep"))
+      .select(
+        col("cluster"), col("members"),
+        col("minid_survivor"), col("minid_keep"),
+        col("quality_survivor"), col("quality_keep"),
+        (col("minid_survivor") =!= col("quality_survivor")).cast("long")
+          .as("changed"))
+      .orderBy("cluster")
+  }
+
+  /** Oracle: recursive-reachability clusters + the `quality_filter` CTEs,
+    * same struct-free argmin via window ranks.
+    */
+  def survivorQualityOracleSql(thresholdMilli: Int = Threshold): String =
+    s"""WITH RECURSIVE${pairGraphSql(thresholdMilli)},
+       |reach AS (
+       | SELECT doc_id, doc_id AS r FROM n0
+       | UNION
+       | SELECT re.doc_id, e.dst AS r FROM reach re JOIN sym e ON re.r = e.src),
+       |lab AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+       |qf AS (
+       | SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       |  CAST(len(regexp_extract_all(text, '\\b(the|and|is|of|to|in|it|a)\\b')) AS BIGINT) AS n_stopwords
+       | FROM documents),
+       |k AS (
+       | SELECT doc_id,
+       |  CAST((CAST(n_tokens < 20 AS BIGINT)
+       |   + CAST((1000 * n_chars_nows) // greatest(n_tokens, 1) NOT BETWEEN 3000 AND 5000 AS BIGINT)
+       |   + CAST(n_stopwords = 0 AS BIGINT)
+       |   + CAST((1000 * n_punct) // greatest(n_tokens, 1) > 200 AS BIGINT)) = 0 AS BIGINT) AS keep
+       | FROM qf),
+       |mem AS (
+       | SELECT lab.cluster, lab.doc_id, k.keep,
+       |  row_number() OVER (PARTITION BY lab.cluster ORDER BY lab.doc_id) AS rid,
+       |  row_number() OVER (PARTITION BY lab.cluster ORDER BY 1 - k.keep, lab.doc_id) AS rq
+       | FROM lab JOIN k USING (doc_id))
+       |SELECT cluster, count(*) AS members,
+       | CAST(min(CASE WHEN rid = 1 THEN doc_id END) AS BIGINT) AS minid_survivor,
+       | CAST(min(CASE WHEN rid = 1 THEN keep END) AS BIGINT) AS minid_keep,
+       | CAST(min(CASE WHEN rq = 1 THEN doc_id END) AS BIGINT) AS quality_survivor,
+       | CAST(max(keep) AS BIGINT) AS quality_keep,
+       | CAST(min(CASE WHEN rid = 1 THEN doc_id END)
+       |  <> min(CASE WHEN rq = 1 THEN doc_id END) AS BIGINT) AS changed
+       |FROM mem GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** Oracle: the same independent recursive-reachability components as
     * [[convergedOracleSql]], rolled up to source-level removal totals.
     */

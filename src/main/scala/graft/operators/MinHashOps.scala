@@ -496,6 +496,81 @@ object MinHashOps {
        |SELECT doc_a, doc_b, CAST(jaccard_milli AS BIGINT) AS jaccard_milli
        |FROM j WHERE jaccard_milli >= 600 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** LSH false-negative audit — the recall contract between the exact
+    * n-gram view and the probabilistic MinHash stage, as a gated query
+    * instead of a one-off test: for every exact near-dup pair (the
+    * df-capped + set-exempted `dedup_ngram` view), the MODELED miss
+    * probability of the ${Bands}×${RowsPerBand} banding —
+    * `(1 − J^r)^b` evaluated as an exact integer ppm chain (`acc ←
+    * acc·(10⁶ − J²_ppm) div 10⁶`, `b` steps; both engines run the
+    * identical chain, no float pow) — plus the MEASURED outcome (is the
+    * pair in [[nearDupPairs]]' output), bucketed per 100-milli Jaccard
+    * band. `missed_pairs` hashing to zero IS the gate: any LSH recall
+    * regression (band-key bug, over-aggressive bucket cap) fails this
+    * query's hash, while `miss_ppm_max` reads off how much margin the
+    * banding has at the threshold boundary (≈0.64³² ppm at J=600 —
+    * sub-ppm, which is why zero measured misses is the contract and not
+    * luck).
+    *
+    * Scale: both pair machines are the hard-bounded ones (df ceiling /
+    * bucket cap); everything downstream is output-sized arithmetic.
+    */
+  def lshMissAudit(
+      s: SparkSession, dir: String, thresholdMilli: Int = 600): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exact = ngramJaccardPairs(docs, thresholdMilli,
+      dfCap = Some(defaultDfCap(docs.count())))
+    val found = nearDupPairs(docs, thresholdMilli)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    exact
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .select(
+        col("jaccard_milli"),
+        coalesce(col("hit"), lit(0L)).as("hit"),
+        expr(
+          s"""aggregate(sequence(1, $Bands), CAST(1000000 AS BIGINT),
+             |(acc, x) -> (acc * (1000000 - jaccard_milli * jaccard_milli))
+             | div 1000000)""".stripMargin.replace("\n", " "))
+          .as("miss_ppm"))
+      .groupBy(expr("(jaccard_milli div 100) * 100").as("jaccard_bucket"))
+      .agg(
+        count(lit(1)).as("pairs"),
+        sum("hit").as("found_pairs"),
+        (count(lit(1)) - sum("hit")).as("missed_pairs"),
+        sum("miss_ppm").as("miss_ppm_sum"),
+        max("miss_ppm").as("miss_ppm_max"))
+      .orderBy("jaccard_bucket")
+  }
+
+  /** Oracle: the exact capped-pair view (the `dedup_ngram` CTEs) with
+    * the identical ppm chain; `found` is 1 by the recall contract the
+    * gate enforces (exact-capped ⊆ LSH-found — a measured miss on the
+    * Spark side hash-fails against this).
+    */
+  def lshMissAuditOracleSql(thresholdMilli: Int = 600): String =
+    s"""WITH ${cappedCandCtes()},
+       |j AS (
+       | SELECT c.doc_a, c.doc_b,
+       |  CAST((1000 * len(list_intersect(x.shingles, y.shingles)))
+       |   // len(list_distinct(list_concat(x.shingles, y.shingles))) AS BIGINT)
+       |   AS jaccard_milli
+       | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id),
+       |m AS (
+       | SELECT jaccard_milli,
+       |  list_reduce(
+       |   list_prepend(CAST(1000000 AS BIGINT),
+       |    list_transform(range($Bands),
+       |     i -> CAST(1000000 - jaccard_milli * jaccard_milli AS BIGINT))),
+       |   (acc, x) -> (acc * x) // 1000000) AS miss_ppm
+       | FROM j WHERE jaccard_milli >= $thresholdMilli)
+       |SELECT (jaccard_milli // 100) * 100 AS jaccard_bucket,
+       | count(*) AS pairs,
+       | count(*) AS found_pairs,
+       | CAST(0 AS BIGINT) AS missed_pairs,
+       | CAST(sum(miss_ppm) AS BIGINT) AS miss_ppm_sum,
+       | CAST(max(miss_ppm) AS BIGINT) AS miss_ppm_max
+       |FROM m GROUP BY 1 ORDER BY jaccard_bucket""".stripMargin
+
   /** Batch membership convention shared with `dedup_incremental`:
     * doc_id % 10 >= 8 is the "incoming batch", the rest the standing
     * corpus snapshot.

@@ -1031,12 +1031,19 @@ object TextOps {
     * frame is Zipf-small relative to the corpus but unbounded, so it
     * stays a shuffle join, not a broadcast), one doc-keyed aggregate.
     */
-  def lmSurprise(s: SparkSession, dir: String): DataFrame = {
+  def lmSurprise(s: SparkSession, dir: String): DataFrame =
+    surpriseScored(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** The unordered per-doc surprise frame — factored out so consumers
+    * that bucket or join the scores ([[ccnetBuckets]]) don't inherit a
+    * wasted total sort.
+    */
+  private[operators] def surpriseScored(docs: DataFrame): DataFrame = {
     // ONE cached (doc, token, tf) collapse feeds both the vocab build
     // and the scoring join — the raw token explode (the expensive pass)
     // runs once instead of twice, and every downstream row count is
     // per-doc-DISTINCT tokens, not occurrences.
-    val tf = Tables.documents(s, dir)
+    val tf = docs
       .select(col("doc_id"), explode(tokens).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1051,7 +1058,6 @@ object TextOps {
         sum(expr("bits * tf")).as("surprise_bits"))
       .select(col("doc_id"), col("n_tokens"), col("surprise_bits"),
         expr("(1000 * surprise_bits) div n_tokens").as("mean_surprise_milli"))
-      .orderBy("doc_id")
   }
 
   val LmSurpriseOracleSql: String =
@@ -1068,6 +1074,79 @@ object TextOps {
       | CAST((1000 * sum(b.bits)) // count(*) AS BIGINT) AS mean_surprise_milli
       |FROM t JOIN b USING (token)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** CCNet-style perplexity-bucketed corpus split (Wenzek et al. 2020):
+    * per language, rank documents by their [[lmSurprise]] mean (the
+    * integer-bits perplexity stand-in — low ⇒ fluent/common, high ⇒
+    * rare-token-heavy) and cut into head/middle/tail terciles; report
+    * per (lang, bucket) the doc and token mass plus the score range.
+    * CCNet trains on head, samples middle, drops tail — this is the
+    * planning table that decision reads from.
+    *
+    * The tercile cut here is an exact NTILE over (score, doc_id) — a
+    * per-language window, so parallelism is |langs| at this step (the
+    * window input is three narrow columns, not documents). At 100 TB
+    * the production cut is two score THRESHOLDS per language taken from
+    * this very table's min/max readout (CCNet itself computes them once
+    * on a sample) — a stateless filter; the exact NTILE is the
+    * oracle-replay contract, mirrored tie-break and all.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val scored = surpriseScored(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "n_tokens", "mean_surprise_milli")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("mean_surprise_milli"), col("doc_id"))
+    val bucketed = scored
+      .withColumn("nt", ntile(3).over(w))
+      .withColumn("bucket", expr(
+        "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
+    val grouped = bucketed.groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n_tokens").as("tokens"),
+        min("mean_surprise_milli").as("min_score_milli"),
+        max("mean_surprise_milli").as("max_score_milli"))
+    val perLang = grouped.groupBy("lang").agg(sum("tokens").as("lang_tokens"))
+    grouped.join(perLang, "lang")
+      .select(
+        col("lang"), col("bucket"), col("docs"),
+        col("tokens").cast("long").as("tokens"),
+        expr("(1000 * tokens) div lang_tokens").as("token_share_milli"),
+        col("min_score_milli"), col("max_score_milli"))
+      .orderBy("lang", "bucket")
+  }
+
+  val CcnetBucketsOracleSql: String =
+    """WITH t AS (
+      | SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+      | FROM documents),
+      |v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+      |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_tokens FROM v),
+      |b AS (
+      | SELECT token, length(bin(t_tokens // cnt)) - 1 AS bits
+      | FROM v CROSS JOIN tt),
+      |sc AS (
+      | SELECT t.doc_id, count(*) AS n_tokens,
+      |  CAST((1000 * sum(b.bits)) // count(*) AS BIGINT) AS m
+      | FROM t JOIN b USING (token) GROUP BY t.doc_id),
+      |sl AS (
+      | SELECT sc.doc_id, d.lang, sc.n_tokens, sc.m,
+      |  ntile(3) OVER (PARTITION BY d.lang ORDER BY sc.m, sc.doc_id) AS nt
+      | FROM sc JOIN documents d USING (doc_id)),
+      |g AS (
+      | SELECT lang,
+      |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |  min(m) AS min_score_milli, max(m) AS max_score_milli
+      | FROM sl GROUP BY 1, 2),
+      |lt AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS lang_tokens FROM g GROUP BY lang)
+      |SELECT g.lang, g.bucket, g.docs, g.tokens,
+      | CAST((1000 * g.tokens) // lt.lang_tokens AS BIGINT) AS token_share_milli,
+      | g.min_score_milli, g.max_score_milli
+      |FROM g JOIN lt USING (lang) ORDER BY lang, bucket""".stripMargin
 
   /** DSIR-style importance weights for domain-targeted data selection
     * (Xie et al. 2023, "Data Selection for Language Models via Importance

