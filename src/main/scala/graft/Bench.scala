@@ -61,6 +61,22 @@ object Bench {
     case c => c.toString
   }
 
+  /** Process peak RSS in MB from /proc/self/status (VmHWM) — the JVM
+    * analogue of the reference's `resource.getrusage(...).ru_maxrss`
+    * readout (etl_spark.py:22): in local mode one process holds driver
+    * AND executors, so this is the whole engine's high-water mark.
+    * -1 on non-Linux / unreadable proc.
+    */
+  private def peakRssMb(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("VmHWM:") =>
+          l.split("\\s+")(1).toLong / 1024
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the real core count: an unset env var must mean "use the
@@ -237,7 +253,7 @@ object Bench {
         "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
       val total = rs.collect { case Timing(_, v, None, _) => v }.sum
       val errField = if (errs == "{}") "" else s""","errors":$errs"""
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errField,"sf":$sf}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errField,"peak_rss_mb":${peakRssMb()},"sf":$sf}"""
     }
 
     // Full precision for every entry, plus the raw per-rep spread — the
@@ -251,7 +267,7 @@ object Bench {
       .map(t => "\"" + t.name + "\":" + t.reps.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$fullTotal,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"spread":$spread,"sf":$sf,"cpus":$cpus,"sfDir":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":$fullTotal,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"spread":$spread,"peak_rss_mb":${peakRssMb()},"sf":$sf,"cpus":$cpus,"sfDir":"${jsonEscape(sfDir)}"}"""
     // A filtered run (SPARK_GRAFT_ONLY) must never clobber the committed
     // full-inventory record — that exact mistake cost a round's bench
     // history once already. Partial runs write to bench_partial.json.
