@@ -157,7 +157,12 @@ object Bench {
       // index), so warm reps would re-find the warm-up's cache and time
       // only the tail.
       "dedup_incremental_neardup", "dsir_weights", "lm_surprise",
-      "source_similarity", "split_leakage_audit")
+      "source_similarity", "split_leakage_audit",
+      // r13: the LSH audit runs BOTH dedup machines, the survivor policy
+      // rides the converged clustering, and the CCNet cut persists the
+      // same token collapse as lm_surprise — all would be warm-rep
+      // flattered under the default methodology.
+      "lsh_miss_audit", "dedup_survivor_quality", "ccnet_buckets")
     def dropAllCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values

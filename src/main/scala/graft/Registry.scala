@@ -564,6 +564,12 @@ object Registry {
     q("lsh_miss_audit", MinHashOps.lshMissAuditOracleSql())(
       (s, d) => MinHashOps.lshMissAudit(s, d)),
 
+    // Banding-config S-curve over the corpus's OWN sub-threshold pair
+    // profile: modeled catch ppm for 64x1/32x2/16x4/8x8 per Jaccard
+    // bucket — the retuning table beside the shipped 32x2.
+    q("lsh_band_curve", MinHashOps.lshBandCurveOracleSql())(
+      MinHashOps.lshBandCurve),
+
     // Sub-threshold redundancy meter: share of each source's shingle
     // occurrences first seen in that document (ingestion-order
     // attribution) — low novelty flags a feed re-serving known content
@@ -738,6 +744,11 @@ object Registry {
         |SELECT doc_id, n_ws_tokens, n_bpe_pieces,
         | (1000 * n_bpe_pieces) // greatest(n_ws_tokens, 1) AS pieces_per_token_milli
         |FROM t ORDER BY doc_id""".stripMargin)(TextOps.tokenCountBpe),
+
+    // Rule-ablation matrix for the quality filter: per rule, flagged vs
+    // SOLO-flagged docs/tokens — what dropping each rule would regain.
+    q("quality_ablation", TextOps.QualityAblationOracleSql)(
+      TextOps.qualityAblation),
 
     // Gopher-style quality filter: per-rule auditable flags + keep.
     q("quality_filter",

@@ -765,6 +765,81 @@ object MinHashOps {
       |FROM h a JOIN h b ON b.bucket_lo >= a.bucket_lo
       |GROUP BY a.bucket_lo ORDER BY threshold_milli""".stripMargin
 
+  /** Banding-configuration tuning curve: for each (bands × rows) split of
+    * the 64-element signature, the modeled catch probability
+    * `1 − (1 − J^r)^b` of every EXACT pair (from the capped sub-threshold
+    * view, floor 300 milli), aggregated per 100-milli Jaccard bucket —
+    * the S-curve table that justifies (or retunes) the shipped 32×2
+    * banding against the corpus's OWN pair-volume profile instead of a
+    * textbook curve. All probabilities are the same exact integer ppm
+    * chains as [[lshMissAudit]] (both engines run them identically), so
+    * the min/sum readouts are hashable, not float-drifty.
+    *
+    * Read: at the 600 bar, 32×2 catches ~everything while 8×8 visibly
+    * drops threshold-boundary pairs; at a hypothetical 400 bar the table
+    * says which config would still hold recall. One extra arithmetic
+    * pass over the threshold-curve pair machinery; 4×|buckets| rows.
+    */
+  def lshBandCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pairs = ngramJaccardPairs(docs, thresholdMilli = 300,
+      dfCap = Some(defaultDfCap(docs.count())))
+    val cfgs = Seq((64, 1), (32, 2), (16, 4), (8, 8))
+      .map { case (b, r) => (s"${b}x$r", b, r) }
+      .toDF("band_cfg", "bands", "rows_per_band")
+    pairs
+      .crossJoin(broadcast(cfgs))
+      .withColumn("j_ppm", col("jaccard_milli") * lit(1000L))
+      .withColumn("p_band_ppm", expr(
+        """aggregate(sequence(1, rows_per_band), CAST(1000000 AS BIGINT),
+          |(acc, x) -> (acc * j_ppm) div 1000000)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("catch_ppm", expr(
+        """1000000 - aggregate(sequence(1, bands), CAST(1000000 AS BIGINT),
+          |(acc, x) -> (acc * (1000000 - p_band_ppm)) div 1000000)"""
+          .stripMargin.replace("\n", " ")))
+      .groupBy(
+        col("band_cfg"),
+        expr("(jaccard_milli div 100) * 100").as("jaccard_bucket"))
+      .agg(
+        count(lit(1)).as("pairs"),
+        min("catch_ppm").as("catch_ppm_min"),
+        sum("catch_ppm").as("catch_ppm_sum"))
+      .orderBy("band_cfg", "jaccard_bucket")
+  }
+
+  def lshBandCurveOracleSql(): String =
+    s"""WITH ${cappedCandCtes()},
+       |j AS (
+       | SELECT c.doc_a, c.doc_b,
+       |  CAST((1000 * len(list_intersect(x.shingles, y.shingles)))
+       |   // len(list_distinct(list_concat(x.shingles, y.shingles))) AS BIGINT)
+       |   AS jaccard_milli
+       | FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id),
+       |cfg AS (SELECT * FROM (VALUES
+       | ('64x1', 64, 1), ('32x2', 32, 2), ('16x4', 16, 4), ('8x8', 8, 8))
+       | AS t(band_cfg, bands, rpb)),
+       |pb AS (
+       | SELECT cfg.band_cfg, cfg.bands, j.jaccard_milli,
+       |  list_reduce(
+       |   list_prepend(CAST(1000000 AS BIGINT),
+       |    list_transform(range(cfg.rpb),
+       |     k -> CAST(j.jaccard_milli * 1000 AS BIGINT))),
+       |   (a, x) -> (a * x) // 1000000) AS p_band
+       | FROM j CROSS JOIN cfg WHERE j.jaccard_milli >= 300),
+       |m AS (
+       | SELECT band_cfg, (jaccard_milli // 100) * 100 AS jaccard_bucket,
+       |  1000000 - list_reduce(
+       |   list_prepend(CAST(1000000 AS BIGINT),
+       |    list_transform(range(bands), i -> CAST(1000000 - p_band AS BIGINT))),
+       |   (a, x) -> (a * x) // 1000000) AS catch_ppm
+       | FROM pb)
+       |SELECT band_cfg, jaccard_bucket, count(*) AS pairs,
+       | CAST(min(catch_ppm) AS BIGINT) AS catch_ppm_min,
+       | CAST(sum(catch_ppm) AS BIGINT) AS catch_ppm_sum
+       |FROM m GROUP BY 1, 2 ORDER BY band_cfg, jaccard_bucket""".stripMargin
+
   /** Per-source shingle novelty: the share of each source's shingle
     * occurrences whose FIRST corpus appearance (min doc_id — a
     * deterministic ingestion-order attribution) is in that very

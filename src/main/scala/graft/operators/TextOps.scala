@@ -821,6 +821,76 @@ object TextOps {
         (col("r_few_tokens") + col("r_token_len") +
           col("r_no_stopwords") + col("r_punct_heavy") === 0).cast("long"))
 
+  /** Quality-rule ablation matrix — the threshold-tuning table for the
+    * Gopher-style filter: per rule, how many documents (and tokens) it
+    * flags at all, and how many it flags ALONE (no other rule fires) —
+    * i.e. exactly what the corpus regains if that one rule is dropped
+    * or loosened. A rule whose solo counts are ~0 is redundant with its
+    * siblings; a rule carrying most of its flags solo is the one whose
+    * threshold actually decides the corpus. One scan over the
+    * [[qualityFlags]] frame, a 4-way per-row explode of (rule, flag,
+    * solo) triples, one 4-row aggregate — no shuffle wider than the
+    * rule key.
+    */
+  def qualityAblation(s: SparkSession, dir: String): DataFrame = {
+    val f = qualityFlags(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("r_few_tokens"),
+        col("r_token_len"), col("r_no_stopwords"), col("r_punct_heavy"))
+    val rules = Seq("r_few_tokens", "r_token_len", "r_no_stopwords",
+      "r_punct_heavy")
+    val total = rules.map(col).reduce(_ + _)
+    val triples = rules.map { r =>
+      struct(
+        lit(r).as("rule"),
+        col(r).as("flag"),
+        ((col(r) === 1L) && (total === col(r))).cast("long").as("solo"))
+    }
+    f.select(col("n_tokens"), explode(array(triples: _*)).as("t"))
+      .select(col("n_tokens"), col("t.rule").as("rule"),
+        col("t.flag").as("flag"), col("t.solo").as("solo"))
+      .groupBy("rule")
+      .agg(
+        sum("flag").as("flagged_docs"),
+        sum("solo").as("solo_docs"),
+        sum(col("flag") * col("n_tokens")).as("flagged_tokens"),
+        sum(col("solo") * col("n_tokens")).as("solo_tokens"))
+      .orderBy("rule")
+  }
+
+  val QualityAblationOracleSql: String =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+      |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+      |  CAST(len(regexp_extract_all(text, '\b(the|and|is|of|to|in|it|a)\b')) AS BIGINT) AS n_stopwords
+      | FROM documents),
+      |r AS (
+      | SELECT doc_id, n_tokens,
+      |  CAST(n_tokens < 20 AS BIGINT) AS r_few_tokens,
+      |  CAST((1000 * n_chars_nows) // greatest(n_tokens, 1) NOT BETWEEN 3000 AND 5000 AS BIGINT) AS r_token_len,
+      |  CAST(n_stopwords = 0 AS BIGINT) AS r_no_stopwords,
+      |  CAST((1000 * n_punct) // greatest(n_tokens, 1) > 200 AS BIGINT) AS r_punct_heavy
+      | FROM t),
+      |x AS (
+      | SELECT n_tokens, 'r_few_tokens' AS rule, r_few_tokens AS flag,
+      |  CAST(r_few_tokens = 1 AND r_token_len + r_no_stopwords + r_punct_heavy = 0 AS BIGINT) AS solo FROM r
+      | UNION ALL
+      | SELECT n_tokens, 'r_token_len', r_token_len,
+      |  CAST(r_token_len = 1 AND r_few_tokens + r_no_stopwords + r_punct_heavy = 0 AS BIGINT) FROM r
+      | UNION ALL
+      | SELECT n_tokens, 'r_no_stopwords', r_no_stopwords,
+      |  CAST(r_no_stopwords = 1 AND r_few_tokens + r_token_len + r_punct_heavy = 0 AS BIGINT) FROM r
+      | UNION ALL
+      | SELECT n_tokens, 'r_punct_heavy', r_punct_heavy,
+      |  CAST(r_punct_heavy = 1 AND r_few_tokens + r_token_len + r_no_stopwords = 0 AS BIGINT) FROM r)
+      |SELECT rule,
+      | CAST(sum(flag) AS BIGINT) AS flagged_docs,
+      | CAST(sum(solo) AS BIGINT) AS solo_docs,
+      | CAST(sum(flag * n_tokens) AS BIGINT) AS flagged_tokens,
+      | CAST(sum(solo * n_tokens) AS BIGINT) AS solo_tokens
+      |FROM x GROUP BY rule ORDER BY rule""".stripMargin
+
   /** Per-document polynomial rolling-hash fingerprint over code points
     * (base 31, mod 1e9+7) — order-sensitive, so near-identical docs with
     * swapped words fingerprint differently. The native

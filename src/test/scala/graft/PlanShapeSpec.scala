@@ -314,6 +314,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"coefficient ranking is a global sort in:\n$plan")
   }
 
+  test("ccnet_buckets prunes unused document columns everywhere") {
+    val plan = executedPlan(TextOps.ccnetBuckets(spark, sf))
+    // The tercile window rides (doc_id, lang, n_tokens, score) — neither
+    // documents scan may read the columns the query never touches, and
+    // no text payload may reach the window's exchange.
+    assert(!plan.contains("n_chars#"), s"n_chars not pruned in:\n$plan")
+    assert(!plan.contains("source#"), s"source not pruned in:\n$plan")
+  }
+
+  test("quality_ablation explodes rule triples, not documents") {
+    val plan = executedPlan(TextOps.qualityAblation(spark, sf))
+    assert(plan.contains("Generate explode"), s"no explode in:\n$plan")
+    // Only the rule-key aggregation exchange and the output sort may
+    // shuffle; the flags are computed in the scan projection.
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges == Set("hash", "range"), s"exchanges $exchanges in:\n$plan")
+  }
+
   /** Run `op` and count Spark jobs — each job is one blocking driver
     * round-trip, the currency the iterative operators must spend
     * frugally (the r10 finding: per-squaring convergence polls made

@@ -74,6 +74,36 @@ class R13OpsSpec extends AnyFunSuite {
     assert(acc == 0L)
   }
 
+  test("lsh_band_curve: catch probability is monotone in band count and exact at J=1000") {
+    val rows = MinHashOps.lshBandCurve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_.getLong(1))
+    byBucket.foreach { case (bucket, rs) =>
+      val catchMin = rs.map(r => r.getString(0) -> r.getLong(3)).toMap
+      // Same 64 hashes split finer (more bands x fewer rows) can only
+      // raise the per-pair catch probability.
+      for (Seq(hi, lo) <- Seq("64x1", "32x2", "16x4", "8x8").sliding(2))
+        assert(catchMin(hi) >= catchMin(lo),
+          s"bucket=$bucket $hi=${catchMin(hi)} < $lo=${catchMin(lo)}")
+      // All configs share the pair count within a bucket.
+      assert(rs.map(_.getLong(2)).distinct.length == 1)
+      if (bucket == 1000L)
+        assert(rs.forall(_.getLong(3) == 1000000L), "J=1 pairs always caught")
+    }
+  }
+
+  test("quality_ablation: solo counts are bounded by flagged counts per rule") {
+    val rows = TextOps.qualityAblation(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("r_few_tokens", "r_no_stopwords", "r_punct_heavy", "r_token_len"))
+    rows.foreach { r =>
+      val (flagged, solo, fTok, sTok) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(solo >= 0 && solo <= flagged)
+      assert(sTok >= 0 && sTok <= fTok)
+    }
+  }
+
   test("dedup_survivor_quality: policy dominance and change semantics") {
     val rows = DedupClusterOps.survivorQuality(spark, sf).collect()
     rows.foreach { r =>
