@@ -156,6 +156,27 @@ object StreamBench {
         StreamingDedup.firstSeen(dedupIn.toDF()).writeStream.outputMode("append"))
     }
 
+    // 3b) Streaming MinHash near-dup: mostly-unique docs (unique token
+    // streams — the repeating-text corpus above would make EVERY pair a
+    // near-dup and explode any LSH stage by design), with every 50th doc
+    // a near-copy of its predecessor. State: 32 bucket rows per unique
+    // doc, each one signature list; hits ≈ rows/50 × agreeing buckets.
+    val nearDup = component("near_dup") {
+      val rows = 20000L
+      def uniqueText(i: Long): String = {
+        val words = (0 until 18).map(k => s"u${i}w$k")
+        if (i % 50 == 1)
+          ((0 until 17).map(k => s"u${i - 1}w$k") :+ s"u${i}x").mkString(" ")
+        else words.mkString(" ")
+      }
+      val in = MemoryStream[Doc]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), uniqueText(i))))
+      }
+      drain("near_dup", rows,
+        StreamingNearDup.pairs(spark, in.toDF()).writeStream.outputMode("append"))
+    }
+
     // 4) Watermarked tumbling-window aggregation.
     val agg = component("windowed_agg") {
       val aggRows = 500000L
@@ -186,7 +207,8 @@ object StreamBench {
     }
 
     val comps =
-      Seq(curation, curationStateless, curationDigests, sessions, dedup, agg, upsert).flatten
+      Seq(curation, curationStateless, curationDigests, sessions, dedup,
+        nearDup, agg, upsert).flatten
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"streaming_throughput","unit":"rows_per_sec","components":$comps,"cpus":$cpus}"""

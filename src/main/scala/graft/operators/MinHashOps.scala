@@ -48,25 +48,29 @@ object MinHashOps {
     */
   def shingleSets(docs: DataFrame): DataFrame =
     Tables.parallelized(docs)
-      .select(
-        col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
-      .select(
-        col("doc_id"),
-        array_distinct(
-          when(size(col("toks")) < 3, array(concat_ws(" ", col("toks"))))
-            .otherwise(transform(
-              sequence(lit(1), size(col("toks")) - 2),
-              // concat of three element_at lookups, NOT
-              // concat_ws(slice(...)): the slice form allocates a fresh
-              // 3-element array per shingle inside an interpreted
-              // lambda, and at corpus scale that allocation dominated
-              // the whole pass (sf1: ~30 s -> the element_at form
-              // measurably cuts per-row cost with identical output).
-              i => concat(
-                element_at(col("toks"), i), lit(" "),
-                element_at(col("toks"), i + 1), lit(" "),
-                element_at(col("toks"), i + 2))))).as("shingles"))
+      .select(col("doc_id"), shinglesOf(col("text")).as("shingles"))
+
+  /** The shingle array as a pure COLUMN over a text column — the
+    * streaming-safe form of [[shingleSets]] (no adaptive repartition
+    * probe, which calls `.rdd` and is illegal on a streaming frame).
+    */
+  private[graft] def shinglesOf(text: Column): Column = {
+    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+    array_distinct(
+      when(size(toks) < 3, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - 2),
+          // concat of three element_at lookups, NOT
+          // concat_ws(slice(...)): the slice form allocates a fresh
+          // 3-element array per shingle inside an interpreted
+          // lambda, and at corpus scale that allocation dominated
+          // the whole pass (sf1: ~30 s -> the element_at form
+          // measurably cuts per-row cost with identical output).
+          i => concat(
+            element_at(toks, i), lit(" "),
+            element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2)))))
+  }
 
   /** 64-element MinHash signature column over a `shingles` array — the
     * native [[graft.functions.MinHashSig]] expression: one XXH64 base
@@ -77,8 +81,27 @@ object MinHashOps {
     * custom expression removes that overhead entirely rather than
     * choosing between two interpreted shapes.)
     */
-  private def signature: Column =
-    graft.functions.GraftFunctions.minhash_sig(col("shingles"), NumHashes)
+  private def signature: Column = signatureOf(col("shingles"))
+
+  /** The signature as a column over an arbitrary shingle-array column —
+    * shared with the streaming near-dup component.
+    */
+  private[graft] def signatureOf(shingles: Column): Column =
+    graft.functions.GraftFunctions.minhash_sig(shingles, NumHashes)
+
+  /** The 32 band-bucket keys over a 64-element `sig` array column —
+    * `xxhash64(band, sig[2b+1], sig[2b+2])`, shared verbatim by the
+    * batch LSH stage and the streaming near-dup component (identical
+    * keys ⇒ identical blocking semantics across tiers).
+    */
+  private[graft] def bandKeysOf(sig: Column): Column =
+    transform(
+      sequence(lit(0), lit(Bands - 1)),
+      b =>
+        xxhash64(
+          b,
+          element_at(sig, b * RowsPerBand + 1),
+          element_at(sig, b * RowsPerBand + 2)))
 
   /** 64-bit set-identity fingerprint of a document's shingle SET: the
     * xxhash64 of the lexicographically sorted per-shingle hash strings.
@@ -136,13 +159,7 @@ object MinHashOps {
       members.filter(col("doc_id") === col("rep")).select("doc_id"), "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val bandKeys = transform(
-      sequence(lit(0), lit(Bands - 1)),
-      b =>
-        xxhash64(
-          b,
-          element_at(col("sig"), b * RowsPerBand + 1),
-          element_at(col("sig"), b * RowsPerBand + 2)))
+    val bandKeys = bandKeysOf(col("sig"))
 
     // Persist the signature frame BEFORE exploding band keys: exploding
     // an array computed over an unmaterialized expensive column re-pays

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.MinHashOps
+
+/** One banded signature row heading into the stateful stage. */
+final case class BandedDoc(bucket: Long, ts: Timestamp, doc_id: Long, sig: Seq[Long])
+
+/** A near-dup hit: `doc_b` (newer) collided with `doc_a` (already in the
+  * bucket) and their signatures agree at `est_jaccard_milli`. A true pair
+  * shares many buckets, so it is emitted once per agreeing bucket — rows
+  * are unique by (bucket, doc_a, doc_b) and consumers dedup on the pair.
+  */
+final case class NearDupHit(
+    bucket: Long, doc_a: Long, doc_b: Long, est_jaccard_milli: Long)
+
+/** Per-bucket state: the signatures seen so far, newest first, capped. */
+final case class BucketMembers(ids: List[Long], sigs: List[Seq[Long]])
+
+/** Streaming MinHash-LSH near-duplicate detection — the streaming twin of
+  * [[graft.operators.MinHashOps.nearDupPairs]], for the live-ingest shape
+  * ("is this incoming document a near-copy of something recently seen?")
+  * where the batch self-join does not exist.
+  *
+  * The stateless tier computes the IDENTICAL shingle → 64-element MinHash
+  * signature → 32 band keys as the batch operator
+  * ([[MinHashOps.shinglesOf]]/[[MinHashOps.signatureOf]]/
+  * [[MinHashOps.bandKeysOf]] — same expressions, same seeds, so a pair
+  * blocks identically in both tiers). The stateful tier keys on the band
+  * bucket: each bucket's state holds the (doc_id, signature) list of its
+  * members, every incoming document is compared against them, and a hit
+  * is emitted when the signature-agreement estimate `matches/64` clears
+  * `thresholdMilli`. The estimate is the standard unbiased MinHash
+  * Jaccard estimator — the streaming tier trades the batch verify join's
+  * exactness for per-event latency, and a consumer that needs the exact
+  * value re-verifies the (tiny) hit stream against stored shingles.
+  *
+  * Scale/state contract (100 TB/day): state per bucket is capped at
+  * `bucketCap` signatures (the streaming analogue of the batch
+  * [[MinHashOps.DefaultBucketCap]] — an over-full bucket is template
+  * mass by the same argument, so newer members are still COMPARED but no
+  * longer stored); each signature is 64 longs, so state is bounded by
+  * buckets × cap × 512 B regardless of stream length. Production
+  * deployments additionally bound bucket LIFETIME with an event-time
+  * timeout against the watermark (dedup horizon = watermark delay,
+  * exactly the [[StreamingDedup]] contract); the test harness uses
+  * NoTimeout so results are batch-decomposition-deterministic.
+  */
+object StreamingNearDup {
+
+  val DefaultThresholdMilli = 600
+
+  /** Pure per-bucket merge: compare `incoming` (sorted by doc_id) against
+    * the held members then each other, return (hits, next state).
+    * Visible for unit testing.
+    */
+  def mergeBucket(
+      bucket: Long,
+      incoming: Seq[(Long, Seq[Long])],
+      st: BucketMembers,
+      thresholdMilli: Int,
+      bucketCap: Int): (Seq[NearDupHit], BucketMembers) = {
+    var ids = st.ids
+    var sigs = st.sigs
+    var hits = Vector.empty[NearDupHit]
+    incoming.foreach { case (id, sig) =>
+      ids.zip(sigs).foreach { case (oid, osig) =>
+        if (oid != id) {
+          val agree = sig.zip(osig).count { case (a, b) => a == b }
+          val est = agree.toLong * 1000L / sig.length
+          if (est >= thresholdMilli)
+            hits :+= NearDupHit(bucket, math.min(oid, id), math.max(oid, id), est)
+        }
+      }
+      if (ids.length < bucketCap) { ids ::= id; sigs ::= sig }
+    }
+    (hits, BucketMembers(ids, sigs))
+  }
+
+  /** Near-dup hits from a streaming (doc_id, ts, text) frame. */
+  def pairs(
+      s: SparkSession,
+      docs: DataFrame,
+      thresholdMilli: Int = DefaultThresholdMilli,
+      bucketCap: Int = MinHashOps.DefaultBucketCap): Dataset[NearDupHit] = {
+    import s.implicits._
+    val banded = docs
+      .select(col("doc_id"), col("ts"),
+        MinHashOps.signatureOf(MinHashOps.shinglesOf(col("text"))).as("sig"))
+      .select(col("doc_id"), col("ts"),
+        explode(MinHashOps.bandKeysOf(col("sig"))).as("bucket"), col("sig"))
+      .select(col("bucket"), col("ts"), col("doc_id"), col("sig"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketMembers, NearDupHit](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, it: Iterator[BandedDoc], state: GroupState[BucketMembers]) =>
+          val incoming = it.map(d => d.doc_id -> d.sig).toSeq
+            .sortBy(_._1).distinct
+          val (hits, next) = mergeBucket(
+            bucket, incoming,
+            state.getOption.getOrElse(BucketMembers(Nil, Nil)),
+            thresholdMilli, bucketCap)
+          state.update(next)
+          hits.iterator
+      }
+  }
+}
