@@ -496,7 +496,11 @@ object Registry {
     // Approximate k-NN graph: top-k neighbors of EVERY vector from its
     // LSH bucket neighborhood — the semantic-dedup primitive; oracle
     // runs the identical bucketed algorithm.
-    q("knn_graph", AnnOps.knnGraphOracleSql())((s, d) => AnnOps.knnGraph(s, d)),
+    // Width-adaptive since r13: the fixed 10-bit code measured
+    // superlinear at the sf1 rehearsal (1.0 s -> 36 s); both sides now
+    // derive ~log2(N/16) bits from the corpus count.
+    q("knn_graph", AnnOps.knnGraphAutoOracleSql())(
+      (s, d) => AnnOps.knnGraphAuto(s, d)),
 
     // kNN label-agreement audit off the same bucketed graph: per-label
     // mean neighborhood agreement + suspect counts — the mislabel
@@ -652,8 +656,10 @@ object Registry {
     // the gate stays meaningful on corpora that DO contain near-dups,
     // instead of an exact-vs-probabilistic pair that only agrees while
     // the corpus happens to have none.
-    q("dedup_embed", AnnOps.embedOracleSql(AnnOps.DefaultEmbedBits))(
-      (s, d) => AnnOps.embedNearDupStats(s, d)),
+    // Width-adaptive since r13 (same sf1 finding as knn_graph: fixed
+    // 10-bit buckets went superlinear, 10.8 s at sf1).
+    q("dedup_embed", AnnOps.embedAutoOracleSql())(
+      (s, d) => AnnOps.embedNearDupStatsAuto(s, d)),
 
     // Eval-set decontamination: digest-only anti-join; the stand-in eval
     // set is a deterministic 10% fingerprint carve of the corpus.

@@ -345,6 +345,32 @@ object AnnOps {
        |codes AS (SELECT vec_id, CAST($bitSum AS BIGINT) AS code FROM xq)""".stripMargin
   }
 
+  /** Adaptive-width CTE chain: 40-bit codes (the [[bitsFor]] ceiling)
+    * masked down to `w = min(40, max(8, bitlen(max(1, n/targetBucket) − 1)))`
+    * bits computed from `count(*)` — the exact integer recipe of
+    * [[bitsFor]], so the oracle derives the SAME width from the SAME
+    * corpus the Spark side counted (the df-cap pattern). Bit h of a
+    * SimHash code depends only on seed h, so the low-w bits of the
+    * 40-bit code ARE the w-bit code, and masking ≡ rebuilding at w.
+    * Emits CTEs `e/xq/codes/w/codesw(vec_id, code)` + `probes` at
+    * Hamming≤1 (mask list filtered to m < 2^w).
+    */
+  private[operators] def adaptiveCodesSql(targetBucket: Long = 16L): String = {
+    val masks40 = (Seq(0L) ++ (0 until 40).map(1L << _)).mkString("[", ", ", "]")
+    s"""${codesSql(40)},
+       |w AS (
+       | SELECT least(40, greatest(8,
+       |  length(bin(greatest(1, count(*) // $targetBucket) - 1)))) AS w
+       | FROM e),
+       |codesw AS (
+       | SELECT vec_id, code % (CAST(1 AS BIGINT) << (SELECT w FROM w)) AS code
+       | FROM codes),
+       |probes AS (
+       | SELECT vec_id, xor(code, m) AS probe
+       | FROM codesw, (SELECT unnest($masks40) AS m) t
+       | WHERE m < (CAST(1 AS BIGINT) << (SELECT w FROM w)))""".stripMargin
+  }
+
   def embedOracleSql(bits: Int = DefaultEmbedBits, tauMilli: Int = 950): String = {
     val masks = (Seq(0L) ++ (0 until bits).map(1L << _)).mkString("[", ", ", "]")
     val tau = tauMilli / 1000.0
@@ -352,6 +378,23 @@ object AnnOps {
        |probes AS (SELECT vec_id, xor(code, unnest($masks)) AS probe FROM codes),
        |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        | FROM probes a JOIN codes b ON a.probe = b.code AND a.vec_id < b.vec_id),
+       |p AS (SELECT c.va, c.vb,
+       | round(list_sum(list_transform(list_zip(x.embedding, y.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS c
+       | FROM cand c JOIN e x ON c.va = x.vec_id JOIN e y ON c.vb = y.vec_id)
+       |SELECT (SELECT count(*) FROM e) AS total_vecs,
+       | (SELECT count(*) FROM p WHERE c >= $tau) AS dup_pairs""".stripMargin
+  }
+
+  /** DuckDB oracle for the ADAPTIVE-width [[embedNearDupStatsAuto]]:
+    * identical bucketed algorithm with the width derived from count(*).
+    */
+  def embedAutoOracleSql(tauMilli: Int = 950, targetBucket: Long = 16L): String = {
+    val tau = tauMilli / 1000.0
+    s"""WITH ${adaptiveCodesSql(targetBucket)},
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       | FROM probes a JOIN codesw b ON a.probe = b.code AND a.vec_id < b.vec_id),
        |p AS (SELECT c.va, c.vb,
        | round(list_sum(list_transform(list_zip(x.embedding, y.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
        |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
@@ -425,6 +468,42 @@ object AnnOps {
        |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** The [[knnChainSql]] body over the ADAPTIVE-width code CTEs —
+    * directed candidates, exact cosine, per-query rank as `r`.
+    */
+  private def knnChainAutoSql(targetBucket: Long = 16L): String =
+    s"""WITH ${adaptiveCodesSql(targetBucket)},
+       |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+       | FROM probes a JOIN codesw b ON a.probe = b.code AND a.vec_id <> b.vec_id),
+       |p AS (SELECT c.q_id, c.c_id,
+       | round(list_sum(list_transform(list_zip(x.embedding, y.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cosine_r6
+       | FROM cand c JOIN e x ON c.q_id = x.vec_id JOIN e y ON c.c_id = y.vec_id),
+       |r AS (SELECT q_id, c_id, cosine_r6,
+       | CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+       | FROM p)""".stripMargin
+
+  /** [[knnGraph]] with the code width sized from the corpus — the
+    * registered entry: a fixed width is Σ occupancy² = N²/2^bits
+    * candidate pairs (the sf1 rehearsal measured the 10-bit graph going
+    * superlinear, 1.0 s → 36 s, exponent ~1.55), while ~log₂(N/16) bits
+    * holds bucket occupancy — and so candidate volume per vector — flat.
+    * One scalar count() action sizes the width; the oracle derives the
+    * identical width from count(*) ([[adaptiveCodesSql]]).
+    */
+  def knnGraphAuto(
+      s: SparkSession, dir: String,
+      k: Int = 3, targetBucket: Long = 16L): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    knnGraph(s, dir, k, bitsFor(n, targetBucket))
+  }
+
+  def knnGraphAutoOracleSql(k: Int = 3, targetBucket: Long = 16L): String =
+    s"""${knnChainAutoSql(targetBucket)}
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   /** kNN label-agreement audit — the confident-learning-style mislabel
     * detector for an embedding corpus: each vector's milli share of its
     * top-k neighbors (from the [[knnGraph]] bucketed pass) that carry
@@ -443,11 +522,10 @@ object AnnOps {
   def knnLabelAgreement(
       s: SparkSession,
       dir: String,
-      k: Int = 3,
-      bits: Int = DefaultEmbedBits): DataFrame = {
+      k: Int = 3): DataFrame = {
     val labels = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val perVec = knnGraph(s, dir, k, bits)
+    val perVec = knnGraphAuto(s, dir, k)
       .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_lab")),
         "q_id")
       .join(labels.select(col("vec_id").as("c_id"), col("label").as("c_lab")),
@@ -466,9 +544,8 @@ object AnnOps {
       .orderBy("label")
   }
 
-  def knnLabelAgreementOracleSql(
-      k: Int = 3, bits: Int = DefaultEmbedBits): String =
-    s"""${knnChainSql(bits)},
+  def knnLabelAgreementOracleSql(k: Int = 3): String =
+    s"""${knnChainAutoSql()},
        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
        |pv AS (
        | SELECT r.q_id, ql.label,
