@@ -104,6 +104,36 @@ class R13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive width: low bits of the 40-bit SimHash code ARE the w-bit code") {
+    // The oracle computes 40-bit codes and masks to w; the Spark side
+    // builds at w directly. Equality of the two is the contract that
+    // keeps both engines on the same buckets — if vec_simhash ever
+    // seeded projections per WIDTH instead of per BIT, this breaks.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    Seq(8, 9, 12).foreach { w =>
+      val rows = emb.select(
+        AnnOps.simhashCode(col("embedding"), w).as("cw"),
+        (AnnOps.simhashCode(col("embedding"), 40)
+          % (1L << w)).as("masked")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"w=$w"))
+    }
+  }
+
+  test("bitsFor widths match the oracle's bitlen-of-buckets recipe") {
+    // Same integer recipe both sides: min(40, max(8, bitlen(max(1, n/16)-1))).
+    def sqlBits(n: Long): Int = {
+      val buckets = math.max(1L, n / 16L)
+      // bin(0) = "0" has length 1 in both engines; max(8, ·) absorbs it.
+      math.min(40, math.max(8,
+        java.lang.Long.toBinaryString(buckets - 1).length))
+    }
+    Seq(1L, 100L, 500L, 5000L, 50000L, 500000L, 5000000L, 1L << 50).foreach { n =>
+      assert(AnnOps.bitsFor(n) == sqlBits(n), s"n=$n")
+    }
+  }
+
   test("dedup_survivor_quality: policy dominance and change semantics") {
     val rows = DedupClusterOps.survivorQuality(spark, sf).collect()
     rows.foreach { r =>
