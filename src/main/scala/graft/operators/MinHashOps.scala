@@ -48,14 +48,22 @@ object MinHashOps {
     */
   def shingleSets(docs: DataFrame): DataFrame =
     Tables.parallelized(docs)
-      .select(col("doc_id"), shinglesOf(col("text")).as("shingles"))
+      .select(
+        col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .select(col("doc_id"), shinglesFromToks(col("toks")).as("shingles"))
 
-  /** The shingle array as a pure COLUMN over a text column — the
-    * streaming-safe form of [[shingleSets]] (no adaptive repartition
-    * probe, which calls `.rdd` and is illegal on a streaming frame).
+  /** The shingle array over an ALREADY-MATERIALIZED token-array column.
+    * The token split must be its own projection: `toks` is referenced
+    * five times here, and inlining a regexp_extract_all into each
+    * reference re-evaluates it per reference (CollapseProject only
+    * dedups cheap expressions, and lambda bodies see no CSE) — the r13
+    * single-column refactor measured exactly that, dedup_ngram
+    * 1.6 s → 3.4 s, before splitting the projection back out. Shared by
+    * the batch family and the streaming near-dup (same two-projection
+    * shape on the stream side).
     */
-  private[graft] def shinglesOf(text: Column): Column = {
-    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+  private[graft] def shinglesFromToks(toks: Column): Column =
     array_distinct(
       when(size(toks) < 3, array(concat_ws(" ", toks)))
         .otherwise(transform(
@@ -70,7 +78,6 @@ object MinHashOps {
             element_at(toks, i), lit(" "),
             element_at(toks, i + 1), lit(" "),
             element_at(toks, i + 2)))))
-  }
 
   /** 64-element MinHash signature column over a `shingles` array — the
     * native [[graft.functions.MinHashSig]] expression: one XXH64 base

@@ -27,9 +27,10 @@ final case class BucketMembers(ids: List[Long], sigs: List[Seq[Long]])
   *
   * The stateless tier computes the IDENTICAL shingle → 64-element MinHash
   * signature → 32 band keys as the batch operator
-  * ([[MinHashOps.shinglesOf]]/[[MinHashOps.signatureOf]]/
-  * [[MinHashOps.bandKeysOf]] — same expressions, same seeds, so a pair
-  * blocks identically in both tiers). The stateful tier keys on the band
+  * ([[MinHashOps.shinglesFromToks]]/[[MinHashOps.signatureOf]]/
+  * [[MinHashOps.bandKeysOf]] — same expressions, same seeds, same
+  * two-projection token split, so a pair blocks identically in both
+  * tiers). The stateful tier keys on the band
   * bucket: each bucket's state holds the (doc_id, signature) list of its
   * members, every incoming document is compared against them, and a hit
   * is emitted when the signature-agreement estimate `matches/64` clears
@@ -89,7 +90,11 @@ object StreamingNearDup {
     import s.implicits._
     val banded = docs
       .select(col("doc_id"), col("ts"),
-        MinHashOps.signatureOf(MinHashOps.shinglesOf(col("text"))).as("sig"))
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .select(col("doc_id"), col("ts"),
+        MinHashOps.shinglesFromToks(col("toks")).as("shingles"))
+      .select(col("doc_id"), col("ts"),
+        MinHashOps.signatureOf(col("shingles")).as("sig"))
       .select(col("doc_id"), col("ts"),
         explode(MinHashOps.bandKeysOf(col("sig"))).as("bucket"), col("sig"))
       .select(col("bucket"), col("ts"), col("doc_id"), col("sig"))
