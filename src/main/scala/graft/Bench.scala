@@ -162,7 +162,8 @@ object Bench {
       // rides the converged clustering, and the CCNet cut persists the
       // same token collapse as lm_surprise — all would be warm-rep
       // flattered under the default methodology.
-      "lsh_miss_audit", "dedup_survivor_quality", "ccnet_buckets")
+      "lsh_miss_audit", "dedup_survivor_quality", "ccnet_buckets",
+      "dedup_cluster_sizes")
     def dropAllCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values

@@ -593,6 +593,11 @@ object Registry {
     q("dedup_survivor_quality", DedupClusterOps.survivorQualityOracleSql())(
       DedupClusterOps.survivorQuality),
 
+    // Cluster-size histogram: where the duplicate mass sits (pairs vs
+    // 9+ chains) — the convergence-risk and survivor-policy readout.
+    q("dedup_cluster_sizes", DedupClusterOps.clusterSizesOracleSql())(
+      DedupClusterOps.clusterSizes),
+
     q("dedup_simhash", SimHashOps.oracleSql)(SimHashOps.dedupSimhash),
 
     // Cluster the near-dup pair graph (connected components) and pick one

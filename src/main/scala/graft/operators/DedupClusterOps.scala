@@ -324,6 +324,59 @@ object DedupClusterOps {
        |  <> min(CASE WHEN rq = 1 THEN doc_id END) AS BIGINT) AS changed
        |FROM mem GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** Duplicate-cluster size histogram: clusters, docs, removable docs
+    * (all but one survivor) and removable chars per size bucket
+    * (2, 3, 4, 5–8, 9+) — the shape readout behind survivor-policy and
+    * transitive-merge-risk decisions (a corpus whose mass sits in 9+
+    * chains needs the convergence-checked clustering and a re-verify
+    * pass; pair-dominated corpora don't). Cluster labels are
+    * pair-member-sized; everything after is two bounded aggregates.
+    */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labels = clustersConverged(s, docs)._2.select("doc_id", "cluster")
+    val perCluster = labels
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("size"),
+        sum("n_chars").cast("long").as("chars"),
+        sum(when(col("doc_id") =!= col("cluster"), col("n_chars"))
+          .otherwise(lit(0L))).cast("long").as("dup_chars"))
+    perCluster
+      .select(
+        expr("""CASE WHEN size <= 4 THEN CAST(size AS STRING)
+                WHEN size <= 8 THEN '5-8' ELSE '9+' END""").as("size_bucket"),
+        col("size"), col("chars"), col("dup_chars"))
+      .groupBy("size_bucket")
+      .agg(
+        count(lit(1)).as("clusters"),
+        sum("size").as("docs"),
+        (sum("size") - count(lit(1))).as("removable_docs"),
+        sum("dup_chars").as("removable_chars"))
+      .orderBy("size_bucket")
+  }
+
+  /** Oracle: recursive-reachability clusters rolled up by size bucket. */
+  def clusterSizesOracleSql(thresholdMilli: Int = Threshold): String =
+    s"""WITH RECURSIVE${pairGraphSql(thresholdMilli)},
+       |reach AS (
+       | SELECT doc_id, doc_id AS r FROM n0
+       | UNION
+       | SELECT re.doc_id, e.dst AS r FROM reach re JOIN sym e ON re.r = e.src),
+       |lab AS (SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id),
+       |pc AS (
+       | SELECT lab.cluster, count(*) AS size,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS chars,
+       |  CAST(sum(CASE WHEN lab.doc_id <> lab.cluster THEN d.n_chars ELSE 0 END) AS BIGINT) AS dup_chars
+       | FROM lab JOIN documents d USING (doc_id) GROUP BY lab.cluster)
+       |SELECT CASE WHEN size <= 4 THEN CAST(size AS VARCHAR)
+       |  WHEN size <= 8 THEN '5-8' ELSE '9+' END AS size_bucket,
+       | count(*) AS clusters,
+       | CAST(sum(size) AS BIGINT) AS docs,
+       | CAST(sum(size) - count(*) AS BIGINT) AS removable_docs,
+       | CAST(sum(dup_chars) AS BIGINT) AS removable_chars
+       |FROM pc GROUP BY 1 ORDER BY size_bucket""".stripMargin
+
   /** Oracle: the same independent recursive-reachability components as
     * [[convergedOracleSql]], rolled up to source-level removal totals.
     */

@@ -104,6 +104,20 @@ class R13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_cluster_sizes: histogram is consistent with the cluster frame") {
+    val rows = DedupClusterOps.clusterSizes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (clusters, docs, removable, chars) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(clusters >= 1)
+      assert(removable == docs - clusters, "one survivor per cluster")
+      assert(chars >= 0)
+    }
+    // Every cluster has >= 2 members, so no '1' bucket exists.
+    assert(!rows.map(_.getString(0)).contains("1"))
+  }
+
   test("adaptive width: low bits of the 40-bit SimHash code ARE the w-bit code") {
     // The oracle computes 40-bit codes and masks to w; the Spark side
     // builds at w directly. Equality of the two is the contract that
