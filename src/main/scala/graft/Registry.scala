@@ -502,6 +502,12 @@ object Registry {
     q("knn_graph", AnnOps.knnGraphAutoOracleSql())(
       (s, d) => AnnOps.knnGraphAuto(s, d)),
 
+    // Bucket-occupancy histogram at the adaptive width: does bitsFor's
+    // occupancy target hold on THIS corpus, and what does the worst
+    // bucket cost (exact candidate work per band).
+    q("ann_bucket_occupancy", AnnOps.bucketOccupancyOracleSql())(
+      (s, d) => AnnOps.bucketOccupancy(s, d)),
+
     // kNN label-agreement audit off the same bucketed graph: per-label
     // mean neighborhood agreement + suspect counts — the mislabel
     // detector a labeled-embedding corpus runs before training.

@@ -404,6 +404,51 @@ object AnnOps {
        | (SELECT count(*) FROM p WHERE c >= $tau) AS dup_pairs""".stripMargin
   }
 
+  /** SimHash bucket-occupancy histogram at the ADAPTIVE width — the
+    * capacity meter behind every bucketed ANN consumer: per occupancy
+    * band (1, 2–4, 5–8, 9–16, 17+), how many buckets and vectors sit
+    * there and the exact candidate work Σ C(occ, 2) they generate. The
+    * readout that says whether [[bitsFor]]'s [8, 32) occupancy target
+    * actually holds on THIS corpus's code distribution (SimHash buckets
+    * are not uniform — clustered embeddings pile up), and what the
+    * worst bucket costs. One code pass + a buckets-sized rollup.
+    */
+  def bucketOccupancy(
+      s: SparkSession, dir: String, targetBucket: Long = 16L): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bits = bitsFor(emb.count(), targetBucket)
+    val occ = emb
+      .select(simhashCode(col("embedding"), bits).as("code"))
+      .groupBy("code").agg(count(lit(1)).as("occ"))
+    occ
+      .select(
+        expr("""CASE WHEN occ = 1 THEN '1' WHEN occ <= 4 THEN '2-4'
+                WHEN occ <= 8 THEN '5-8' WHEN occ <= 16 THEN '9-16'
+                ELSE '17+' END""").as("occupancy_band"),
+        col("occ"))
+      .groupBy("occupancy_band")
+      .agg(
+        count(lit(1)).as("buckets"),
+        sum("occ").as("vectors"),
+        max("occ").as("max_occupancy"),
+        sum(expr("(occ * (occ - 1)) div 2")).as("candidate_pairs"))
+      .orderBy("occupancy_band")
+  }
+
+  def bucketOccupancyOracleSql(targetBucket: Long = 16L): String =
+    s"""WITH ${adaptiveCodesSql(targetBucket)},
+       |occ AS (SELECT code, count(*) AS occ FROM codesw GROUP BY code),
+       |b AS (
+       | SELECT CASE WHEN occ = 1 THEN '1' WHEN occ <= 4 THEN '2-4'
+       |  WHEN occ <= 8 THEN '5-8' WHEN occ <= 16 THEN '9-16'
+       |  ELSE '17+' END AS occupancy_band, occ
+       | FROM occ)
+       |SELECT occupancy_band, count(*) AS buckets,
+       | CAST(sum(occ) AS BIGINT) AS vectors,
+       | CAST(max(occ) AS BIGINT) AS max_occupancy,
+       | CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS candidate_pairs
+       |FROM b GROUP BY 1 ORDER BY occupancy_band""".stripMargin
+
   /** Approximate k-NN GRAPH: the top-k cosine neighbors of EVERY vector
     * (not just a query set) from its SimHash bucket neighborhood — the
     * primitive semantic dedup and cluster-balanced sampling build on

@@ -118,6 +118,21 @@ class R13OpsSpec extends AnyFunSuite {
     assert(!rows.map(_.getString(0)).contains("1"))
   }
 
+  test("ann_bucket_occupancy: bands partition the corpus and count exact pair work") {
+    val rows = AnnOps.bucketOccupancy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val emb = Tables.embeddings(spark, sf).count()
+    assert(total == emb, s"vectors $total != corpus $emb")
+    rows.foreach { r =>
+      val (buckets, vectors, maxOcc, pairs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(buckets >= 1 && vectors >= buckets)
+      assert(maxOcc * buckets >= vectors)
+      if (r.getString(0) == "1") assert(pairs == 0L)
+    }
+  }
+
   test("adaptive width: low bits of the 40-bit SimHash code ARE the w-bit code") {
     // The oracle computes 40-bit codes and masks to w; the Spark side
     // builds at w directly. Equality of the two is the contract that
