@@ -469,8 +469,17 @@ object AnnOps {
       s: SparkSession,
       dir: String,
       k: Int = 3,
-      bits: Int = DefaultEmbedBits): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+      bits: Int = DefaultEmbedBits): DataFrame =
+    knnGraphOf(s, Tables.embeddings(s, dir), k, bits)
+
+  /** [[knnGraph]] over an explicit embeddings frame — the seam the
+    * planted-mislabel spec injects a synthetic corpus through.
+    */
+  private[graft] def knnGraphOf(
+      s: SparkSession,
+      emb: DataFrame,
+      k: Int,
+      bits: Int): DataFrame = {
     val coded = emb.select(col("vec_id"), simhashCode(col("embedding"), bits).as("code"))
     val masks: Seq[Long] = Seq(0L) ++ (0 until bits).map(1L << _)
     val probes = coded.select(col("vec_id"),
@@ -567,10 +576,19 @@ object AnnOps {
   def knnLabelAgreement(
       s: SparkSession,
       dir: String,
-      k: Int = 3): DataFrame = {
-    val labels = Tables.embeddings(s, dir)
+      k: Int = 3): DataFrame =
+    labelAgreementOf(s, Tables.embeddings(s, dir), k)
+
+  /** [[knnLabelAgreement]] over an explicit embeddings frame (needs
+    * vec_id, label, embedding) — the planted-mislabel test seam.
+    */
+  private[graft] def labelAgreementOf(
+      s: SparkSession,
+      emb: DataFrame,
+      k: Int): DataFrame = {
+    val labels = emb
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val perVec = knnGraphAuto(s, dir, k)
+    val perVec = knnGraphOf(s, emb, k, bitsFor(emb.count()))
       .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_lab")),
         "q_id")
       .join(labels.select(col("vec_id").as("c_id"), col("label").as("c_lab")),

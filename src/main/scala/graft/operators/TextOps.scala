@@ -1160,6 +1160,13 @@ object TextOps {
     * this very table's min/max readout (CCNet itself computes them once
     * on a sample) — a stateless filter; the exact NTILE is the
     * oracle-replay contract, mirrored tie-break and all.
+    *
+    * Coverage contract: documents with zero tokens have no surprise
+    * score and drop out of the cut entirely, and a language with fewer
+    * than three scored documents emits fewer than three buckets
+    * (`ntile(3)` assigns only as many tiles as rows) — consumers must
+    * key on the (lang, bucket) rows present, not assume a dense
+    * head/middle/tail per language.
     */
   def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1179,8 +1186,13 @@ object TextOps {
         sum("n_tokens").as("tokens"),
         min("mean_surprise_milli").as("min_score_milli"),
         max("mean_surprise_milli").as("max_score_milli"))
-    val perLang = grouped.groupBy("lang").agg(sum("tokens").as("lang_tokens"))
-    grouped.join(perLang, "lang")
+    // Per-language totals as a window over the tiny grouped frame, NOT a
+    // grouped-self-join: the join form re-evaluated the whole un-cached
+    // scoring subtree (vocab join, score aggregate, per-language ntile)
+    // once per join side.
+    grouped
+      .withColumn("lang_tokens",
+        sum("tokens").over(Window.partitionBy("lang")))
       .select(
         col("lang"), col("bucket"), col("docs"),
         col("tokens").cast("long").as("tokens"),

@@ -55,8 +55,21 @@ object StreamingNearDup {
   val DefaultThresholdMilli = 600
 
   /** Pure per-bucket merge: compare `incoming` (sorted by doc_id) against
-    * the held members then each other, return (hits, next state).
-    * Visible for unit testing.
+    * the held members and against the earlier arrivals of this batch,
+    * return (hits, next state). Visible for unit testing.
+    *
+    * Redelivery: a doc_id already held in state (an at-least-once
+    * redelivery, or the same doc under two colliding band keys across
+    * batches) is compared but NOT re-stored, so a member occupies exactly
+    * one state slot and each (bucket, doc_a, doc_b) hit is emitted once.
+    *
+    * Cap semantics: once a bucket holds `bucketCap` members, later
+    * arrivals are compared against the stored members AND against each
+    * other within the same batch, but are not stored — so the only pairs
+    * ever dropped are those between post-cap arrivals landing in
+    * DIFFERENT batches, which is template mass by the same argument as
+    * the batch [[MinHashOps.DefaultBucketCap]] (an over-full band bucket
+    * is boilerplate collision, not duplication evidence).
     */
   def mergeBucket(
       bucket: Long,
@@ -66,9 +79,11 @@ object StreamingNearDup {
       bucketCap: Int): (Seq[NearDupHit], BucketMembers) = {
     var ids = st.ids
     var sigs = st.sigs
+    // This batch's over-cap arrivals: compared against, never stored.
+    var overflow = List.empty[(Long, Seq[Long])]
     var hits = Vector.empty[NearDupHit]
     incoming.foreach { case (id, sig) =>
-      ids.zip(sigs).foreach { case (oid, osig) =>
+      (ids.zip(sigs) ++ overflow).foreach { case (oid, osig) =>
         if (oid != id) {
           val agree = sig.zip(osig).count { case (a, b) => a == b }
           val est = agree.toLong * 1000L / sig.length
@@ -76,7 +91,10 @@ object StreamingNearDup {
             hits :+= NearDupHit(bucket, math.min(oid, id), math.max(oid, id), est)
         }
       }
-      if (ids.length < bucketCap) { ids ::= id; sigs ::= sig }
+      if (!ids.contains(id)) {
+        if (ids.length < bucketCap) { ids ::= id; sigs ::= sig }
+        else overflow ::= (id, sig)
+      }
     }
     (hits, BucketMembers(ids, sigs))
   }

@@ -42,11 +42,21 @@ class R13OpsSpec extends AnyFunSuite {
   }
 
   test("knn_label_agreement: planted mislabel shows up as a suspect") {
-    // Verified indirectly at corpus level: a label whose mean agreement
-    // is 1000 has zero suspects by definition.
-    AnnOps.knnLabelAgreement(spark, sf).collect().foreach { r =>
-      if (r.getLong(2) == 1000L) assert(r.getLong(3) == 0L)
-    }
+    // Two tight clusters of identical vectors; vec 5 sits in cluster A
+    // (label 0) but carries label 1 — its top-k neighbors all disagree,
+    // so it must surface as label 1's one suspect.
+    import spark.implicits._
+    val a = Seq.fill(64)(1.0f)
+    val b = Array.tabulate(64)(d => if (d % 2 == 0) 1.0f else -1.0f).toSeq
+    val emb = ((0L to 5L).map(i => (i, if (i == 5L) 1 else 0, a)) ++
+      (6L to 11L).map(i => (i, 1, b)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = AnnOps.labelAgreementOf(spark, emb, k = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getLong(3) == 0L, "label 0 has no suspects")
+    assert(rows(0L).getLong(2) == 1000L, "label 0 agrees unanimously")
+    assert(rows(1L).getLong(3) == 1L, "the planted mislabel is the suspect")
+    assert(rows(1L).getLong(2) < 1000L, "the flip drags label 1's mean down")
   }
 
   test("lsh_miss_audit: zero measured misses and sub-ppm modeled margin") {

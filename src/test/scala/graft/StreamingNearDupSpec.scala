@@ -84,4 +84,32 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(hits.map(h => (h.doc_a, h.doc_b)) == Seq((5L, 6L)))
     assert(st.ids.toSet == Set(5L, 6L))
   }
+
+  test("mergeBucket stores a redelivered doc_id exactly once") {
+    val sig = Seq.fill(64)(3L)
+    val (_, st1) = StreamingNearDup.mergeBucket(
+      2L, Seq(10L -> sig), BucketMembers(Nil, Nil), 600, 512)
+    // Same doc again (at-least-once redelivery / colliding band keys):
+    // no self-hit, and the member still occupies one slot — a later
+    // arrival therefore emits its hit once, not once per duplicate slot.
+    val (h2, st2) = StreamingNearDup.mergeBucket(
+      2L, Seq(10L -> sig), st1, 600, 512)
+    assert(h2.isEmpty && st2.ids == List(10L))
+    val (h3, _) = StreamingNearDup.mergeBucket(
+      2L, Seq(11L -> sig), st2, 600, 512)
+    assert(h3.map(h => (h.doc_a, h.doc_b)) == Seq((10L, 11L)))
+  }
+
+  test("mergeBucket pairs over-cap arrivals landing in the same batch") {
+    val sigOld = Seq.fill(64)(9L)
+    val sig = Seq.fill(64)(4L)
+    val (_, full) = StreamingNearDup.mergeBucket(
+      3L, Seq(1L -> sigOld), BucketMembers(Nil, Nil), 600, 1)
+    // Bucket is at cap: 20 and 21 are never stored, but they are still
+    // compared against each other within the batch.
+    val (hits, st) = StreamingNearDup.mergeBucket(
+      3L, Seq(20L -> sig, 21L -> sig), full, 600, 1)
+    assert(hits.map(h => (h.doc_a, h.doc_b)) == Seq((20L, 21L)))
+    assert(st.ids == List(1L), "post-cap arrivals stay unstored")
+  }
 }
