@@ -1026,6 +1026,20 @@ object Registry {
     q("ann_recall_ivf_lloyd", LloydOps.annRecallIvfLloydOracleSql())(
       LloydOps.annRecallIvfLloyd),
 
+    // IVF-bucketed knn graph: the bounded-candidate alternative the
+    // SimHash occupancy audit motivates — per-vector work is capped by
+    // nprobe x list size (~ sqrt(N) lists), so clustered corpora can't
+    // concentrate candidate mass the way SimHash codes do. Index build,
+    // probing, and ranking all replay in the adaptive-k oracle chain.
+    q("knn_graph_ivf", LloydOps.knnGraphIvfOracleSql())(
+      (s, d) => LloydOps.knnGraphIvf(s, d)),
+
+    // ...and its recall@k against the exact neighbors of the
+    // deterministic probe cohort (whole-graph exact is O(n^2); the
+    // cohort keeps the audit linear while hashing full readouts).
+    q("ann_recall_knn_ivf", LloydOps.knnRecallIvfOracleSql())(
+      (s, d) => LloydOps.knnRecallIvf(s, d)),
+
     // IVF ANN scale path: depends on an MLlib KMeans fit, so (like the
     // kmeans_* entries) not oracle-SQL-expressible — rows-only here;
     // AnnSpec cross-checks its scores against the exact baseline.

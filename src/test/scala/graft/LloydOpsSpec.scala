@@ -103,6 +103,57 @@ class LloydOpsSpec extends AnyFunSuite {
     assert(byCluster.size == 2)
   }
 
+  test("knn_graph_ivf: planted blobs recover their own-blob neighbors exactly") {
+    import spark.implicits._
+    // Four tight angular blobs of 8 at orthogonal/opposed directions
+    // (cross-blob cosine <= 0), ids INTERLEAVED (i % 4 = blob) so the
+    // first-k Lloyd init seeds every blob. Whatever lists Lloyd settles
+    // on, a vector's probed lists hold its blob mates first — so every
+    // top-3 neighbor must come from the same blob.
+    val d = (0 until 32).map { i =>
+      val blob = i % 4
+      val theta = blob * math.Pi / 2 + 0.01 * (i / 4)
+      (i.toLong, Seq(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = LloydOps.knnGraphIvfOf(spark, d, k = 3, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = out.groupBy(_._1)
+    byQ.foreach { case (q, nbrs) =>
+      nbrs.foreach { case (_, c) =>
+        assert(c % 4 == q % 4, s"vec $q got cross-blob neighbor $c")
+      }
+      assert(nbrs.length == 3, s"vec $q has ${nbrs.length} neighbors")
+    }
+    assert(byQ.size == 32, "every vector gets ranked neighbors")
+  }
+
+  test("knn_graph_ivf registered query: schema, rank bounds, recall beats SimHash floor") {
+    val g = LloydOps.knnGraphIvf(spark, TestSession.sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 3L)
+      assert(math.abs(r.getDouble(3)) <= 1.000001)
+    }
+    // Per-query: at most k neighbors, ranks dense from 1.
+    g.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"q=$q ranks=$ranks")
+    }
+    val rec = LloydOps.knnRecallIvf(spark, TestSession.sf).collect()
+    assert(rec.nonEmpty)
+    val mean = rec.map(_.getLong(3)).sum / rec.length
+    // The SimHash graph measured 143 milli on this cohort; the IVF
+    // operating point must hold a clear margin above it.
+    assert(mean >= 300L, s"mean recall $mean milli")
+  }
+
+  test("listsFor: sqrt operating point with floor and cap") {
+    assert(LloydOps.listsFor(10) == 8)
+    assert(LloydOps.listsFor(500) == 22)
+    assert(LloydOps.listsFor(2000) == 44)
+    assert(LloydOps.listsFor(1L << 50) == 4096)
+  }
+
   test("purity registered query: conservation, bounds, labels valid") {
     val out = LloydOps.kmeansPurity(spark, TestSession.sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
