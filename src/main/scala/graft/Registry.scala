@@ -1040,14 +1040,12 @@ object Registry {
     q("ann_recall_knn_ivf", LloydOps.knnRecallIvfOracleSql())(
       (s, d) => LloydOps.knnRecallIvf(s, d)),
 
-    // IVF ANN scale path: depends on an MLlib KMeans fit, so (like the
-    // kmeans_* entries) not oracle-SQL-expressible — rows-only here;
-    // AnnSpec cross-checks its scores against the exact baseline.
-    rowsOnly("ann_ivf_topk")((s, d) => AnnOps.annIvfTopK(s, d)),
-
-    // Recall@k audit of the IVF path (rows-only for the same MLlib-fit
-    // reason; AnnSpec pins the recall floor).
-    rowsOnly("ann_recall_ivf")(AnnOps.annRecallIvf),
+    // The MLlib-backed IVF pair (AnnOps.annIvfTopK / annRecallIvf) is
+    // deliberately NOT registered: an MLlib fit is not SQL-expressible,
+    // and the oracle-closed Lloyd twins above (ann_ivf_lloyd_topk /
+    // ann_recall_ivf_lloyd) hash-gate the identical IVF semantics end to
+    // end. The MLlib path stays in the library as the prod-model-reuse
+    // API; AnnSpec cross-checks its scores and pins its recall floor.
 
     // ---- Converged iterative modes (the documented 100×-scale paths) ----
     // r11: all four graduated from rows-only to full oracles. PageRank's

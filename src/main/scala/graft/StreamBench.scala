@@ -162,7 +162,7 @@ object StreamBench {
     // a near-copy of its predecessor. State: 32 bucket rows per unique
     // doc, each one signature list; hits ≈ rows/50 × agreeing buckets.
     val nearDup = component("near_dup") {
-      val rows = 20000L
+      val rows = 60000L
       def uniqueText(i: Long): String = {
         val words = (0 until 18).map(k => s"u${i}w$k")
         if (i % 50 == 1)
@@ -175,6 +175,26 @@ object StreamBench {
       }
       drain("near_dup", rows,
         StreamingNearDup.pairs(spark, in.toDF()).writeStream.outputMode("append"))
+    }
+
+    // 3c) Digest-only near-dup candidates: identical corpus and banding,
+    // but only (bucket, doc_id) crosses the exchange and the state store
+    // — prices the signature's 64-long state/shuffle mass against the
+    // full estimating variant above.
+    val nearDupDigest = component("near_dup_digest") {
+      val rows = 60000L
+      def uniqueText(i: Long): String = {
+        val words = (0 until 18).map(k => s"u${i}w$k")
+        if (i % 50 == 1)
+          ((0 until 17).map(k => s"u${i - 1}w$k") :+ s"u${i}x").mkString(" ")
+        else words.mkString(" ")
+      }
+      val in = MemoryStream[Doc]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), uniqueText(i))))
+      }
+      drain("near_dup_digest", rows,
+        StreamingNearDup.candidates(spark, in.toDF()).writeStream.outputMode("append"))
     }
 
     // 4) Watermarked tumbling-window aggregation.
@@ -208,7 +228,7 @@ object StreamBench {
 
     val comps =
       Seq(curation, curationStateless, curationDigests, sessions, dedup,
-        nearDup, agg, upsert).flatten
+        nearDup, nearDupDigest, agg, upsert).flatten
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"streaming_throughput","unit":"rows_per_sec","components":$comps,"cpus":$cpus}"""

