@@ -21,7 +21,41 @@ object Registry {
   private def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame) =
     RegisteredQuery(name, run, None)
 
-  val all: Vector[RegisteredQuery] = Vector(
+  /** Queries whose implementations persist intermediate frames (shingle
+    * sets, inverted indexes, cached edge lists, token collapses). Their
+    * registered runs are wrapped in [[operators.GraphOps.scopedCaches]]:
+    * the result is materialized (lineage-truncated) and every cache the
+    * build persisted that the result no longer references is released —
+    * so a long-lived session pays no per-invocation storage leak. The
+    * set is derived from a `persist(` audit of the operator call graphs;
+    * everything else is a pure pipeline where the wrapper would only add
+    * a pointless result checkpoint.
+    */
+  private[graft] val cacheScoped: Set[String] = Set(
+    // GraphOps iterative family (cached edge/degree frames per entry).
+    "pagerank", "pagerank_weighted", "pagerank_topk", "pagerank_conv",
+    "hits", "connected_components", "components_conv", "triangle_count",
+    "kcore", "kcore_conv", "ppr_seeded", "bfs_hops", "sssp_weighted",
+    "graph_assortativity", "mst_forest",
+    // MinHashOps shingle family (shingle sets + inverted indexes).
+    "dedup_minhash", "dedup_ngram", "ngram_stop_shingles",
+    "dedup_threshold_curve", "lsh_miss_audit", "lsh_band_curve",
+    "source_novelty", "dedup_incremental_neardup",
+    "dedup_sorted_neighborhood", "dedup_containment", "dedup_source_matrix",
+    // SimHashOps (persisted code frame feeds two probe branches).
+    "dedup_simhash",
+    // LinkOps (cached edges + wedge frames).
+    "clustering_coeff", "link_prediction",
+    // TemporalOps (persisted zero-filled day spine).
+    "rolling_median_7d", "acf_daily",
+    // DedupClusterOps family (pair graph + label loop caches).
+    "dedup_clusters", "clusters_conv", "dedup_savings",
+    "dedup_survivor_quality", "dedup_cluster_sizes",
+    // TextOps token collapses; SplitOps rides the pair machinery.
+    "lm_surprise", "ccnet_buckets", "dsir_weights", "source_similarity",
+    "split_cluster_aware", "split_leakage_audit")
+
+  private val raw: Vector[RegisteredQuery] = Vector(
     // ---- ETL suite (reference: analysis/etl_spark.py:119-259) ----
     q("etl_quality_stats",
       """SELECT count(*) AS total_rows,
@@ -1373,6 +1407,12 @@ object Registry {
     q("sink_roundtrip_jsonl", sinks.ParquetSink.roundtripOracleSql)(
       (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "json"))
   )
+
+  val all: Vector[RegisteredQuery] = raw.map { rq =>
+    if (cacheScoped(rq.name))
+      rq.copy(run = (s, d) => operators.GraphOps.scopedCaches(s)(rq.run(s, d)))
+    else rq
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(r => r.name -> r.run).toMap

@@ -73,6 +73,34 @@ object GraphOps {
       case None => df.localCheckpoint()
     }
 
+  /** Entry-point cache hygiene: run `body`, materialize its result with
+    * [[truncate]], then release every RDD `body` persisted that the
+    * truncated result no longer references — intermediate caches
+    * (shingle sets, inverted indexes, edge frames, per-round loop
+    * truncations) would otherwise accumulate per invocation in a
+    * long-lived session, where no bench-style cache sweep runs for you.
+    * The survivors are exactly the result's own lineage blocks, released
+    * by the ContextCleaner when the frame goes out of scope. Safe by
+    * construction: the result is fully materialized before anything is
+    * released, and only caches UNREACHABLE from its truncated plan are
+    * dropped, so no later action can need them.
+    */
+  private[graft] def scopedCaches(s: SparkSession)(body: => DataFrame): DataFrame = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val out = truncate(s, body)
+    val keep = {
+      val seen = scala.collection.mutable.Set[Int]()
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (seen.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
+      walk(out.rdd)
+      seen
+    }
+    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id) && !keep.contains(id)) rdd.unpersist(false)
+    }
+    out
+  }
+
   /** Canonical undirected co-purchase edges (`src < dst`, distinct).
     * Reference: analysis/pagerank_spark.py:86-99 builds (source, target)
     * distinct edges from the raw table; same shape here.

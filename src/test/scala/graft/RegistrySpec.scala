@@ -41,6 +41,32 @@ class RegistrySpec extends AnyFunSuite {
       s"missing oracles: $noOracle")
   }
 
+  test("cacheScoped names a subset of the registered queries") {
+    val unknown = Registry.cacheScoped -- Registry.queries.keySet
+    assert(unknown.isEmpty, s"cacheScoped typos: $unknown")
+  }
+
+  test("scoped entries leave no unreachable persisted RDDs behind") {
+    val sc = spark.sparkContext
+    def reachable(df: org.apache.spark.sql.DataFrame): Set[Int] = {
+      val seen = scala.collection.mutable.Set[Int]()
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (seen.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
+      walk(df.rdd)
+      seen.toSet
+    }
+    // One representative per persisting family: shingle dedup, iterative
+    // graph, cluster labels, token collapse.
+    Seq("dedup_minhash", "pagerank", "dedup_clusters", "lm_surprise")
+      .foreach { name =>
+        val before = sc.getPersistentRDDs.keySet
+        val df = Registry.queries(name)(spark, sf)
+        df.count() // fully materialized (scopedCaches already did)
+        val leaked = sc.getPersistentRDDs.keySet -- before -- reachable(df)
+        assert(leaked.isEmpty, s"$name leaked persisted RDDs: $leaked")
+      }
+  }
+
   test("graph_degrees covers all 200 parts with total degree = 2x edges") {
     val rows = results("graph_degrees")
     assert(rows.length == 200)
