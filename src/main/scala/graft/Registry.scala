@@ -1074,6 +1074,12 @@ object Registry {
     q("ann_recall_knn_ivf", LloydOps.knnRecallIvfOracleSql())(
       (s, d) => LloydOps.knnRecallIvf(s, d)),
 
+    // The capacity meter for the IVF path, symmetric with
+    // ann_bucket_occupancy's SimHash readout: list-size histogram +
+    // exact own-list candidate work at the sqrt(n) operating point.
+    q("ivf_list_occupancy", LloydOps.ivfListOccupancyOracleSql())(
+      LloydOps.ivfListOccupancy),
+
     // The MLlib-backed IVF pair (AnnOps.annIvfTopK / annRecallIvf) is
     // deliberately NOT registered: an MLlib fit is not SQL-expressible,
     // and the oracle-closed Lloyd twins above (ann_ivf_lloyd_topk /
@@ -1361,6 +1367,12 @@ object Registry {
     // semantics keyword_search can't express; list-comprehension oracle).
     q("phrase_search", TfIdfOps.phraseSearchOracleSql())(
       (s, d) => TfIdfOps.phraseSearch(s, d)),
+
+    // BM25-ranked disjunctive retrieval: tf saturation + length
+    // normalization in milli fixed-point, bitlen integer idf — the
+    // standard lexical ranker beside the conjunctive tf-idf path.
+    q("keyword_search_bm25", TfIdfOps.bm25OracleSql())(
+      (s, d) => TfIdfOps.bm25Search(s, d)),
 
     // Week-over-week revenue growth over the dense week spine (exact
     // cents, one ppm division against the prior week).

@@ -166,6 +166,121 @@ object TfIdfOps {
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** BM25 k1 and b in milli fixed-point (the standard 1.2 / 0.75). */
+  val Bm25K1Milli = 1200L
+  val Bm25BMilli = 750L
+
+  /** BM25-shaped DISJUNCTIVE retrieval — the standard lexical ranking
+    * shape ([[keywordSearch]] is the conjunctive tf·idf cousin; this
+    * adds BM25's tf saturation and document-length normalization, and
+    * OR semantics let partial matches rank). Entirely integer
+    * fixed-point so the oracle is bit-tight:
+    *
+    *  - `norm_milli  = 1000 − b + (b·dl) div avgdl` (length norm),
+    *  - `tfc_milli   = (1000·tf·(k1+1000)) div (1000·tf + (k1·norm) div 1000)`
+    *    (saturating tf component, k1/b in milli),
+    *  - `idf_milli   = (1000·(2N−2df+1)) div (2df+1)` — the
+    *    Robertson–Sparck-Jones odds ratio `(N−df+½)/(df+½)` in milli
+    *    WITHOUT the log: a transcendental ln cannot cross the oracle
+    *    boundary bit-exactly (libm vs DuckDB), and the repo's bitlen
+    *    log2 floors to ZERO for any term in over a third of the corpus
+    *    (measured: every QuerySet term — the whole score degenerated).
+    *    The linear odds keep idf monotone-in-df and exactly integer;
+    *    the cost vs log-idf is that rare terms weigh more steeply,
+    *  - `score_milli = Σ_t (idf_milli(t) · tfc_milli(t)) div 1000`.
+    *
+    * Scale shape: identical to [[keywordSearch]] — the postings and df
+    * frames are the extraction op's (one corpus shuffle), queries are a
+    * literal broadcast, avgdl is one scalar pre-divided on the driver,
+    * and the per-query top-k rides the hierarchical rank so a
+    * common-term query matching half the corpus never serializes into
+    * one partition's sort.
+    */
+  def bm25Search(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("doc_id").agg(sum("tf").as("doc_tokens"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val queries = {
+      import s.implicits._
+      QuerySet.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("qid", "token")
+    }
+    val scored = tf
+      .join(broadcast(queries), Seq("token"))
+      .join(docLen, Seq("doc_id"))
+      .join(dfT, Seq("token"))
+      // avgdl via a scalar subquery would shuffle; a broadcast 1-row
+      // frame keeps it a plan constant per batch.
+      .crossJoin(broadcast(docLen.agg(
+        expr("sum(doc_tokens) div count(*)").as("avgdl"))))
+      .select(col("qid"), col("doc_id"),
+        expr(s"""(((1000 * (2 * ${n}L - 2 * df + 1)) div (2 * df + 1))
+                 * ((1000 * tf * (${Bm25K1Milli} + 1000))
+                    div (1000 * tf + (${Bm25K1Milli}
+                         * (1000 - ${Bm25BMilli}
+                            + (${Bm25BMilli} * doc_tokens) div avgdl)) div 1000)))
+                 div 1000""")
+          .as("term_score"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("matched"),
+        sum("term_score").cast("long").as("score_milli"))
+      .withColumn("neg_id", -col("doc_id"))
+    val cnts = scored.groupBy("qid").agg(count(lit(1)).as("cnt"))
+    RankOps.withHierarchicalRank(scored, Seq("qid"), "score_milli", "neg_id",
+        "score_milli div 64", "rk")
+      .join(broadcast(cnts), Seq("qid"))
+      .filter(col("rk") > col("cnt") - k)
+      .select(col("qid"), (col("cnt") - col("rk") + 1).as("rank"),
+        col("doc_id"), col("matched"), col("score_milli"),
+        col("cnt").as("matching_docs"))
+      .orderBy("qid", "rank")
+  }
+
+  def bm25OracleSql(k: Int = 10): String = {
+    val qvals = QuerySet
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    s"""WITH x AS (
+       | SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+       | FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM x GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_tokens FROM tf GROUP BY 1),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |ad AS (SELECT sum(doc_tokens) // count(*) AS avgdl FROM dl),
+       |q(qid, token) AS (VALUES $qvals),
+       |sc AS (
+       | SELECT q.qid, tf.doc_id, count(*) AS matched,
+       |  CAST(sum(
+       |   (((1000 * (2 * n.n - 2 * df.df + 1)) // (2 * df.df + 1))
+       |   * ((1000 * tf.tf * (${Bm25K1Milli} + 1000))
+       |      // (1000 * tf.tf + (${Bm25K1Milli}
+       |          * (1000 - ${Bm25BMilli}
+       |             + (${Bm25BMilli} * dl.doc_tokens) // ad.avgdl)) // 1000)))
+       |   // 1000
+       |  ) AS BIGINT) AS score_milli
+       | FROM tf JOIN q ON tf.token = q.token
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN df ON tf.token = df.token CROSS JOIN n CROSS JOIN ad
+       | GROUP BY 1, 2),
+       |c AS (SELECT qid, count(*) AS matching_docs FROM sc GROUP BY qid),
+       |r AS (
+       | SELECT qid, doc_id, matched, score_milli,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |   ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+       | FROM sc)
+       |SELECT CAST(r.qid AS BIGINT) AS qid, rank, doc_id,
+       | CAST(r.matched AS BIGINT) AS matched, score_milli,
+       | CAST(c.matching_docs AS BIGINT) AS matching_docs
+       |FROM r JOIN c ON r.qid = c.qid
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** Fixed two-token phrases for [[phraseSearch]]. */
   val PhraseSet: Seq[(String, String, String)] = Seq(
     ("hash join", "hash", "join"),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{PiiOps, TextOps, TfIdfOps}
+import graft.operators.{LloydOps, PiiOps, TextOps, TfIdfOps}
 
 /** Behavioral checks for the curation additions (PII scrub, n-gram
   * decontamination, normalized dedup, TF-IDF) on crafted frames where the
@@ -422,6 +422,43 @@ class CurationOpsSpec extends AnyFunSuite {
     m.groupBy(_._1).foreach { case (lang, cells) =>
       val s = cells.map(_._4).sum
       assert(s > 1000L - cells.length && s <= 1000L, s"$lang shares=$s")
+    }
+  }
+
+  test("bm25: full matches outrank partials, scores positive, ranks dense") {
+    val rows = TfIdfOps.bm25Search(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == TfIdfOps.QuerySet.map(_._1).toSet)
+    byQ.foreach { case (qid, rs) =>
+      val nTerms = TfIdfOps.QuerySet.toMap.apply(qid).length.toLong
+      // Ranks dense 1..k, scores nonincreasing, every score positive
+      // (the odds-ratio idf never floors to zero like a bitlen log2).
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length))
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._5).sliding(2).forall(p => p.head >= p.last))
+      assert(rs.forall(_._5 > 0L), s"qid=$qid zero score")
+      assert(rs.forall(r => r._4 >= 1L && r._4 <= nTerms))
+      // Disjunctive retrieval reaches at least the conjunctive set.
+      assert(rs.head._6 >= rs.length)
+    }
+  }
+
+  test("ivf_list_occupancy: bands partition the corpus, exact pair work") {
+    val rows = LloydOps.ivfListOccupancy(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val emb = graft.Tables.embeddings(spark, sf)
+    assert(rows.map(_._3).sum == emb.count(), "vectors partitioned")
+    assert(rows.map(_._2).sum <= LloydOps.listsFor(emb.count()).toLong)
+    rows.foreach { case (band, lists, vectors, maxOcc, pairs) =>
+      assert(lists >= 1L && vectors >= lists)
+      assert(maxOcc * lists >= vectors, s"$band max*lists < vectors")
+      // Pair work bounded by putting every vector in the worst list.
+      assert(pairs <= lists * (maxOcc * (maxOcc - 1)) / 2, s"$band pairs")
     }
   }
 }
