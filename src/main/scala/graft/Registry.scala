@@ -1080,6 +1080,12 @@ object Registry {
     q("ivf_list_occupancy", LloydOps.ivfListOccupancyOracleSql())(
       LloydOps.ivfListOccupancy),
 
+    // Mislabel audit over the bounded IVF graph — same rollup contract
+    // as knn_label_agreement, for the clustered corpora where the
+    // SimHash graph's candidates go superlinear.
+    q("knn_label_agreement_ivf", LloydOps.knnLabelAgreementIvfOracleSql())(
+      (s, d) => LloydOps.knnLabelAgreementIvf(s, d)),
+
     // The MLlib-backed IVF pair (AnnOps.annIvfTopK / annRecallIvf) is
     // deliberately NOT registered: an MLlib fit is not SQL-expressible,
     // and the oracle-closed Lloyd twins above (ann_ivf_lloyd_topk /

@@ -585,10 +585,18 @@ object AnnOps {
   private[graft] def labelAgreementOf(
       s: SparkSession,
       emb: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    labelAgreementRollup(knnGraphOf(s, emb, k, bitsFor(emb.count())), emb)
+
+  /** The label-agreement rollup over ANY (q_id, c_id)-ranked neighbor
+    * graph — shared by the SimHash and IVF agreement audits so both
+    * paths hash the identical mislabel contract.
+    */
+  private[graft] def labelAgreementRollup(
+      graph: DataFrame, emb: DataFrame): DataFrame = {
     val labels = emb
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val perVec = knnGraphOf(s, emb, k, bitsFor(emb.count()))
+    val perVec = graph
       .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_lab")),
         "q_id")
       .join(labels.select(col("vec_id").as("c_id"), col("label").as("c_lab")),
@@ -608,7 +616,13 @@ object AnnOps {
   }
 
   def knnLabelAgreementOracleSql(k: Int = 3): String =
-    s"""${knnChainAutoSql()},
+    knnChainAutoSql() + labelAgreementTailSql(k)
+
+  /** The agreement-rollup oracle tail over any chain ending in a ranked
+    * `r(q_id, c_id, rank)` CTE — the SQL twin of [[labelAgreementRollup]].
+    */
+  private[graft] def labelAgreementTailSql(k: Int): String =
+    s""",
        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
        |pv AS (
        | SELECT r.q_id, ql.label,

@@ -645,9 +645,10 @@ object LloydOps {
        | FROM df),
        |asg AS (SELECT vec_id AS c_id, cluster FROM rkd WHERE rn = 1)""".stripMargin
 
-  def knnGraphIvfOracleSql(
-      k: Int = 3, nprobe: Int = KnnNprobe, iters: Int = Iters,
-      probeFilter: String = ""): String =
+  /** IVF knn chain ending at the ranked `r` CTE — shared by the graph
+    * oracle, the recall audit, and the label-agreement twin.
+    */
+  private def knnIvfChainSql(nprobe: Int, iters: Int): String =
     oracleChain(listsForSql, iters) + ivfAsgSql(iters) + s""",
        |pls AS (SELECT vec_id AS q_id, cluster FROM rkd WHERE rn <= $nprobe),
        |p AS (
@@ -665,10 +666,28 @@ object LloydOps {
        |r AS (
        | SELECT q_id, c_id, cosine_r6,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
-       | FROM p)
+       | FROM p)""".stripMargin
+
+  def knnGraphIvfOracleSql(
+      k: Int = 3, nprobe: Int = KnnNprobe, iters: Int = Iters,
+      probeFilter: String = ""): String =
+    knnIvfChainSql(nprobe, iters) + s"""
        |SELECT q_id, c_id, rank, cosine_r6 FROM r
        |WHERE rank <= $k $probeFilter
        |ORDER BY q_id, rank""".stripMargin
+
+  /** kNN label-agreement over the IVF graph — the bounded-candidate twin
+    * of `knn_label_agreement` (which rides the SimHash graph, measured
+    * superlinear at sf1 on clustered embeddings): identical mislabel
+    * contract ([[AnnOps.labelAgreementRollup]]), candidate work bounded
+    * by nprobe × list size. Clustered corpora run this one.
+    */
+  def knnLabelAgreementIvf(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    AnnOps.labelAgreementRollup(
+      knnGraphIvf(s, dir, k), Tables.embeddings(s, dir))
+
+  def knnLabelAgreementIvfOracleSql(k: Int = 3): String =
+    knnIvfChainSql(KnnNprobe, Iters) + AnnOps.labelAgreementTailSql(k)
 
   /** Recall@k of [[knnGraphIvf]] against the exact neighbors of a
     * deterministic probe cohort (`vec_id % KnnProbeMod == 0`) — the

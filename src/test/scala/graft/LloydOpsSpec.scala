@@ -147,6 +147,40 @@ class LloydOpsSpec extends AnyFunSuite {
     assert(mean >= 300L, s"mean recall $mean milli")
   }
 
+  test("knn_label_agreement_ivf: planted mislabel surfaces through the IVF graph") {
+    import spark.implicits._
+    // Two blobs of 8 identical orthogonal vectors (ids interleaved so
+    // Lloyd's first-k init seeds both; identical vectors keep each blob
+    // in one list). Vec 0 sits in blob 0 but carries label 1: its IVF
+    // neighbors are all blob-0 (label 0), so it must be label 1's one
+    // sub-500-milli suspect, while blob-0 queries that pick vec 0 as a
+    // tie-break neighbor stay at 666 milli — above the suspect line.
+    val a = Seq.fill(64)(1.0f)
+    val b = Array.tabulate(64)(dd => if (dd % 2 == 0) 1.0f else -1.0f).toSeq
+    val d = (0 until 16).map { i =>
+      val blob = i % 2
+      (i.toLong, if (i == 0) 1 else blob, if (blob == 0) a else b)
+    }.toDF("vec_id", "label", "embedding")
+    val g = LloydOps.knnGraphIvfOf(spark, d.select("vec_id", "embedding"),
+      k = 3, nprobe = 2)
+    val rows = graft.operators.AnnOps.labelAgreementRollup(g, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(3) == 1L, "the planted flip is label 1's suspect")
+    assert(rows(1L).getLong(2) < 1000L, "the flip drags label 1's mean down")
+    assert(rows(0L).getLong(3) == 0L, "no blob-0 vector dips below 500 milli")
+  }
+
+  test("knn_label_agreement_ivf registered query: milli bounds and suspect counts") {
+    val rows = LloydOps.knnLabelAgreementIvf(spark, TestSession.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vectors, mean, suspects) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(vectors >= 1)
+      assert(mean >= 0 && mean <= 1000, s"mean=$mean")
+      assert(suspects >= 0 && suspects <= vectors)
+    }
+  }
+
   test("listsFor: sqrt operating point with floor and cap") {
     assert(LloydOps.listsFor(10) == 8)
     assert(LloydOps.listsFor(500) == 22)
