@@ -572,6 +572,11 @@ object Registry {
     q("ann_lshpq_topk", PqOps.lshPqOracleSql())((s, d) => PqOps.annLshPqTopK(s, d)),
     q("ann_recall_lshpq", PqOps.annRecallLshPqOracleSql())(PqOps.annRecallLshPq),
 
+    // IVF+PQ: Lloyd coarse lists + ADC scoring — the FAISS-standard
+    // composition, fully oracle-closed (index build AND search).
+    q("ann_ivfpq_topk", PqOps.ivfPqOracleSql())((s, d) => PqOps.annIvfPqTopK(s, d)),
+    q("ann_recall_ivfpq", PqOps.annRecallIvfPqOracleSql())(PqOps.annRecallIvfPq),
+
     // Sub-document span duplication map: positional 8-token spans shared
     // with another doc, per-doc boilerplate fraction in bp.
     q("span_dedup", TextOps.SpanDedupOracleSql)(

@@ -447,26 +447,11 @@ object LloydOps {
       s: SparkSession, dir: String,
       k: Int = 10, nQueries: Int = 5, nprobe: Int = IvfProbes): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val (cents, _) = run(emb, K, Iters)
-    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    val dists = transform(centsLit, c =>
-      aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v))
-    val pts = quantized(emb)
-    val asg = assign(pts, cents).select(col("vec_id").as("c_id"),
-      col("cluster"))
+    val (asg, probes) = ivfProbeFrames(s, dir, nQueries, nprobe)
     val cand = Tables.parallelized(emb)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       .join(asg, "c_id")
-    val qProbes = pts.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), dists.as("ds"))
-      .select(col("q_id"), expr(
-        "array_sort(transform(ds, (d, i) -> struct(d AS dist, i AS cluster)))")
-        .as("z"))
-      .select(col("q_id"),
-        explode(expr(s"transform(slice(z, 1, $nprobe), p -> p.cluster)"))
-          .as("cl0"))
-      .select(col("q_id"), col("cl0").cast("long").as("cluster"))
+    val qProbes = probes
       .join(emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), "q_id")
     val scored = cand
@@ -477,24 +462,57 @@ object LloydOps {
     AnnOps.rankTopK(s, scored, k)
   }
 
+  /** The IVF index + probe plan as id-only frames: `asg` files every
+    * corpus vector into its argmin Lloyd list (c_id, cluster) and
+    * `probes` holds each query's nprobe nearest lists (q_id, cluster) —
+    * the shared candidate-generation seam under [[ivfLloydTopK]] (exact
+    * re-rank) and [[PqOps.annIvfPqTopK]] (compressed ADC re-rank).
+    * Payloads (raw vectors, PQ codes) attach downstream, so this seam
+    * moves ids only.
+    */
+  private[graft] def ivfProbeFrames(
+      s: SparkSession, dir: String, nQueries: Int, nprobe: Int)
+      : (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val (cents, _) = run(emb, K, Iters)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    val dists = transform(centsLit, c =>
+      aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v))
+    val pts = quantized(emb)
+    val asg = assign(pts, cents).select(col("vec_id").as("c_id"),
+      col("cluster"))
+    val probes = pts.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), dists.as("ds"))
+      .select(col("q_id"), expr(
+        "array_sort(transform(ds, (d, i) -> struct(d AS dist, i AS cluster)))")
+        .as("z"))
+      .select(col("q_id"),
+        explode(expr(s"transform(slice(z, 1, $nprobe), p -> p.cluster)"))
+          .as("cl0"))
+      .select(col("q_id"), col("cl0").cast("long").as("cluster"))
+    (asg, probes)
+  }
+
   /** Oracle: Lloyd chain → assignment lists + per-query probe ranking →
     * rounded-cosine row_number within probed candidates.
     */
+  /** The IVF index + probe plan as CTEs (`asg`, `probes`) off the Lloyd
+    * chain — the oracle twin of [[ivfProbeFrames]], shared by the exact
+    * and PQ-compressed re-rank oracles.
+    */
+  private[graft] def ivfProbeChainSql(
+      nQueries: Int, nprobe: Int,
+      kClusters: Int = K, iters: Int = Iters): String =
+    oracleChain(kClusters, iters) + ivfAsgSql(iters) + s""",
+       |probes AS (
+       | SELECT vec_id AS q_id, cluster FROM rkd
+       | WHERE vec_id < $nQueries AND rn <= $nprobe)""".stripMargin
+
   def ivfLloydOracleSql(
       k: Int = 10, nQueries: Int = 5, nprobe: Int = IvfProbes,
       kClusters: Int = K, iters: Int = Iters): String =
-    oracleChain(kClusters, iters) + s""",
-       |df AS (
-       | SELECT x.vec_id, c.cluster, sum((x.xq - c.c) * (x.xq - c.c)) AS dist
-       | FROM x JOIN c$iters c ON x.dim = c.dim GROUP BY 1, 2),
-       |rkd AS (
-       | SELECT vec_id, cluster,
-       |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-       | FROM df),
-       |asg AS (SELECT vec_id AS c_id, cluster FROM rkd WHERE rn = 1),
-       |probes AS (
-       | SELECT vec_id AS q_id, cluster FROM rkd
-       | WHERE vec_id < $nQueries AND rn <= $nprobe),
+    ivfProbeChainSql(nQueries, nprobe, kClusters, iters) + s""",
        |qv AS (
        | SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
        | WHERE vec_id < $nQueries),

@@ -191,6 +191,97 @@ object PqOps {
       k)
   }
 
+  /** IVF+PQ — the FAISS-standard composition and the shape a 100 TB
+    * vector store actually serves from: the coarse quantizer is the
+    * oracle-closed Lloyd centroid table ([[LloydOps.ivfProbeFrames]] —
+    * every vector files into its argmin list, each query probes its
+    * nprobe nearest lists), and scoring inside the probed lists is
+    * integer ADC over the 8-byte PQ codes. Against the siblings: the
+    * LSH+PQ tier prunes by SimHash bucket (occupancy-bound — degrades on
+    * clustered corpora, see `ann_bucket_occupancy`), while this one's
+    * candidate count is nprobe/k of the corpus by CONSTRUCTION because
+    * Lloyd lists follow the density; and vs [[LloydOps.ivfLloydTopK]]'s
+    * exact re-rank, the scan here never touches a raw 256-byte vector —
+    * ~32× fewer bytes through the hot path. Both tiers are fixed-point,
+    * so the whole index build + search replays in DuckDB and the recall
+    * cost of compressed scoring is audited, not hidden
+    * ([[annRecallIvfPq]]).
+    *
+    * Scale shape: candidate generation moves (id, list) pairs only —
+    * codes and distance tables attach AFTER the list join; the query
+    * side (nprobe rows + M×K-int tables per query) broadcasts; the
+    * ranking is the bounded map-side top-k aggregator shared with every
+    * other ANN path.
+    */
+  def annIvfPqTopK(
+      s: SparkSession,
+      dir: String,
+      k: Int = DefaultK,
+      nQueries: Int = DefaultQueries,
+      nprobe: Int = LloydOps.IvfProbes): DataFrame = {
+    val (asg, probes) = LloydOps.ivfProbeFrames(s, dir, nQueries, nprobe)
+    val coded = pqEncode(s, dir)
+      .withColumnRenamed("vec_id", "c_id")
+      .join(asg, "c_id")
+    val qside = probes.join(queryTables(s, dir, nQueries), "q_id")
+    rankByAdist(s,
+      coded.join(broadcast(qside), Seq("cluster"))
+        .filter(col("q_id") =!= col("c_id")),
+      k)
+  }
+
+  /** Integer recall@k of the IVF+PQ path vs the exact cosine baseline —
+    * the dial that separates the two loss sources: vs [[annRecallPq]]
+    * (full-scan ADC) the delta is the coarse quantizer's list-miss rate;
+    * vs `ann_recall_ivf_lloyd` (exact re-rank over the same lists) it's
+    * the code-compression loss.
+    */
+  def annRecallIvfPq(s: SparkSession, dir: String): DataFrame =
+    AnnOps.recallOf(AnnOps.annTopK(s, dir), annIvfPqTopK(s, dir))
+
+  /** DuckDB oracle for [[annIvfPqTopK]]: the Lloyd probe chain
+    * ([[LloydOps.ivfProbeChainSql]]) feeds the PQ codebook/code/ADC CTEs
+    * — both tiers mirrored verbatim, candidates drawn from probed lists
+    * instead of SimHash buckets.
+    */
+  def ivfPqOracleSql(
+      k: Int = DefaultK,
+      nQueries: Int = DefaultQueries,
+      nprobe: Int = LloydOps.IvfProbes): String =
+    LloydOps.ivfProbeChainSql(nQueries, nprobe) + s""",
+       |pxq AS (SELECT vec_id, list_transform(embedding,
+       |  v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+       | FROM embeddings),
+       |pcb AS (SELECT vec_id AS j, q AS cqv FROM pxq WHERE vec_id < $CodebookK),
+       |psub AS (
+       | SELECT px.vec_id, m.m, c.j, ${duckSubDist("px", "m.m", "c")} AS dist
+       | FROM pxq px, range(0, $SubSpaces) m(m), pcb c),
+       |pcodes AS (
+       | SELECT vec_id, m, j FROM (
+       |  SELECT vec_id, m, j,
+       |   row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+       |  FROM psub) WHERE rn = 1),
+       |ad AS (
+       | SELECT pr.q_id, a.c_id,
+       |  CAST(sum(${duckSubDist("q", "co.m", "cb")}) AS BIGINT) AS adist
+       | FROM probes pr
+       |  JOIN asg a ON pr.cluster = a.cluster
+       |  JOIN pxq q ON q.vec_id = pr.q_id
+       |  JOIN pcodes co ON co.vec_id = a.c_id
+       |  JOIN pcb cb ON co.j = cb.j
+       | WHERE pr.q_id <> a.c_id
+       | GROUP BY 1, 2),
+       |pqr AS (
+       | SELECT q_id, c_id, adist,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS BIGINT) AS rank
+       | FROM ad)
+       |SELECT q_id, c_id, rank, adist FROM pqr WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB oracle for [[annRecallIvfPq]]. */
+  def annRecallIvfPqOracleSql(): String =
+    AnnOps.recallAuditSql(AnnOps.annTopkOracleSql(), ivfPqOracleSql())
+
   /** Integer recall@k of the two-tier LSH+PQ path vs the exact cosine
     * baseline — oracle-gated end to end.
     */
