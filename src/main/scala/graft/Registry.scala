@@ -36,7 +36,7 @@ object Registry {
     "pagerank", "pagerank_weighted", "pagerank_topk", "pagerank_conv",
     "hits", "connected_components", "components_conv", "triangle_count",
     "kcore", "kcore_conv", "ppr_seeded", "bfs_hops", "sssp_weighted",
-    "graph_assortativity", "mst_forest",
+    "graph_assortativity", "mst_forest", "community_lpa",
     // MinHashOps shingle family (shingle sets + inverted indexes).
     "dedup_minhash", "dedup_ngram", "ngram_stop_shingles",
     "dedup_threshold_curve", "lsh_miss_audit", "lsh_band_curve",
@@ -412,6 +412,12 @@ object Registry {
     q("connected_components", GraphOps.connectedComponentsOracleSql(5))(
       (s, d) => GraphOps.connectedComponents(s, d, 5)),
 
+    // Synchronous plurality LPA, 4 fixed rounds, min-label tie-break —
+    // deterministic and oracle-unrolled like CC above; communities, not
+    // components (a bridge edge does not merge the dense sides).
+    q("community_lpa", GraphOps.communityLpaOracleSql(4))(
+      (s, d) => GraphOps.communityLpa(s, d, 4)),
+
     // K-core by iterative peeling (fixed rounds = oracle entry; the
     // converged mode is the production path, mirroring CC/PageRank).
     q("kcore", GraphOps.kcoreOracleSql(60, 4))(
@@ -662,6 +668,12 @@ object Registry {
     // report per-shard doc/char totals.
     q("shard_plan", SampleOps.shardOracleSql())(SampleOps.shardPlanQuery),
 
+    // Content-addressed shard manifest: order-independent per-shard
+    // digest (sum of fingerprints mod prime) + id range + byte mass —
+    // the provenance record published beside each written shard.
+    q("shard_manifest", SampleOps.shardManifestOracleSql())(
+      SampleOps.shardManifestQuery),
+
     // Fixed-size per-stratum sample via a bounded MinK typed Aggregator
     // (partial agg; the window-oracle formulation would serialize a head
     // stratum through one task at scale).
@@ -731,6 +743,11 @@ object Registry {
     // PII scrub audit: typed counts + redacted digest per document over a
     // deterministic planted-PII corpus (ordered RE2-safe replacements).
     q("pii_redact", PiiOps.OracleSql)(PiiOps.piiRedact),
+
+    // k-anonymity release gate over the customer quasi-identifiers:
+    // classes below each k threshold and the row ppm they hold.
+    q("k_anonymity_audit", PiiOps.KAnonymityOracleSql)(
+      PiiOps.kAnonymityAudit),
 
     // C4-style normalized dedup: case/punct/whitespace-insensitive digest
     // groups — same shuffle contract as dedup_exact.

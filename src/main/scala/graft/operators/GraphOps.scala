@@ -565,6 +565,99 @@ object GraphOps {
     sb.toString
   }
 
+  /** Synchronous label-propagation community detection (LPA): every node
+    * starts labeled with its own id; each round, every node adopts the
+    * label held by the PLURALITY of its neighbors, ties broken by the
+    * smallest label — the standard near-linear community detector
+    * (Raghavan et al. 2007), here made fully deterministic (plurality +
+    * min-label tie-break, synchronous updates, fixed `iters`) so the
+    * unrolled DuckDB oracle replays it bit-for-bit. Communities differ
+    * from connected components: a bridge edge joins two components into
+    * one CC, but LPA keeps the dense sides in separate communities.
+    *
+    * Scale shape per round: one edge×labels join (label side broadcast
+    * under [[BroadcastNodeLimit]], shuffle-hash above it — the cached
+    * edge frame is never re-exchanged), one map-side-combinable
+    * (node,label) count, then the plurality pick as a second
+    * map-side-combinable `max(struct(count, -label))` — no windows, no
+    * per-node sorts, every stage partial-aggregable, so a hub with 10^6
+    * neighbors ships one candidate per task×label, not its whole
+    * neighborhood. All-integer, so results are partition-order-proof.
+    */
+  def communityLpa(s: SparkSession, dir: String, iters: Int = 4): DataFrame =
+    lpaLabels(s, directedEdges(s, dir), iters)
+
+  /** LPA core over an arbitrary symmetrized (src, dst) edge frame — the
+    * seam the planted-graph spec drives directly.
+    */
+  private[graft] def lpaLabels(
+      s: SparkSession, edgesIn: DataFrame, iters: Int): DataFrame = {
+    // Cache layout keyed to the loop's aggregation (see [[pagerank]]).
+    val dirEdges = edgesIn.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar: sizes the broadcast guard
+    var labels = nodes.withColumn("label", col("node"))
+    for (i <- 1 to iters) {
+      val counts = dirEdges
+        .join(roundSide(labels.withColumnRenamed("node", "src"), n), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // Plurality with min-label tie-break as an all-integer struct max:
+      // labels are positive part keys, so max(c, -label) ranks by count
+      // then by SMALLEST label — one aggregate, no window sort.
+      val picked = counts
+        .groupBy("node")
+        .agg(max(struct(col("c"), negate(col("label")).as("neg"))).as("m"))
+        .select(col("node"), negate(col("m.neg")).as("nbr_label"))
+      // Every node in `nodes` has >= 1 neighbor (nodes come FROM edges),
+      // so the left join's coalesce is belt-and-braces only.
+      labels = labels
+        .join(roundSide(picked, n), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("nbr_label"), col("label")).as("label"))
+      // Same 2^iters plan-blowup guard as [[connectedComponents]].
+      if (i < iters) labels = truncate(s, labels)
+    }
+    labels.orderBy("node")
+  }
+
+  /** DuckDB oracle for [[communityLpa]]: identical unrolled synchronous
+    * plurality propagation; the tie-break is the explicit
+    * `ORDER BY c DESC, label` row_number the Spark struct-max encodes.
+    * MATERIALIZED per level for the same 2^iters reason as
+    * [[connectedComponentsOracleSql]].
+    */
+  def communityLpaOracleSql(iters: Int = 4): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH und AS MATERIALIZED (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+        |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |c$i AS MATERIALIZED (
+        | SELECT e.dst AS node, p.label, count(*) AS c
+        | FROM edges e JOIN l${i - 1} p ON e.src = p.node
+        | GROUP BY 1, 2),
+        |l$i AS MATERIALIZED (
+        | SELECT n.node, coalesce(m.label, n.label) AS label
+        | FROM l${i - 1} n LEFT JOIN (
+        |  SELECT node, label FROM (
+        |   SELECT node, label,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |   FROM c$i) WHERE rn = 1) m ON n.node = m.node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, label FROM l$iters ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   /** Total triangle count, degree-ordered: every undirected edge is
     * oriented from its lower-(degree, id) endpoint to the higher one, so
     * each triangle is counted exactly once — as a pair of out-neighbors

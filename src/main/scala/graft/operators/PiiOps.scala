@@ -111,4 +111,60 @@ object PiiOps {
        | CAST(length(clean) AS BIGINT) AS clean_len
        |FROM r ORDER BY doc_id""".stripMargin
   }
+
+  /** The k thresholds the anonymity audit reports against. */
+  val AnonymityKs: Seq[Int] = Seq(2, 5, 10, 25)
+
+  /** k-anonymity audit over the customer quasi-identifiers
+    * (nation, market segment, account-balance thousand-bucket): for each
+    * k threshold, how many equivalence classes fall below k and what ppm
+    * of rows they hold — the release gate a privacy review runs BEFORE a
+    * dataset ships, the structural complement of the regex scrub above
+    * ([[piiRedact]] removes direct identifiers; this measures whether the
+    * remaining quasi-identifiers still single people out).
+    *
+    * Scale shape: ONE shuffle — the QI groupBy (map-side combined); the
+    * class-size frame is bounded by the QI domain product (nations ×
+    * segments × balance buckets, ~3k rows at any corpus size), so the
+    * per-k rollup is a broadcast-cross over a constant-size frame. The
+    * bucket edge uses floor(x/1000) — a pure IEEE double op both engines
+    * compute bit-identically (no round-half-tie exposure).
+    */
+  def kAnonymityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .groupBy(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    val ks = AnonymityKs.toDF("k").select(col("k").cast("long").as("k"))
+    classes
+      .join(broadcast(ks))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("classes_below"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(0L)).as("rows_below"),
+        sum(col("sz")).as("n_rows"))
+      .select(col("k"), col("n_classes"), col("classes_below"),
+        col("rows_below"),
+        expr("(1000000 * rows_below) div n_rows").as("suppress_ppm"))
+      .orderBy("k")
+  }
+
+  /** DuckDB oracle for [[kAnonymityAudit]]. */
+  val KAnonymityOracleSql: String =
+    s"""WITH cls AS (
+       | SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+       |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+       |  count(*) AS sz
+       | FROM customer GROUP BY 1, 2, 3),
+       |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES ${AnonymityKs.map(k => s"($k)").mkString(", ")}) t(k))
+       |SELECT k,
+       | count(*) AS n_classes,
+       | CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+       | CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_below,
+       | CAST((1000000 * sum(CASE WHEN sz < k THEN sz ELSE 0 END)) // sum(sz) AS BIGINT) AS suppress_ppm
+       |FROM cls, ks GROUP BY k ORDER BY k""".stripMargin
 }

@@ -79,6 +79,52 @@ object SampleOps {
   def shardPlanQuery(s: SparkSession, dir: String): DataFrame =
     shardPlan(Tables.documents(s, dir))
 
+  /** Content-addressed shard manifest — the step-output record a pipeline
+    * publishes beside each written shard so a downstream run (or a
+    * re-run) can diff datasets WITHOUT re-reading payload bytes: per
+    * shard, the doc count, byte mass, id range, and an order-independent
+    * content digest (sum of per-doc PolyHash fingerprints mod the same
+    * prime — commutative, so any partitioning/task order yields the
+    * identical digest; two manifests agree iff the shard contents agree
+    * up to hash collision). Extends [[shardPlan]] from a balance check to
+    * a provenance artifact.
+    *
+    * Scale shape: one map-side-combined groupBy over nShards keys; every
+    * aggregate is a bounded integer fold, so the manifest costs exactly
+    * one scan at any corpus size.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val fp = GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
+    docs
+      .select((fp % nShards).as("shard"), fp.as("fp"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("total_chars"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        // decimal(38,0) accumulator: a long sum of ~2^30 fingerprints
+        // wraps silently past ~10^9 rows; DuckDB's hugeint sum does not.
+        (sum(col("fp").cast("decimal(38,0)")) % 1000000007L)
+          .cast("long").as("content_digest"))
+      .orderBy("shard")
+  }
+
+  def shardManifestQuery(s: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.documents(s, dir))
+
+  /** DuckDB oracle for [[shardManifest]]. */
+  def shardManifestOracleSql(nShards: Int = 16): String =
+    s"""WITH f AS (
+       | SELECT doc_id, n_chars, $FingerprintSql AS fp
+       | FROM documents)
+       |SELECT fp % $nShards AS shard, count(*) AS n_docs,
+       | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       | CAST(sum(fp) % 1000000007 AS BIGINT) AS content_digest
+       |FROM f GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** The full curation pipeline as ONE declarative plan: quality-filter
     * (keep only documents passing every [[TextOps.qualityFilter]] rule),
     * stratified downsample ([[stratifiedSample]] rates), then shard

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.operators.{GraphOps, PiiOps, SampleOps}
+
+/** r14 wave: LPA community detection, the k-anonymity release gate, and
+  * the content-addressed shard manifest.
+  */
+class R14OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("community_lpa: communities refine connected components") {
+    val lpa = GraphOps.communityLpa(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = GraphOps.connectedComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa.keySet == cc.keySet, "same node universe")
+    // An LPA label reaches a node only along edges, so two nodes sharing
+    // an LPA community must share a component; the converse need not hold.
+    lpa.groupBy(_._2).values.foreach { members =>
+      val comps = members.keys.map(cc).toSet
+      assert(comps.size == 1, s"community spans components $comps")
+    }
+    val nCommunities = lpa.values.toSet.size
+    val nComponents = cc.values.toSet.size
+    assert(nCommunities >= nComponents)
+  }
+
+  test("community_lpa: a bridge edge joins components but not communities") {
+    import spark.implicits._
+    // Two 4-cliques joined by one bridge (3-10): CC says one component;
+    // plurality LPA keeps each clique on its own min label.
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val und = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L))).toDF("src", "dst")
+    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = GraphOps.lpaLabels(spark, sym, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 1L, 2L, 3L).map(labels) == Set(0L),
+      s"left clique converges to 0: $labels")
+    assert(Set(10L, 11L, 12L, 13L).map(labels) == Set(10L),
+      s"right clique converges to 10: $labels")
+  }
+
+  test("k_anonymity_audit: monotone in k, bounded ppm, constant class count") {
+    val rows = PiiOps.kAnonymityAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == PiiOps.AnonymityKs.map(_.toLong))
+    assert(rows.map(_.getLong(1)).toSet.size == 1, "n_classes is k-independent")
+    val below = rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    below.sliding(2).foreach { case Array((c1, r1, p1), (c2, r2, p2)) =>
+      assert(c1 <= c2 && r1 <= r2 && p1 <= p2, "raising k never shrinks exposure")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "classes_below <= n_classes")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    }
+  }
+
+  test("shard_manifest: partitions the corpus; digest is order-independent") {
+    val docs = graft.Tables.documents(spark, sf)
+    val m = SampleOps.shardManifest(docs).collect()
+    assert(m.map(_.getLong(0)).toSeq == (0L until 16L))
+    assert(m.map(_.getLong(1)).sum == docs.count(), "every doc in exactly one shard")
+    m.foreach(r => assert(r.getLong(3) <= r.getLong(4), "id range ordered"))
+    // Same corpus under a different partitioning → identical manifest:
+    // the digest is a commutative fold, so layout cannot leak into it.
+    val shuffled = SampleOps.shardManifest(docs.repartition(7)).collect()
+    assert(m.map(_.toSeq).toSeq == shuffled.map(_.toSeq).toSeq)
+    // And it agrees with shard_plan's balance view on the shared columns.
+    val plan = SampleOps.shardPlanQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    m.foreach { r =>
+      assert(plan(r.getLong(0)) == ((r.getLong(1), r.getLong(2))))
+    }
+  }
+}
