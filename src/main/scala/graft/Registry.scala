@@ -1402,6 +1402,12 @@ object Registry {
     q("keyword_search_bm25", TfIdfOps.bm25OracleSql())(
       (s, d) => TfIdfOps.bm25Search(s, d)),
 
+    // Hybrid two-leg retrieval fused by reciprocal-rank fusion: exact
+    // shingle-Jaccard lexical leg + exact-cosine semantic leg, integer
+    // RRF (1e6 div (60 + rank)) — the standard RAG retrieval shape.
+    q("hybrid_rrf_topk", HybridOps.hybridRrfOracleSql())(
+      (s, d) => HybridOps.hybridRrfTopK(s, d)),
+
     // Week-over-week revenue growth over the dense week spine (exact
     // cents, one ppm division against the prior week).
     q("revenue_wow_growth", StarOps.WeeklyRevenueGrowthOracleSql)(

@@ -93,7 +93,16 @@ object SampleOps {
     * aggregate is a bounded integer fold, so the manifest costs exactly
     * one scan at any corpus size.
     */
-  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame = {
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
+    manifestAgg(docs, nShards).orderBy("shard")
+
+  /** The manifest aggregation without the final sort — every aggregate
+    * here is mergeable (count/sum/min/max in a commutative monoid), which
+    * is what lets [[graft.streaming.StreamingManifest]] run the IDENTICAL
+    * expressions as an incremental streaming state and land on the same
+    * digests the batch pass computes (pinned by the differential spec).
+    */
+  private[graft] def manifestAgg(docs: DataFrame, nShards: Int): DataFrame = {
     val fp = GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
     docs
       .select((fp % nShards).as("shard"), fp.as("fp"),
@@ -108,7 +117,6 @@ object SampleOps {
         // wraps silently past ~10^9 rows; DuckDB's hugeint sum does not.
         (sum(col("fp").cast("decimal(38,0)")) % 1000000007L)
           .cast("long").as("content_digest"))
-      .orderBy("shard")
   }
 
   def shardManifestQuery(s: SparkSession, dir: String): DataFrame =

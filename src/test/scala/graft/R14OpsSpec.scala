@@ -59,6 +59,29 @@ class R14OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid_rrf_topk: rank discipline and RRF arithmetic hold") {
+    val rows = graft.operators.HybridOps.hybridRrfTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length), s"q=$q")
+      // rrf_micro is exactly the contribution formula over the two legs.
+      rs.foreach { r =>
+        val (lex, sem) = (r.getLong(4), r.getLong(5))
+        val expected =
+          (if (lex > 0) 1000000L / (60 + lex) else 0L) +
+          (if (sem > 0) 1000000L / (60 + sem) else 0L)
+        assert(r.getLong(3) == expected, s"q=$q c=${r.getLong(1)}")
+      }
+      // Scores are nonincreasing down the fused ranking.
+      val ordered = rs.sortBy(_.getLong(2)).map(_.getLong(3)).toSeq
+      assert(ordered == ordered.sorted.reverse, s"q=$q scores=$ordered")
+      // A doc topping BOTH legs must top the fused list (max possible RRF).
+      rs.find(r => r.getLong(4) == 1L && r.getLong(5) == 1L)
+        .foreach(r => assert(r.getLong(2) == 1L, s"q=$q double-winner not rank 1"))
+    }
+  }
+
   test("shard_manifest: partitions the corpus; digest is order-independent") {
     val docs = graft.Tables.documents(spark, sf)
     val m = SampleOps.shardManifest(docs).collect()
