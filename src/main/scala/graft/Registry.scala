@@ -36,7 +36,7 @@ object Registry {
     "pagerank", "pagerank_weighted", "pagerank_topk", "pagerank_conv",
     "hits", "connected_components", "components_conv", "triangle_count",
     "kcore", "kcore_conv", "ppr_seeded", "bfs_hops", "sssp_weighted",
-    "graph_assortativity", "mst_forest", "community_lpa",
+    "graph_assortativity", "mst_forest", "community_lpa", "community_stats",
     // MinHashOps shingle family (shingle sets + inverted indexes).
     "dedup_minhash", "dedup_ngram", "ngram_stop_shingles",
     "dedup_threshold_curve", "lsh_miss_audit", "lsh_band_curve",
@@ -53,7 +53,9 @@ object Registry {
     "dedup_survivor_quality", "dedup_cluster_sizes",
     // TextOps token collapses; SplitOps rides the pair machinery.
     "lm_surprise", "ccnet_buckets", "dsir_weights", "source_similarity",
-    "split_cluster_aware", "split_leakage_audit")
+    "split_cluster_aware", "split_leakage_audit",
+    // HybridOps (persisted corpus shingle frame feeds postings + sizes).
+    "hybrid_rrf_topk")
 
   private val raw: Vector[RegisteredQuery] = Vector(
     // ---- ETL suite (reference: analysis/etl_spark.py:119-259) ----
@@ -418,6 +420,12 @@ object Registry {
     q("community_lpa", GraphOps.communityLpaOracleSql(4))(
       (s, d) => GraphOps.communityLpa(s, d, 4)),
 
+    // Per-community rollup of the LPA labels: size, internal edges,
+    // degree mass, and the exact-integer modularity contribution —
+    // the did-LPA-find-structure audit (Σ contrib_ppm ≈ Q·1e6).
+    q("community_stats", GraphOps.communityStatsOracleSql(4))(
+      (s, d) => GraphOps.communityStats(s, d, 4)),
+
     // K-core by iterative peeling (fixed rounds = oracle entry; the
     // converged mode is the production path, mirroring CC/PageRank).
     q("kcore", GraphOps.kcoreOracleSql(60, 4))(
@@ -673,6 +681,12 @@ object Registry {
     // the provenance record published beside each written shard.
     q("shard_manifest", SampleOps.shardManifestOracleSql())(
       SampleOps.shardManifestQuery),
+
+    // Per-shard raw-vs-curated release diff off ONE scan (conditional
+    // sums beside the raw aggregates): what quality curation removed,
+    // and digest equality so unchanged shards skip re-publication.
+    q("manifest_drift", SampleOps.manifestDriftOracleSql())(
+      (s, d) => SampleOps.manifestDrift(s, d)),
 
     // Fixed-size per-stratum sample via a bounded MinK typed Aggregator
     // (partial agg; the window-oracle formulation would serialize a head

@@ -629,7 +629,87 @@ object GraphOps {
     * MATERIALIZED per level for the same 2^iters reason as
     * [[connectedComponentsOracleSql]].
     */
-  def communityLpaOracleSql(iters: Int = 4): String = {
+  def communityLpaOracleSql(iters: Int = 4): String =
+    lpaChainSql(iters) + s"""
+      |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+
+  /** Community rollup over the LPA labels: per community, its size,
+    * internal (within-community) undirected edge count, total member
+    * degree, and its exact-integer modularity contribution in ppm —
+    * `(1e6 · (4m·e_c − d_c²)) div (4m²)` with decimal(38,0) products so
+    * d_c² and 4m² survive past m ~ 10⁹ edges where a long square wraps.
+    * Σ contrib_ppm ≈ Newman modularity Q·1e6 (each community truncated
+    * independently; both engines truncate toward zero, so the oracle is
+    * exact). The audit a user runs to judge whether LPA found structure
+    * (Q near 0 = none) before acting on the labels.
+    *
+    * Scale shape: the LPA rounds dominate; the rollup is two id-keyed
+    * joins of the label frame onto the cached undirected edges (broadcast
+    * under [[BroadcastNodeLimit]]) plus map-side-combinable aggregates —
+    * no stage carries anything wider than (id, label).
+    */
+  def communityStats(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val und = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val dirEdges = und.union(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = lpaLabels(s, dirEdges, iters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = und.count() // scalar: the modularity denominator
+    val n = labels.count() // scalar: sizes the broadcast guard
+    val eIn = und
+      .join(roundSide(labels.select(col("node").as("src"),
+        col("label").as("la")), n), "src")
+      .join(roundSide(labels.select(col("node").as("dst"),
+        col("label").as("lb")), n), "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val deg = dirEdges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    labels.join(deg, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"), sum("deg").as("degree_sum"))
+      .join(eIn, Seq("community"), "left")
+      .select(col("community"), col("size"), col("degree_sum"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"))
+      .withColumn("contrib_ppm", expr(
+        s"""CAST((1000000 * (4 * CAST($m AS DECIMAL(38,0)) * internal_edges
+           |  - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum))
+           | div (4 * CAST($m AS DECIMAL(38,0)) * $m) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .orderBy("community")
+  }
+
+  /** DuckDB oracle for [[communityStats]]: the shared LPA chain + the
+    * identical rollup and ppm formula (hugeint arithmetic; `//` and
+    * Spark's `div` both truncate toward zero, including on the negative
+    * contributions of worse-than-random communities).
+    */
+  def communityStatsOracleSql(iters: Int = 4): String =
+    lpaChainSql(iters) + s""",
+      |lab AS (SELECT node, label FROM l$iters),
+      |m AS (SELECT count(*) AS m FROM und),
+      |ein AS (
+      | SELECT a.label AS community, count(*) AS internal_edges
+      | FROM und u JOIN lab a ON u.src = a.node JOIN lab b ON u.dst = b.node
+      | WHERE a.label = b.label GROUP BY 1),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+      |base AS (
+      | SELECT l.label AS community, count(*) AS size,
+      |  CAST(sum(d.deg) AS BIGINT) AS degree_sum
+      | FROM lab l JOIN deg d ON l.node = d.node GROUP BY 1)
+      |SELECT b.community, b.size, b.degree_sum,
+      | coalesce(e.internal_edges, 0) AS internal_edges,
+      | CAST((1000000 * (4 * (SELECT m FROM m) * coalesce(e.internal_edges, 0)
+      |   - b.degree_sum * b.degree_sum))
+      |  // (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS BIGINT) AS contrib_ppm
+      |FROM base b LEFT JOIN ein e ON b.community = e.community
+      |ORDER BY b.community""".stripMargin
+
+  /** The unrolled LPA CTE chain (und/edges/nodes/l0..l`iters`) — shared
+    * by the per-node labels oracle and the community-stats rollup oracle.
+    */
+  private[graft] def lpaChainSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH und AS MATERIALIZED (
@@ -653,8 +733,6 @@ object GraphOps {
         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
         |   FROM c$i) WHERE rn = 1) m ON n.node = m.node)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT node, label FROM l$iters ORDER BY node""".stripMargin)
     sb.toString
   }
 

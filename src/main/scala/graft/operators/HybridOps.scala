@@ -37,11 +37,18 @@ object HybridOps {
       nQueries: Int = 5): DataFrame = {
     // Lexical leg: exact Jaccard of distinct word-3-gram shingle sets
     // between each query doc and every doc sharing at least one shingle.
-    val sh = MinHashOps.shingleSets(Tables.documents(s, dir))
+    // The corpus shingle frame is persisted because BOTH the postings and
+    // the per-doc sizes read it (Spark shares no subplans — unpersisted,
+    // the corpus would be re-shingled per reference); the query side
+    // instead re-shingles just the nQueries docs behind a pushed-down
+    // doc_id filter, which is cheaper than caching for it.
+    val docs = Tables.documents(s, dir)
+    val sh = MinHashOps.shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val qInv = inv.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("q_id"), col("s"))
+    val qInv = MinHashOps.shingleSets(docs.filter(col("doc_id") < nQueries))
+      .select(col("doc_id").as("q_id"), explode(col("shingles")).as("s"))
     // Shingles are distinct per doc, so the co-occurrence count IS |A∩B|
     // (the [[MinHashOps.ngramJaccardPairs]] identity).
     val inter = inv.join(broadcast(qInv), "s")

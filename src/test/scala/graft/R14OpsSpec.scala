@@ -59,6 +59,42 @@ class R14OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("community_stats: conservation laws and modularity bounds hold") {
+    val stats = GraphOps.communityStats(spark, sf).collect()
+    val labels = GraphOps.communityLpa(spark, sf).collect()
+    assert(stats.map(_.getLong(0)).toSet == labels.map(_.getLong(1)).toSet)
+    assert(stats.map(_.getLong(1)).sum == labels.length, "sizes partition nodes")
+    // Each undirected edge contributes 2 to the total degree mass.
+    val m = GraphOps.edges(spark, sf).count()
+    assert(stats.map(_.getLong(2)).sum == 2 * m, "degree mass = 2m")
+    assert(stats.map(_.getLong(3)).sum <= m, "internal edges bounded by m")
+    stats.foreach { r =>
+      val (size, eIn) = (r.getLong(1), r.getLong(3))
+      assert(eIn <= size * (size - 1) / 2, s"community ${r.getLong(0)}")
+    }
+    val q = stats.map(_.getLong(4)).sum
+    assert(q >= -1000000L && q <= 1000000L, s"Q_ppm=$q out of range")
+  }
+
+  test("manifest_drift: consistent with the standalone manifests") {
+    val drift = SampleOps.manifestDrift(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val raw = SampleOps.shardManifest(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(drift.keySet == raw.keySet)
+    drift.foreach { case (shard, d) =>
+      // Raw columns equal the standalone raw manifest's.
+      assert(d.getLong(1) == raw(shard).getLong(1), s"shard=$shard docs_raw")
+      assert(d.getLong(5) == raw(shard).getLong(5), s"shard=$shard digest_raw")
+      // Removal accounting and the digest flag's one-direction guarantee:
+      // zero removals force digest equality (curated ⊆ raw).
+      assert(d.getLong(3) == d.getLong(1) - d.getLong(2))
+      assert(d.getLong(3) >= 0 && d.getLong(4) >= 0)
+      if (d.getLong(3) == 0)
+        assert(d.getLong(7) == 0L, s"shard=$shard unchanged but flagged")
+    }
+  }
+
   test("hybrid_rrf_topk: rank discipline and RRF arithmetic hold") {
     val rows = graft.operators.HybridOps.hybridRrfTopK(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
