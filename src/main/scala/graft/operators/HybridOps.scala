@@ -47,8 +47,16 @@ object HybridOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val qInv = MinHashOps.shingleSets(docs.filter(col("doc_id") < nQueries))
-      .select(col("doc_id").as("q_id"), explode(col("shingles")).as("s"))
+    // Direct-expression explode, NOT explode(col) over an unpersisted
+    // shingle projection: the latter shape measured a constant ~5.5 s of
+    // per-execution overhead (the optimizer inlines the lambda-built
+    // array through the Generate; behind a cache barrier — the `sh` path
+    // above — or as the generator expression itself, it costs nothing).
+    val qInv = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .select(col("q_id"),
+        explode(MinHashOps.shinglesFromToks(col("toks"))).as("s"))
     // Shingles are distinct per doc, so the co-occurrence count IS |A∩B|
     // (the [[MinHashOps.ngramJaccardPairs]] identity).
     val inter = inv.join(broadcast(qInv), "s")
