@@ -700,9 +700,9 @@ object GraphOps {
       | FROM lab l JOIN deg d ON l.node = d.node GROUP BY 1)
       |SELECT b.community, b.size, b.degree_sum,
       | coalesce(e.internal_edges, 0) AS internal_edges,
-      | CAST((1000000 * (4 * (SELECT m FROM m) * coalesce(e.internal_edges, 0)
-      |   - b.degree_sum * b.degree_sum))
-      |  // (4 * (SELECT m FROM m) * (SELECT m FROM m)) AS BIGINT) AS contrib_ppm
+      | CAST((1000000 * (4 * CAST((SELECT m FROM m) AS HUGEINT) * coalesce(e.internal_edges, 0)
+      |   - CAST(b.degree_sum AS HUGEINT) * b.degree_sum))
+      |  // (4 * CAST((SELECT m FROM m) AS HUGEINT) * (SELECT m FROM m)) AS BIGINT) AS contrib_ppm
       |FROM base b LEFT JOIN ein e ON b.community = e.community
       |ORDER BY b.community""".stripMargin
 
