@@ -325,6 +325,12 @@ object Registry {
     q("value_histogram", StatsOps.valueHistogramOracleSql())(
       (s, d) => StatsOps.valueHistogram(s, d)),
 
+    // Mergeable fixed-grid quantile sketch beside its exact twin: per
+    // type x {p50,p90,p99}, the bucket-edge estimate, the exact value,
+    // and the realized error — gated err in [0, width) by construction.
+    q("quantile_sketch_audit", StatsOps.quantileSketchOracleSql())(
+      (s, d) => StatsOps.quantileSketchAudit(s, d)),
+
     // Distributed BPE vocabulary induction: eight corpus-level merge
     // rounds with exact greedy left-to-right non-overlap semantics (run
     // detection + even offsets, pure window algebra); the oracle unrolls

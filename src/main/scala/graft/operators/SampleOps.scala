@@ -122,6 +122,72 @@ object SampleOps {
   def shardManifestQuery(s: SparkSession, dir: String): DataFrame =
     shardManifest(Tables.documents(s, dir))
 
+  /** Per-shard release drift between the raw corpus and its
+    * quality-curated cut ([[TextOps.qualityFlags]] keep rules) — the diff
+    * a publisher reads before shipping: per shard, raw/curated doc and
+    * byte mass, what curation removed, and BOTH content digests with a
+    * changed flag, so an unchanged shard (digest equal) can skip
+    * re-publication entirely.
+    *
+    * ONE scan, one shuffle: instead of manifesting the raw and curated
+    * frames separately (two scans of the same table), every row carries
+    * its `keep` bit and the curated aggregates are conditional sums
+    * beside the raw ones — the two manifests come out of a single
+    * map-side-combined groupBy.
+    */
+  def manifestDrift(s: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val fp = GraftFunctions.poly_hash(col("text"), 31, 1000000007L)
+    TextOps.qualityFlags(Tables.documents(s, dir))
+      .select((fp % nShards).as("shard"), fp.as("fp"),
+        col("n_chars"), col("keep"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("docs_raw"),
+        sum("keep").as("docs_cur"),
+        sum("n_chars").cast("long").as("chars_raw"),
+        sum(col("n_chars") * col("keep")).cast("long").as("chars_cur"),
+        (sum(col("fp").cast("decimal(38,0)")) % 1000000007L)
+          .cast("long").as("digest_raw"),
+        (sum((col("fp") * col("keep")).cast("decimal(38,0)")) % 1000000007L)
+          .cast("long").as("digest_cur"))
+      .select(col("shard"), col("docs_raw"), col("docs_cur"),
+        (col("docs_raw") - col("docs_cur")).as("docs_removed"),
+        (col("chars_raw") - col("chars_cur")).as("chars_removed"),
+        col("digest_raw"), col("digest_cur"),
+        (col("digest_raw") =!= col("digest_cur")).cast("long")
+          .as("digest_changed"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB oracle for [[manifestDrift]] — the keep rules inlined from
+    * the `quality_filter` oracle, the digests from [[FingerprintSql]].
+    */
+  def manifestDriftOracleSql(nShards: Int = 16): String =
+    s"""WITH t AS (
+       | SELECT doc_id, n_chars, text,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       |  CAST(len(regexp_extract_all(text, '\\b(the|and|is|of|to|in|it|a)\\b')) AS BIGINT) AS n_stopwords
+       | FROM documents),
+       |f AS (
+       | SELECT n_chars, $FingerprintSql AS fp,
+       |  CAST(NOT (n_tokens < 20)
+       |   AND (1000 * n_chars_nows) // greatest(n_tokens, 1) BETWEEN 3000 AND 5000
+       |   AND n_stopwords > 0
+       |   AND (1000 * n_punct) // greatest(n_tokens, 1) <= 200 AS BIGINT) AS keep
+       | FROM t)
+       |SELECT fp % $nShards AS shard,
+       | count(*) AS docs_raw,
+       | CAST(sum(keep) AS BIGINT) AS docs_cur,
+       | CAST(count(*) - sum(keep) AS BIGINT) AS docs_removed,
+       | CAST(sum(n_chars) - sum(n_chars * keep) AS BIGINT) AS chars_removed,
+       | CAST(sum(fp) % 1000000007 AS BIGINT) AS digest_raw,
+       | CAST(sum(fp * keep) % 1000000007 AS BIGINT) AS digest_cur,
+       | CAST(CAST(sum(fp) % 1000000007 AS BIGINT)
+       |  <> CAST(sum(fp * keep) % 1000000007 AS BIGINT) AS BIGINT) AS digest_changed
+       |FROM f GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** DuckDB oracle for [[shardManifest]]. */
   def shardManifestOracleSql(nShards: Int = 16): String =
     s"""WITH f AS (

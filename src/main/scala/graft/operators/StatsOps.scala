@@ -881,4 +881,102 @@ object StatsOps {
        |  - CAST($cases AS BIGINT)) AS abs_dev_permille
        |FROM g ORDER BY digit""".stripMargin
   }
+
+  /** The permille probes the quantile-sketch audit reports. */
+  val SketchQuantiles: Seq[Int] = Seq(500, 900, 990)
+
+  /** Mergeable histogram-quantile sketch with an exact error audit —
+    * the deterministic stand-in for a KLL/t-digest at 100 TB, where the
+    * exact path (a per-type full-resolution value histogram) is what you
+    * CANNOT afford per dashboard refresh: the sketch is a fixed-grid
+    * (type, bucket = floor(v_milli / width)) count — ONE map-side-
+    * combined aggregation whose state is bounded by types × range/width
+    * regardless of row count, mergeable across shards/streams by plain
+    * addition — and its estimate (the probed bucket's LOWER edge) is
+    * wrong by construction by less than one bucket width. This query
+    * runs BOTH paths and emits the realized error next to that bound,
+    * per event type × {p50, p90, p99}: est ≤ exact < est + width, so
+    * `err_milli ∈ [0, width)` is a hash-gated contract, not a hope.
+    *
+    * The grid is data-independent (no min/max pre-pass): bucket ids are
+    * signed floor-division of the milli value, so negative values land
+    * in negative buckets and two sketches built on different corpora
+    * still merge. Rank convention: smallest value whose cumulative count
+    * reaches ceil(q·n/1000) (the same type-1 convention as the exact
+    * quantile family). The per-type windows run over value-domain-
+    * bounded histogram frames — the [[WindowOps]] argument: their size
+    * is the GRID, not the corpus.
+    */
+  def quantileSketchAudit(
+      s: SparkSession, dir: String, widthMilli: Int = 250): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 1000 + 0.5).cast("long").as("vm"))
+    // floor of a double division — IEEE-pure and bit-identical in both
+    // engines (|vm| << 2^53), unlike integral `div` whose
+    // truncation-toward-zero would fold negative values into bucket 0.
+    val bucketed = ev.withColumn("bucket",
+      floor(col("vm").cast("double") / widthMilli).cast("long"))
+    val qs = array(SketchQuantiles.map(lit): _*)
+    def probes(hist: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val wCum = Window.partitionBy("event_type").orderBy(valueCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+        .withColumn("q", explode(qs))
+        .filter(col("cum") >= expr("greatest((q * n + 999) div 1000, 1)"))
+        .groupBy("event_type", "q")
+        .agg(min(valueCol).as(outCol), max("n").as(s"n_$outCol"))
+    }
+    val sketch = probes(
+      bucketed.groupBy("event_type", "bucket").agg(count(lit(1)).as("c")),
+      "bucket", "bkt")
+    val exact = probes(
+      ev.groupBy("event_type", "vm").agg(count(lit(1)).as("c")),
+      "vm", "exact_milli")
+    sketch.join(exact, Seq("event_type", "q"))
+      .select(col("event_type"), col("q").cast("long").as("q_milli"),
+        col("n_bkt").as("n"),
+        (col("bkt") * widthMilli).as("est_milli"),
+        col("exact_milli"),
+        (col("exact_milli") - col("bkt") * widthMilli).as("err_milli"))
+      .orderBy("event_type", "q_milli")
+  }
+
+  /** DuckDB oracle for [[quantileSketchAudit]]. */
+  def quantileSketchOracleSql(widthMilli: Int = 250): String = {
+    val values = SketchQuantiles.map(q => s"($q)").mkString(", ")
+    s"""WITH v AS (
+       | SELECT event_type,
+       |  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+       | FROM events WHERE value IS NOT NULL),
+       |b AS (SELECT event_type, CAST(floor(CAST(vm AS DOUBLE) / $widthMilli) AS BIGINT) AS bucket FROM v),
+       |hs AS (SELECT event_type, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+       |cs AS (
+       | SELECT event_type, bucket,
+       |  sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+       |  sum(c) OVER (PARTITION BY event_type) AS n
+       | FROM hs),
+       |es AS (
+       | SELECT event_type, q, min(bucket) AS bkt, CAST(max(n) AS BIGINT) AS n
+       | FROM cs CROSS JOIN (VALUES $values) pr(q)
+       | WHERE cum >= greatest((q * n + 999) // 1000, 1) GROUP BY 1, 2),
+       |hx AS (SELECT event_type, vm, count(*) AS c FROM v GROUP BY 1, 2),
+       |cx AS (
+       | SELECT event_type, vm,
+       |  sum(c) OVER (PARTITION BY event_type ORDER BY vm) AS cum,
+       |  sum(c) OVER (PARTITION BY event_type) AS n
+       | FROM hx),
+       |ex AS (
+       | SELECT event_type, q, min(vm) AS exact_milli
+       | FROM cx CROSS JOIN (VALUES $values) pr(q)
+       | WHERE cum >= greatest((q * n + 999) // 1000, 1) GROUP BY 1, 2)
+       |SELECT es.event_type, CAST(es.q AS BIGINT) AS q_milli, es.n,
+       | es.bkt * $widthMilli AS est_milli, ex.exact_milli,
+       | ex.exact_milli - es.bkt * $widthMilli AS err_milli
+       |FROM es JOIN ex ON es.event_type = ex.event_type AND es.q = ex.q
+       |ORDER BY es.event_type, q_milli""".stripMargin
+  }
 }

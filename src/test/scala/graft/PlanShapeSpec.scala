@@ -370,6 +370,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n <= 45, s"bfs_hops ran $n jobs for 6 rounds")
   }
 
+  test("community_lpa spends bounded driver actions per round") {
+    val n = countJobs(graft.operators.GraphOps.communityLpa(spark, sf).collect())
+    info(s"community_lpa jobs: $n")
+    // Per round: one broadcast of the label frame, the (node,label)
+    // count exchange, the plurality struct-max, and the lineage
+    // checkpoint — each an AQE job or two, 4 rounds plus setup and the
+    // final sort-collect. A reintroduced per-round scalar poll or an
+    // unchecked 2^iters plan re-expansion blows well past the ceiling.
+    // Measured healthy shape: 17 jobs; ceiling with AQE-drift headroom.
+    assert(n <= 35, s"community_lpa ran $n jobs for 4 rounds")
+  }
+
   test("mst_forest contracts with O(1) driver actions per round") {
     val n = countJobs(graft.operators.GraphOps.boruvkaMsf(spark, sf).collect())
     info(s"mst_forest jobs: $n")

@@ -76,6 +76,25 @@ class R14OpsSpec extends AnyFunSuite {
     assert(q >= -1000000L && q <= 1000000L, s"Q_ppm=$q out of range")
   }
 
+  test("quantile_sketch_audit: error stays inside one bucket width") {
+    val rows = graft.operators.StatsOps.quantileSketchAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val qs = graft.operators.StatsOps.SketchQuantiles.map(_.toLong).toSet
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.map(_.getLong(1)).toSet == qs, s"type=$t all probes present")
+    }
+    rows.foreach { r =>
+      val (est, exact, err) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(err == exact - est, "err is the realized gap")
+      assert(err >= 0 && err < 250, s"err=$err outside [0, width)")
+    }
+    // Monotone: within a type, higher probes never give smaller exacts.
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val byQ = rs.sortBy(_.getLong(1)).map(_.getLong(4)).toSeq
+      assert(byQ == byQ.sorted, "exact quantiles monotone in q")
+    }
+  }
+
   test("manifest_drift: consistent with the standalone manifests") {
     val drift = SampleOps.manifestDrift(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
