@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, length}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -226,9 +227,37 @@ object StreamBench {
         StreamingUpsert.changelog(spark, upsertIn.toDS()).writeStream.outputMode("append"))
     }
 
+    // 6) Streaming shard manifest: O(nShards) state rows regardless of
+    // row volume — prices the per-row fingerprint + grouped-state commit.
+    val manifest = component("shard_manifest") {
+      val rows = 200000L
+      val in = MemoryStream[Doc]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+      }
+      drain("shard_manifest", rows,
+        StreamingManifest.manifests(
+          in.toDF().withColumn("n_chars", length(col("text")).cast("long")))
+          .writeStream.outputMode("update"))
+    }
+
+    // 7) Streaming quantile sketch: grid-bounded state (types × occupied
+    // buckets) — the mergeable profile a dashboard reads live.
+    val qsketch = component("quantile_sketch") {
+      val rows = 500000L
+      val in = MemoryStream[Event]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i =>
+          Event(new Timestamp(t0 + i * 100), s"type${i % 5}", (i % 100).toDouble)))
+      }
+      drain("quantile_sketch", rows,
+        StreamingQuantileSketch.sketch(in.toDF())
+          .writeStream.outputMode("update"))
+    }
+
     val comps =
       Seq(curation, curationStateless, curationDigests, sessions, dedup,
-        nearDup, nearDupDigest, agg, upsert).flatten
+        nearDup, nearDupDigest, agg, upsert, manifest, qsketch).flatten
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"streaming_throughput","unit":"rows_per_sec","components":$comps,"cpus":$cpus}"""
