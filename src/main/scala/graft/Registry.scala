@@ -942,6 +942,12 @@ object Registry {
     q("pack_sequences", LayoutOps.packSequencesOracleSql())(
       (s, d) => LayoutOps.packSequences(s, d)),
 
+    // RAG document chunking: fixed 64-token windows, 16-token overlap,
+    // per-chunk offsets + a PolyHash digest of the actual chunk text —
+    // the retrieval-ingest op downstream embedders/dedup key on.
+    q("chunk_documents", TextOps.chunkDocumentsOracleSql())(
+      (s, d) => TextOps.chunkDocuments(s, d)),
+
     // Bloom pre-filter decontamination audit: broadcast bit-set probe,
     // exact verify only on bloom-positives; demo-small m so the
     // false-positive column is non-trivially exercised.

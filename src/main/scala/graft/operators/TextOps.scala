@@ -1732,4 +1732,75 @@ object TextOps {
       | (1000 * r.docs_with_prefix) // s.src_docs AS share_milli
       |FROM r JOIN s ON r.source = s.source
       |WHERE r.rk = 1 ORDER BY r.source""".stripMargin
+
+  /** RAG chunk size / overlap defaults (tokens). Stride = size − overlap. */
+  val ChunkTokens = 64
+  val ChunkOverlap = 16
+
+  /** RAG document chunking: split every document into fixed-size token
+    * windows with overlap — chunk k covers tokens
+    * `[1 + k·stride, 1 + k·stride + size)`, starts generated while
+    * `start ≤ max(n_tokens − overlap, 1)` so the tail chunk always
+    * carries more than the shared overlap (and a short doc is exactly
+    * one chunk). Emits per chunk its token offsets AND a PolyHash digest
+    * of the actual chunk text, so the content path (slice → join →
+    * hash) is gated, not just the arithmetic — the digest is what a
+    * downstream embedder/dedup keys on.
+    *
+    * Scale shape: one scan; the chunk starts are a per-row generated
+    * sequence EXPLODED AS THE GENERATOR EXPRESSION (the §5 codegen rule:
+    * never explode a lambda-built array across an unpersisted
+    * projection); everything after the explode is narrow per-chunk
+    * Column algebra, ~n_tokens/stride rows per doc, no shuffle before
+    * the output sort.
+    */
+  def chunkDocuments(
+      s: SparkSession, dir: String,
+      chunkSize: Int = ChunkTokens, overlap: Int = ChunkOverlap): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0)
+    val stride = chunkSize - overlap
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(
+          s"sequence(1, greatest(size(toks) - $overlap, 1), $stride)"))
+          .as(Seq("chunk_idx", "token_start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("token_start").cast("long").as("token_start"),
+        least(lit(chunkSize), size(col("toks")) - col("token_start") + 1)
+          .cast("long").as("chunk_tokens"),
+        graft.functions.GraftFunctions.poly_hash(
+          concat_ws(" ", slice(col("toks"), col("token_start"), lit(chunkSize))),
+          31, 1000000007L).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** DuckDB oracle for [[chunkDocuments]] — identical start generation,
+    * slice bounds, and PolyHash over the joined chunk text.
+    */
+  def chunkDocumentsOracleSql(
+      size: Int = ChunkTokens, overlap: Int = ChunkOverlap): String = {
+    val stride = size - overlap
+    s"""WITH t AS (
+       | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |st AS (
+       | SELECT doc_id, toks,
+       |  unnest(range(1, greatest(len(toks) - $overlap, 1) + 1, $stride)) AS token_start,
+       |  generate_subscripts(range(1, greatest(len(toks) - $overlap, 1) + 1, $stride), 1) - 1 AS chunk_idx
+       | FROM t),
+       |c AS (
+       | SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(token_start AS BIGINT) AS token_start,
+       |  CAST(least($size, len(toks) - token_start + 1) AS BIGINT) AS chunk_tokens,
+       |  array_to_string(toks[token_start : token_start + $size - 1], ' ') AS chunk_text
+       | FROM st)
+       |SELECT doc_id, chunk_idx, token_start, chunk_tokens,
+       | list_reduce(
+       |  list_prepend(0::BIGINT,
+       |   list_transform(regexp_extract_all(chunk_text, '(?s).'), ch -> unicode(ch)::BIGINT)),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
 }

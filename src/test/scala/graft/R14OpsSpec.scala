@@ -76,6 +76,31 @@ class R14OpsSpec extends AnyFunSuite {
     assert(q >= -1000000L && q <= 1000000L, s"Q_ppm=$q out of range")
   }
 
+  test("chunk_documents: windows tile every doc with the declared overlap") {
+    val rows = graft.operators.TextOps.chunkDocuments(spark, sf).collect()
+    val nTokens = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").count(_.nonEmpty).toLong)
+      .toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == nTokens.keySet, "every doc chunked")
+    byDoc.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length),
+        s"doc=$doc contiguous chunk_idx")
+      sorted.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getLong(2) == 1 + 48L * k, s"doc=$doc stride")
+        assert(r.getLong(3) ==
+          math.min(64L, math.max(nTokens(doc) - r.getLong(2) + 1, 0)),
+          s"doc=$doc chunk_tokens")
+      }
+      // The last chunk reaches the end of the doc; every chunk holds
+      // more than the shared overlap except a short doc's only chunk.
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) - 1 == math.max(nTokens(doc), 1))
+      if (sorted.length > 1) sorted.foreach(r => assert(r.getLong(3) > 16))
+    }
+  }
+
   test("quantile_sketch_audit: error stays inside one bucket width") {
     val rows = graft.operators.StatsOps.quantileSketchAudit(spark, sf).collect()
     assert(rows.nonEmpty)
