@@ -889,6 +889,11 @@ object Registry {
     q("multimodal_frames", MultimodalOps.MultimodalFramesOracleSql)(
       MultimodalOps.multimodalFrames),
 
+    // Frame-level exact dedup: digest-grouped duplication mass over the
+    // sampled frames — the media twin of text dedup_stats.
+    q("frame_dedup", MultimodalOps.FrameDedupOracleSql)(
+      MultimodalOps.frameDedup),
+
     // The mapPartitions decode-stub path, oracle-gated end to end.
     q("multimodal_features", MultimodalOps.MultimodalFeaturesOracleSql)(
       MultimodalOps.multimodalFeatures),

@@ -63,6 +63,43 @@ object MultimodalOps {
       .filter(col("frame_idx") % stride === 0)
       .withColumn("frame_hash", md5(col("frame")))
 
+  /** Frame-level exact dedup across the corpus: group the sampled frame
+    * digests and report duplication mass — the media twin of text
+    * `dedup_stats`, and the pre-pass that decides whether a video corpus
+    * is worth content-defined chunking (near-identical intros/outros
+    * shared across files dominate real media dedup). One summary row so
+    * the result is meaningful on corpora with no duplicated frames (like
+    * this synthetic one). Scale shape: only digests enter the exchange
+    * (never frame bytes), one map-side-combined groupBy + a scalar
+    * rollup.
+    */
+  def frameDedup(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(withPayload(Tables.documents(s, dir)))
+      .groupBy("frame_hash")
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum("cnt").as("total_frames"),
+        count(lit(1)).as("distinct_frames"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_groups"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occurrences"),
+        sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L)).as("dedupable_frames"))
+
+  /** DuckDB oracle for [[frameDedup]] — the frames CTE is
+    * [[MultimodalFramesOracleSql]]'s grid, rolled up by digest.
+    */
+  val FrameDedupOracleSql: String =
+    s"""WITH f AS (
+       | SELECT md5(substring(text, CAST(i * $FrameBytes + 1 AS BIGINT), $FrameBytes)) AS frame_hash
+       | FROM documents, range(0, 64) t(i)
+       | WHERE i <= (octet_length(encode(text)) - 1) // $FrameBytes AND i % 4 = 0),
+       |g AS (SELECT frame_hash, count(*) AS cnt FROM f GROUP BY 1)
+       |SELECT CAST(sum(cnt) AS BIGINT) AS total_frames,
+       | count(*) AS distinct_frames,
+       | CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+       | CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occurrences,
+       | CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS dedupable_frames
+       |FROM g""".stripMargin
+
   /** STUB decode + featurize: a real deployment decodes media bytes with a
     * native library inside this exact `mapPartitions` shape. The stand-in
     * is deterministic byte statistics, so tests pin the plumbing.

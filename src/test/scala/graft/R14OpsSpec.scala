@@ -76,6 +76,18 @@ class R14OpsSpec extends AnyFunSuite {
     assert(q >= -1000000L && q <= 1000000L, s"Q_ppm=$q out of range")
   }
 
+  test("frame_dedup: accounting identities hold against the frame table") {
+    val r = graft.operators.MultimodalOps.frameDedup(spark, sf).collect().head
+    val (total, distinct, groups, occ, dedupable) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val frames = graft.operators.MultimodalOps.multimodalFrames(spark, sf).collect()
+    assert(total == frames.length, "rollup covers every sampled frame")
+    assert(distinct == frames.map(_.getString(2)).distinct.length)
+    assert(dedupable == occ - groups, "each dup group keeps one survivor")
+    assert(total == distinct + dedupable, "total splits into keepers + dups")
+    assert(groups <= occ && occ <= total)
+  }
+
   test("chunk_documents: windows tile every doc with the declared overlap") {
     val rows = graft.operators.TextOps.chunkDocuments(spark, sf).collect()
     val nTokens = Tables.documents(spark, sf).collect()
