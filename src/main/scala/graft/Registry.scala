@@ -597,6 +597,13 @@ object Registry {
     q("ann_ivfpq_topk", PqOps.ivfPqOracleSql())((s, d) => PqOps.annIvfPqTopK(s, d)),
     q("ann_recall_ivfpq", PqOps.annRecallIvfPqOracleSql())(PqOps.annRecallIvfPq),
 
+    // IVF+PQ + exact refine: the ADC pass keeps a 4k shortlist, only
+    // those ids touch raw vectors — the full production serving shape.
+    q("ann_ivfpq_rerank_topk", PqOps.ivfPqRerankOracleSql())(
+      (s, d) => PqOps.annIvfPqRerankTopK(s, d)),
+    q("ann_recall_ivfpq_rerank", PqOps.annRecallIvfPqRerankOracleSql())(
+      PqOps.annRecallIvfPqRerank),
+
     // Sub-document span duplication map: positional 8-token spans shared
     // with another doc, per-doc boilerplate fraction in bp.
     q("span_dedup", TextOps.SpanDedupOracleSql)(

@@ -105,6 +105,29 @@ class PqSpec extends AnyFunSuite {
     assert(meanMilli >= 100, s"mean recall_milli=$meanMilli")
   }
 
+  test("IVF+PQ refine: shortlist containment and the recall ladder") {
+    val refined = PqOps.annIvfPqRerankTopK(spark, sf).collect()
+    assert(refined.nonEmpty)
+    // Every refined hit must come from the ADC shortlist (refine cannot
+    // invent candidates), and ranks are dense 1..k' per query.
+    val short = PqOps.annIvfPqTopK(spark, sf, k = PqOps.RefineFactor * 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    refined.foreach(r => assert(short((r.getLong(0), r.getLong(1)))))
+    refined.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length), s"q=$q")
+    }
+    // Refine must not lose recall vs the pure ADC ranking (it re-orders
+    // a superset of what ADC's top-10 drew from the same lists) — and
+    // measured it roughly doubles it (340 -> 740 milli at sf0.01).
+    def mean(df: org.apache.spark.sql.DataFrame): Long = {
+      val rows = df.collect(); rows.map(_.getLong(3)).sum / rows.length
+    }
+    val adc = mean(PqOps.annRecallIvfPq(spark, sf))
+    val ref = mean(PqOps.annRecallIvfPqRerank(spark, sf))
+    assert(ref >= adc, s"refine recall $ref below ADC $adc")
+  }
+
   test("ADC equals a local replay of table lookups from the encoded corpus") {
     // Rebuild the distance tables locally from the quantized exemplars and
     // replay adist for every returned pair — pins the element_at index
