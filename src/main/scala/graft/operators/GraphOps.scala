@@ -633,6 +633,50 @@ object GraphOps {
     lpaChainSql(iters) + s"""
       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
 
+  /** Convergence-checked LPA: iterate synchronous plurality propagation
+    * until no label changes — the 100×-scale-safe mode where the mixing
+    * time is not bounded by today's measurement (the fixed-round
+    * [[communityLpa]] stays the oracle-checked entry; same pairing as
+    * [[connectedComponentsConverged]]). One changed-labels scalar per
+    * round; synchronous plurality LPA can 2-cycle on bipartite-ish
+    * structure, so `maxIters` is a hard stop, not just a safety margin.
+    * Returns (rounds run, labels) — rounds = propagation rounds + 1 (the
+    * round that observes zero changes).
+    */
+  def communityLpaConverged(
+      s: SparkSession, dir: String, maxIters: Int = 30): (Int, DataFrame) = {
+    val dirEdges = directedEdges(s, dir).repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // scalar: sizes the broadcast guard
+    var labels = truncate(s, nodes.withColumn("label", col("node")))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val counts = dirEdges
+        .join(roundSide(labels.withColumnRenamed("node", "src"), n), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val picked = counts
+        .groupBy("node")
+        .agg(max(struct(col("c"), negate(col("label")).as("neg"))).as("m"))
+        .select(col("node"), negate(col("m.neg")).as("nbr_label"))
+      // Carry the previous label through the truncated frame so the
+      // changed-label check is a filter over cached data (the
+      // [[connectedComponentsConverged]] shape).
+      val next = truncate(s, labels
+        .join(roundSide(picked, n), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("nbr_label"), col("label")).as("label"),
+          col("label").as("prev_label")))
+      converged = next.filter(col("label") =!= col("prev_label")).isEmpty
+      labels = next.select("node", "label")
+    }
+    (iter, labels.orderBy("node"))
+  }
+
   /** Community rollup over the LPA labels: per community, its size,
     * internal (within-community) undirected edge count, total member
     * degree, and its exact-integer modularity contribution in ppm —

@@ -59,6 +59,17 @@ class R14OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("communityLpaConverged: stable labels agree with the fixed-round entry") {
+    val (rounds, labelsDf) = GraphOps.communityLpaConverged(spark, sf)
+    val conv = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds >= 2 && rounds <= 30, s"rounds=$rounds")
+    // The test graph converges within the fixed entry's 4 rounds, so the
+    // two modes must land on identical labels.
+    val fixed = GraphOps.communityLpa(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == fixed, "converged mode diverges from the fixed-round entry")
+  }
+
   test("community_stats: conservation laws and modularity bounds hold") {
     val stats = GraphOps.communityStats(spark, sf).collect()
     val labels = GraphOps.communityLpa(spark, sf).collect()
