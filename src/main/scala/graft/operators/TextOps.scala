@@ -1756,10 +1756,21 @@ object TextOps {
     */
   def chunkDocuments(
       s: SparkSession, dir: String,
+      chunkSize: Int = ChunkTokens, overlap: Int = ChunkOverlap): DataFrame =
+    chunksOf(Tables.documents(s, dir), chunkSize, overlap)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** The chunk projection over an arbitrary documents frame (needs
+    * `doc_id`, `text`) without the output sort — stateless narrow
+    * algebra, so [[graft.streaming.StreamingChunks]] runs the IDENTICAL
+    * expressions over an unbounded stream (differential-spec'd).
+    */
+  private[graft] def chunksOf(
+      docs: DataFrame,
       chunkSize: Int = ChunkTokens, overlap: Int = ChunkOverlap): DataFrame = {
     require(chunkSize > overlap && overlap >= 0)
     val stride = chunkSize - overlap
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), tokens.as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(expr(
@@ -1774,7 +1785,6 @@ object TextOps {
         graft.functions.GraftFunctions.poly_hash(
           concat_ws(" ", slice(col("toks"), col("token_start"), lit(chunkSize))),
           31, 1000000007L).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** DuckDB oracle for [[chunkDocuments]] — identical start generation,
