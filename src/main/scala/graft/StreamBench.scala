@@ -255,9 +255,21 @@ object StreamBench {
           .writeStream.outputMode("update"))
     }
 
+    // 8) Streaming RAG chunking: stateless map-only projection — the
+    // ceiling a continuous chunk-ingest pipeline runs at.
+    val chunking = component("chunking") {
+      val rows = 200000L
+      val in = MemoryStream[Doc]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), docText(i))))
+      }
+      drain("chunking", rows,
+        StreamingChunks.chunks(in.toDF()).writeStream.outputMode("append"))
+    }
+
     val comps =
       Seq(curation, curationStateless, curationDigests, sessions, dedup,
-        nearDup, nearDupDigest, agg, upsert, manifest, qsketch).flatten
+        nearDup, nearDupDigest, agg, upsert, manifest, qsketch, chunking).flatten
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"streaming_throughput","unit":"rows_per_sec","components":$comps,"cpus":$cpus}"""
