@@ -547,14 +547,17 @@ object Registry {
     q("hard_negatives", AnnOps.hardNegativesOracleSql())(
       (s, d) => AnnOps.hardNegatives(s, d)),
 
-    // Approximate k-NN graph: top-k neighbors of EVERY vector from its
-    // LSH bucket neighborhood — the semantic-dedup primitive; oracle
-    // runs the identical bucketed algorithm.
-    // Width-adaptive since r13: the fixed 10-bit code measured
-    // superlinear at the sf1 rehearsal (1.0 s -> 36 s); both sides now
-    // derive ~log2(N/16) bits from the corpus count.
-    q("knn_graph", AnnOps.knnGraphAutoOracleSql())(
-      (s, d) => AnnOps.knnGraphAuto(s, d)),
+    // Approximate k-NN graph: top-k neighbors of EVERY vector — the
+    // semantic-dedup primitive. Auto-SELECTING since r15: the adaptive
+    // SimHash width (r13) bounds only the uniform part of the occupancy,
+    // and clustered corpora still concentrate into one code (sf1: max
+    // occupancy 852, measured exponent 1.10) — so the entry now reads
+    // the occupancy meter and rides the Lloyd-IVF graph (bounded
+    // nprobe x sqrt(n) candidates) whenever the SimHash bound is broken,
+    // keeping the cheap bucket graph for genuinely spread corpora. The
+    // oracle replays the decision itself from the same fixed-point codes.
+    q("knn_graph", LloydOps.knnGraphSelectOracleSql())(
+      (s, d) => LloydOps.knnGraphSelect(s, d)),
 
     // Bucket-occupancy histogram at the adaptive width: does bitsFor's
     // occupancy target hold on THIS corpus, and what does the worst
@@ -1435,7 +1438,7 @@ object Registry {
       (s, d) => TfIdfOps.phraseSearch(s, d)),
 
     // BM25-ranked disjunctive retrieval: tf saturation + length
-    // normalization in milli fixed-point, bitlen integer idf — the
+    // normalization in milli fixed-point, odds-ratio integer idf — the
     // standard lexical ranker beside the conjunctive tf-idf path.
     q("keyword_search_bm25", TfIdfOps.bm25OracleSql())(
       (s, d) => TfIdfOps.bm25Search(s, d)),

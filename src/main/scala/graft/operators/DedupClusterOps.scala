@@ -33,37 +33,67 @@ object DedupClusterOps {
   val Threshold = 600
   val Iters = 5
 
-  /** Materialized-label store for the converged clustering, keyed by
-    * (table dir, threshold): the first consumer pays the pair detection
-    * + label propagation ONCE, writes the labels to a session-external
-    * parquet, and every later consumer — [[dedupSavings]],
-    * [[survivorQuality]], [[clusterSizes]] — reads that file instead of
+  /** Materialized-label store for the converged clustering: the first
+    * consumer pays the pair detection + label propagation ONCE, writes
+    * the labels to a session-external parquet, and every later consumer
+    * — [[dedupSavings]], [[survivorQuality]], [[clusterSizes]],
+    * [[SplitOps.splitAssignments]] — reads that file instead of
     * recomputing the identical clustering (the production shape: a
     * curation pipeline materializes cluster labels as a step output and
     * fans N reports off it; r13 measured ~37 s of the bench suite
     * re-deriving one clustering four times). Parquet, not `persist`:
     * the store must survive session recycling and cache clearing, and
     * on a real cluster a step output IS a table, not executor memory.
-    * Keys are immutable input dirs, so entries never invalidate.
+    *
+    * Keys include a CONTENT TOKEN (per-file name+size+mtime of the
+    * documents table), so regenerating the table at the same path within
+    * one JVM invalidates naturally instead of serving stale labels.
+    * Files land under `graft.labelstore.dir` (falling back to
+    * `graft.checkpoint.dir`, then java.io.tmpdir) — set one of the confs
+    * in any long-lived deployment so a tmp-reaper can't collect a label
+    * artifact mid-session.
     */
   private val labelStore =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** name:size:mtime signature of every file under the documents table —
+    * cheap (pure metadata), and any rewrite of the table changes it.
+    */
+  private def contentToken(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(dir, "documents.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.lang.Integer.toHexString(sig.hashCode)
+  }
+
   /** The converged cluster labels for `dir`'s documents table, computed
-    * at most once per (dir, threshold) and served from the materialized
-    * parquet thereafter. Same schema as [[clustersConverged]]._2.
+    * at most once per (dir contents, threshold) and served from the
+    * materialized parquet thereafter. Same schema as
+    * [[clustersConverged]]._2.
     */
   def convergedLabels(
       s: SparkSession, dir: String,
       thresholdMilli: Int = Threshold): DataFrame = {
     val key = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString +
-      "#" + thresholdMilli
+      "#" + thresholdMilli + "#" + contentToken(dir)
     val path = labelStore.computeIfAbsent(key, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-dedup-labels").toString
+      val base = s.conf.getOption("graft.labelstore.dir")
+        .orElse(s.conf.getOption("graft.checkpoint.dir"))
+        .map { d =>
+          val p = java.nio.file.Paths.get(d)
+          java.nio.file.Files.createDirectories(p)
+          java.nio.file.Files.createTempDirectory(p, "graft-dedup-labels")
+        }
+        .getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-dedup-labels"))
+        .toString
       clustersConverged(s, Tables.documents(s, dir), thresholdMilli)._2
-        .write.mode("overwrite").parquet(out)
-      out
+        .write.mode("overwrite").parquet(base)
+      base
     })
     s.read.parquet(path)
   }

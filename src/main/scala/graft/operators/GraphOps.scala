@@ -86,6 +86,15 @@ object GraphOps {
     * dropped, so no later action can need them.
     */
   private[graft] def scopedCaches(s: SparkSession)(body: => DataFrame): DataFrame = {
+    // Concurrency contract: the before/after snapshot assumes registered
+    // queries run ONE AT A TIME on the session (the driver gate, Bench,
+    // and Verify all do). Two concurrent scoped bodies would sweep each
+    // other's in-flight caches — correctness survives via recompute, but
+    // performance silently degrades; a concurrent runner should scope by
+    // listener-tracked RDD ids instead. With `graft.checkpoint.dir` set,
+    // truncate() writes reliable checkpoints — enable
+    // `spark.cleaner.referenceTracking.cleanCheckpoints` in that
+    // deployment so out-of-scope checkpoint files are reaped.
     val before = s.sparkContext.getPersistentRDDs.keySet
     val out = truncate(s, body)
     val keep = {

@@ -572,8 +572,14 @@ object LloydOps {
     * recall turn this dial, cost strictly linear in it.
     */
   val KnnNprobe = 4
-  /** Deterministic probe cohort for the recall audit: vec_id % this. */
-  val KnnProbeMod = 37L
+
+  /** FIXED-SIZE deterministic probe cohort for the recall audit: the 64
+    * lowest vec_ids. r14 carved `vec_id % 37` — ~2.7% OF THE CORPUS, so
+    * the exact baseline grew with n² /37 (measured exponent 0.87); a
+    * fixed cohort keeps the audit O(cohort·n) with cohort a constant —
+    * the §5 bounded-carve rule (`decontamination_ngram` precedent).
+    */
+  val KnnProbeCohort = 64
 
   /** IVF-bucketed approximate kNN graph — the bounded-candidate twin of
     * [[AnnOps.knnGraphAuto]]: every vector files into its nearest Lloyd
@@ -644,11 +650,6 @@ object LloydOps {
   private def listsForSql: String =
     "(SELECT greatest(8, least(4096, CAST(floor(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
 
-  /** Oracle: adaptive-k Lloyd chain → per-vector list ranking → co-list
-    * candidates (own list assignment × nprobe probe lists) →
-    * rounded-cosine row_number. `probeFilter` restricts the emitted
-    * graph (the recall audit's probe cohort).
-    */
   /** Shared oracle fragment: per-vector list ranking + final assignment
     * off the adaptive-k chain (`df` → `rkd` → `asg`).
     */
@@ -686,6 +687,11 @@ object LloydOps {
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
        | FROM p)""".stripMargin
 
+  /** Oracle: adaptive-k Lloyd chain → per-vector list ranking → co-list
+    * candidates (own list assignment × nprobe probe lists) →
+    * rounded-cosine row_number. `probeFilter` restricts the emitted
+    * graph (the recall audit's probe cohort).
+    */
   def knnGraphIvfOracleSql(
       k: Int = 3, nprobe: Int = KnnNprobe, iters: Int = Iters,
       probeFilter: String = ""): String =
@@ -693,6 +699,63 @@ object LloydOps {
        |SELECT q_id, c_id, rank, cosine_r6 FROM r
        |WHERE rank <= $k $probeFilter
        |ORDER BY q_id, rank""".stripMargin
+
+  /** Occupancy cap (in multiples of `targetBucket`) above which the
+    * SimHash graph's candidate bound is considered broken: with every
+    * bucket ≤ cap·target, per-vector SimHash candidate work is provably
+    * ≤ (bits+1)·cap·target — linear in N. Above it the corpus is
+    * concentrated (SimHash codes follow direction, not density, so a
+    * tight cluster lands in ONE bucket no matter the width — the sf1
+    * measurement: max occupancy 852 at target 16 ⇒ exponent 1.10).
+    */
+  val KnnOccCapFactor = 4L
+
+  /** Auto-selecting k-NN graph — the registered `knn_graph` entry: reads
+    * the SimHash occupancy meter ([[AnnOps.bucketOccupancy]]'s max) and
+    * picks the machine whose candidate bound actually holds on THIS
+    * corpus. Spread corpora (max occupancy ≤ [[KnnOccCapFactor]]×target)
+    * keep the cheap SimHash bucket graph; concentrated ones ride the
+    * Lloyd-IVF graph, whose per-vector work is nprobe×√n regardless of
+    * clustering (centroids follow density, so a tight cluster is carved
+    * into ~equal lists). Two scalar actions (count + max-occupancy — one
+    * O(n) code pass each, the same poll budget as the Lloyd chain's
+    * convergence reads); the oracle re-derives the identical decision
+    * from count(*) and the same fixed-point codes, so the selection
+    * itself is hash-gated, not trusted.
+    */
+  def knnGraphSelect(
+      s: SparkSession, dir: String,
+      k: Int = 3, targetBucket: Long = 16L): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bits = AnnOps.bitsFor(emb.count(), targetBucket)
+    val maxOcc = emb
+      .select(AnnOps.simhashCode(col("embedding"), bits).as("code"))
+      .groupBy("code").agg(count(lit(1)).as("occ"))
+      .agg(max("occ").as("m")).head().getLong(0)
+    if (maxOcc > KnnOccCapFactor * targetBucket) knnGraphIvf(s, dir, k)
+    else AnnOps.knnGraph(s, dir, k, bits)
+  }
+
+  /** Oracle for [[knnGraphSelect]]: both graph chains as CTEs, each
+    * branch filtered by the SAME max-occupancy decision the Spark side
+    * polls (re-derived from the shared fixed-point code CTEs), UNION'd.
+    * Exactly one branch is non-empty, so the gate hashes whichever
+    * machine the decision picked — replaying the selection, not assuming
+    * it. DuckDB evaluates both chains (fine at gate scale; the Spark
+    * side runs only the selected one, which is the 100 TB claim).
+    */
+  def knnGraphSelectOracleSql(k: Int = 3, targetBucket: Long = 16L): String = {
+    val decision =
+      s"""(WITH ${AnnOps.adaptiveCodesSql(targetBucket)}
+         | SELECT max(cnt) > ${KnnOccCapFactor * targetBucket}
+         | FROM (SELECT count(*) AS cnt FROM codesw GROUP BY code) t)""".stripMargin
+    s"""WITH sim AS (${AnnOps.knnGraphAutoOracleSql(k, targetBucket)}),
+       |ivfg AS (${knnGraphIvfOracleSql(k)})
+       |SELECT * FROM sim WHERE NOT $decision
+       |UNION ALL
+       |SELECT * FROM ivfg WHERE $decision
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** kNN label-agreement over the IVF graph — the bounded-candidate twin
     * of `knn_label_agreement` (which rides the SimHash graph, measured
@@ -707,15 +770,18 @@ object LloydOps {
   def knnLabelAgreementIvfOracleSql(k: Int = 3): String =
     knnIvfChainSql(KnnNprobe, Iters) + AnnOps.labelAgreementTailSql(k)
 
-  /** Recall@k of [[knnGraphIvf]] against the exact neighbors of a
-    * deterministic probe cohort (`vec_id % KnnProbeMod == 0`) — the
-    * whole-graph exact baseline is O(n²), so the audit prices a sampled
-    * cohort (probe × corpus stays linear) while hashing every probe's
-    * full recall readout through the gate.
+  /** Recall@k of [[knnGraphIvf]] against the exact neighbors of the
+    * fixed [[KnnProbeCohort]]-lowest-id probe cohort — the whole-graph
+    * exact baseline is O(n²) and a modulo carve still scales with the
+    * corpus, so the audit prices a CONSTANT number of probes (exact side
+    * = cohort·n broadcast scores, approx side a 64-id semi-join) while
+    * hashing every probe's full recall readout through the gate.
     */
   def knnRecallIvf(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") % KnnProbeMod === 0L)
+    val cohort = emb.select(col("vec_id")).orderBy("vec_id")
+      .limit(KnnProbeCohort)
+    val q = emb.join(broadcast(cohort), "vec_id")
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val scored = broadcast(q)
       .crossJoin(emb.select(col("vec_id").as("c_id"), col("embedding").as("cv")))
@@ -724,14 +790,18 @@ object LloydOps {
         AnnOps.cosine(col("qv"), col("cv")).as("cosine_r6"))
     val exact = AnnOps.rankTopK(s, scored, k)
     val approx = knnGraphIvf(s, dir, k)
-      .filter(col("q_id") % KnnProbeMod === 0L)
+      .join(broadcast(cohort.select(col("vec_id").as("q_id"))), Seq("q_id"),
+        "left_semi")
     AnnOps.recallOf(exact, approx)
   }
+
+  private def cohortSql: String =
+    s"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $KnnProbeCohort)"
 
   private def knnExactProbeSql(k: Int): String =
     s"""WITH qv AS (
        | SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-       | WHERE vec_id % $KnnProbeMod = 0),
+       | WHERE vec_id IN $cohortSql),
        |p AS (
        | SELECT q.q_id, e.vec_id AS c_id,
        |  round(
@@ -752,7 +822,7 @@ object LloydOps {
     AnnOps.recallAuditSql(
       knnExactProbeSql(k),
       knnGraphIvfOracleSql(k,
-        probeFilter = s"AND q_id % $KnnProbeMod = 0"))
+        probeFilter = s"AND q_id IN $cohortSql"))
 
   /** IVF list-occupancy histogram at the [[listsFor]] operating point —
     * the capacity meter for every Lloyd-list consumer, symmetric with

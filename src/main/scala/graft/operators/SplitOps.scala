@@ -41,12 +41,18 @@ object SplitOps {
   val TrainMilli = 800L
   val ValMilli = 900L
 
-  /** Per-document `(doc_id, cluster, split)` assignment. */
+  /** Per-document `(doc_id, cluster, split)` assignment. Labels come
+    * from the materialized store ([[DedupClusterOps.convergedLabels]]) —
+    * the r14→r15 adjudication found the direct `clustersConverged` call
+    * re-paid the full pair-detection + propagation cost per invocation
+    * (r13's lower bench number was the warm-up's caches being re-found
+    * by the timed reps, not cheaper code), while every OTHER report of
+    * the same clustering already read the step-output parquet.
+    */
   def splitAssignments(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val clustered = DedupClusterOps.clustersConverged(s, docs)._2
+    val clustered = DedupClusterOps.convergedLabels(s, dir)
       .select(col("doc_id"), col("cluster"))
-    docs.select(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
       .join(broadcast(clustered), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))

@@ -73,7 +73,11 @@ object StreamingNearDup {
     * Redelivery: a doc_id already held in state (an at-least-once
     * redelivery, or the same doc under two colliding band keys across
     * batches) is compared but NOT re-stored, so a member occupies exactly
-    * one state slot and each (bucket, doc_a, doc_b) hit is emitted once.
+    * one state slot — STORAGE is idempotent. Emission is at-least-once
+    * under redelivery: the redelivered id is still compared against the
+    * stored members, so a previously emitted (bucket, doc_a, doc_b) hit
+    * can re-emit; downstream consumers dedup on the pair key (the same
+    * contract as every at-least-once sink in this package).
     *
     * Cap semantics: once a bucket holds `bucketCap` members, later
     * arrivals are compared against the stored members AND against each
