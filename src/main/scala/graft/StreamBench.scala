@@ -28,6 +28,15 @@ import graft.streaming._
   * times): curation (filter→redact→watermark dedup), stateful sessions
   * (flatMapGroupsWithState), exact dedup (dropDuplicatesWithinWatermark),
   * windowed aggregation (tumbling window + watermark).
+  *
+  * Isolation: every component runs in its OWN freshly-built session
+  * (context stop clears the JVM-level loadedProviders state-store maps)
+  * — the batch bench's session-recycling lesson. r14 ran all components
+  * in one aging JVM and ordering artifacts inverted a comparison: the
+  * digest-only near-dup variant measured SLOWER in-suite (6.6 k vs
+  * 9.8 k docs/s) than the full variant it strictly beats in isolated
+  * JVMs (7.6–7.9 k vs 4.2–4.9 k) — each earlier component's ~1–2 M
+  * state-store entries stayed resident and GC-taxed whatever ran next.
   */
 object StreamBench {
 
@@ -50,11 +59,6 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
-    val spark = GraftSession.build(cpus, "graft-stream-bench")
-    spark.sparkContext.setLogLevel("OFF")
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-
     val scratch =
       s"/tmp/graft-streambench-${ProcessHandle.current().pid()}"
 
@@ -88,12 +92,30 @@ object StreamBench {
     // the batch bench grew in r11 after two clobber incidents).
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(',').map(_.trim).toSet)
-    def component(name: String)(body: => (String, String)): Option[(String, String)] =
-      if (only.forall(_.contains(name))) Some(body) else None
+
+    // One fresh session per component (see the isolation note above):
+    // the previous component's session is stopped first, which clears
+    // the JVM-level state-store provider maps before the next
+    // measurement starts.
+    var current: SparkSession = null
+    def component(name: String)(
+        body: SparkSession => (String, String)): Option[(String, String)] =
+      if (only.forall(_.contains(name))) {
+        if (current != null) {
+          current.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+        }
+        current = GraftSession.build(cpus, "graft-stream-bench")
+        current.sparkContext.setLogLevel("OFF")
+        Some(body(current))
+      } else None
 
     // 1) Streaming curation: quality filter → PII redact → watermarked
     // first-seen dedup on the cleaned digest.
-    val curation = component("curation") {
+    val curation = component("curation") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val curationRows = 100000L
       val curationIn = MemoryStream[Doc]
       (0L until curationRows).grouped(chunk).foreach { ids =>
@@ -107,7 +129,9 @@ object StreamBench {
     // no state store): prices the columnar work separately so the
     // curation number can be attributed between regex/digest cost and
     // state-store commit cost instead of guessed at.
-    val curationStateless = component("curation_stateless") {
+    val curationStateless = component("curation_stateless") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = 100000L
       val in = MemoryStream[Doc]
       (0L until rows).grouped(chunk).foreach { ids =>
@@ -122,7 +146,9 @@ object StreamBench {
     // three curation rows decompose the pipeline's cost — stateless
     // regex/digest tier, + state commit (digests), + body serialization
     // (full curate).
-    val curationDigests = component("curation_digests") {
+    val curationDigests = component("curation_digests") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = 100000L
       val in = MemoryStream[Doc]
       (0L until rows).grouped(chunk).foreach { ids =>
@@ -135,7 +161,9 @@ object StreamBench {
     // 2) Stateful sessionization (flatMapGroupsWithState): 5000 users,
     // consecutive events per user arrive > gap apart, so nearly every
     // event closes a session — worst-case state churn.
-    val sessions = component("stateful_sessions") {
+    val sessions = component("stateful_sessions") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val sessionRows = 200000L
       val sessionIn = MemoryStream[SessionEvent]
       (0L until sessionRows).grouped(chunk).foreach { ids =>
@@ -143,11 +171,13 @@ object StreamBench {
           SessionEvent(i % 5000, new Timestamp(t0 + i * 1000), (i % 100).toDouble)))
       }
       drain("stateful_sessions", sessionRows,
-        StatefulSessions.sessions(spark, sessionIn.toDS()).writeStream.outputMode("append"))
+        StatefulSessions.sessions(s, sessionIn.toDS()).writeStream.outputMode("append"))
     }
 
     // 3) Streaming exact dedup alone (the state-heaviest single stage).
-    val dedup = component("dedup") {
+    val dedup = component("dedup") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val dedupRows = 200000L
       val dedupIn = MemoryStream[Doc]
       (0L until dedupRows).grouped(chunk).foreach { ids =>
@@ -162,7 +192,9 @@ object StreamBench {
     // near-dup and explode any LSH stage by design), with every 50th doc
     // a near-copy of its predecessor. State: 32 bucket rows per unique
     // doc, each one signature list; hits ≈ rows/50 × agreeing buckets.
-    val nearDup = component("near_dup") {
+    val nearDup = component("near_dup") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = 60000L
       def uniqueText(i: Long): String = {
         val words = (0 until 18).map(k => s"u${i}w$k")
@@ -175,14 +207,16 @@ object StreamBench {
         in.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), uniqueText(i))))
       }
       drain("near_dup", rows,
-        StreamingNearDup.pairs(spark, in.toDF()).writeStream.outputMode("append"))
+        StreamingNearDup.pairs(s, in.toDF()).writeStream.outputMode("append"))
     }
 
     // 3c) Digest-only near-dup candidates: identical corpus and banding,
     // but only (bucket, doc_id) crosses the exchange and the state store
     // — prices the signature's 64-long state/shuffle mass against the
     // full estimating variant above.
-    val nearDupDigest = component("near_dup_digest") {
+    val nearDupDigest = component("near_dup_digest") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = 60000L
       def uniqueText(i: Long): String = {
         val words = (0 until 18).map(k => s"u${i}w$k")
@@ -195,11 +229,13 @@ object StreamBench {
         in.addData(ids.map(i => Doc(i, new Timestamp(t0 + i * 100), uniqueText(i))))
       }
       drain("near_dup_digest", rows,
-        StreamingNearDup.candidates(spark, in.toDF()).writeStream.outputMode("append"))
+        StreamingNearDup.candidates(s, in.toDF()).writeStream.outputMode("append"))
     }
 
     // 4) Watermarked tumbling-window aggregation.
-    val agg = component("windowed_agg") {
+    val agg = component("windowed_agg") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val aggRows = 500000L
       val aggIn = MemoryStream[Event]
       (0L until aggRows).grouped(chunk).foreach { ids =>
@@ -213,7 +249,9 @@ object StreamBench {
 
     // 5) Streaming CDC upsert changelog (mapGroups latest-state store):
     // 5000 keys, every batch touches every key, 1-in-3 rows out of order.
-    val upsert = component("cdc_upsert") {
+    val upsert = component("cdc_upsert") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val upsertRows = 200000L
       val upsertIn = MemoryStream[UpsertEvent]
       (0L until upsertRows).grouped(chunk).foreach { ids =>
@@ -224,12 +262,14 @@ object StreamBench {
         })
       }
       drain("cdc_upsert", upsertRows,
-        StreamingUpsert.changelog(spark, upsertIn.toDS()).writeStream.outputMode("append"))
+        StreamingUpsert.changelog(s, upsertIn.toDS()).writeStream.outputMode("append"))
     }
 
     // 6) Streaming shard manifest: O(nShards) state rows regardless of
     // row volume — prices the per-row fingerprint + grouped-state commit.
-    val manifest = component("shard_manifest") {
+    val manifest = component("shard_manifest") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = 200000L
       val in = MemoryStream[Doc]
       (0L until rows).grouped(chunk).foreach { ids =>
@@ -243,7 +283,9 @@ object StreamBench {
 
     // 7) Streaming quantile sketch: grid-bounded state (types × occupied
     // buckets) — the mergeable profile a dashboard reads live.
-    val qsketch = component("quantile_sketch") {
+    val qsketch = component("quantile_sketch") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = 500000L
       val in = MemoryStream[Event]
       (0L until rows).grouped(chunk).foreach { ids =>
@@ -257,7 +299,9 @@ object StreamBench {
 
     // 8) Streaming RAG chunking: stateless map-only projection — the
     // ceiling a continuous chunk-ingest pipeline runs at.
-    val chunking = component("chunking") {
+    val chunking = component("chunking") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = 200000L
       val in = MemoryStream[Doc]
       (0L until rows).grouped(chunk).foreach { ids =>
@@ -278,6 +322,6 @@ object StreamBench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(target), out + "\n")
     println(out)
     System.out.flush()
-    spark.stop()
+    if (current != null) current.stop()
   }
 }

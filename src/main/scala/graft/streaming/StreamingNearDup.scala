@@ -171,9 +171,16 @@ object StreamingNearDup {
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
       .select(col("doc_id"),
         MinHashOps.shinglesFromToks(col("toks")).as("shingles"))
+      // Signature in its OWN projection, never inlined through the
+      // Generate: composing signatureOf (64 hash lambdas) inside the
+      // explode generator hit the measured expression-codegen stall
+      // (BASELINE r14: constant ~5.5 s per execution, row-count
+      // independent — the hybrid_rrf_topk landmine). This two-projection
+      // shape is the same one [[pairs]] already uses.
       .select(col("doc_id"),
-        explode(MinHashOps.bandKeysOf(MinHashOps.signatureOf(col("shingles"))))
-          .as("bucket"))
+        MinHashOps.signatureOf(col("shingles")).as("sig"))
+      .select(col("doc_id"),
+        explode(MinHashOps.bandKeysOf(col("sig"))).as("bucket"))
       .select(col("bucket"), col("doc_id"))
       .as[BandedId]
     banded
