@@ -612,6 +612,12 @@ object Registry {
     q("span_dedup", TextOps.SpanDedupOracleSql)(
       (s, d) => TextOps.spanDedup(s, d)),
 
+    // Variable-length exact-substring dedup (Lee et al. 2022): longest
+    // exactly-shared token run per cross-doc pair, from capped seed
+    // spans chained along equal diagonals (pos - row_number islands).
+    q("dedup_substring", TextOps.substringDedupOracleSql())(
+      (s, d) => TextOps.substringDedup(s, d)),
+
     // Exact inverted-index n-gram Jaccard: same output contract as
     // dedup_minhash, with stop-shingles above the default df cap pruned
     // from the CANDIDATE stage only (verification keeps the full sets,
@@ -903,6 +909,14 @@ object Registry {
     // sampled frames — the media twin of text dedup_stats.
     q("frame_dedup", MultimodalOps.FrameDedupOracleSql)(
       MultimodalOps.frameDedup),
+
+    // Content-defined chunking (FastCDC-style pure content predicate):
+    // rolling-window polynomial boundaries over the payload + chunk-
+    // digest dedup — catches the shifted/re-encoded duplication the
+    // fixed frame grid above structurally misses. Boundaries replay
+    // bit-exactly in the oracle (integer window hash).
+    q("media_cdc_dedup", MultimodalOps.MediaCdcDedupOracleSql)(
+      (s, d) => MultimodalOps.mediaCdcDedup(s, d)),
 
     // The mapPartitions decode-stub path, oracle-gated end to end.
     q("multimodal_features", MultimodalOps.MultimodalFeaturesOracleSql)(

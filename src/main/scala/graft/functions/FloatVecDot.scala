@@ -92,6 +92,12 @@ object GraftFunctions {
 
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     call_function("minhash_sig", shingles, lit(numHashes))
+
+  def cdc_cuts(
+      payload: Column, window: Int, base: Long, mod: Long,
+      divisor: Long): Column =
+    call_function(
+      "cdc_cuts", payload, lit(window), lit(base), lit(mod), lit(divisor))
 }
 
 /** Session extension registering the engine's native functions; installed
@@ -157,5 +163,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
         (children: Seq[Expression]) =>
           MinHashSig(children(0), intArg("minhash_sig numHashes", children(1)))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("cdc_cuts"),
+        new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
+        (children: Seq[Expression]) =>
+          CdcCuts(
+            children(0),
+            intArg("cdc_cuts window", children(1)),
+            longArg("cdc_cuts base", children(2)),
+            longArg("cdc_cuts mod", children(3)),
+            longArg("cdc_cuts divisor", children(4)))))
   }
 }

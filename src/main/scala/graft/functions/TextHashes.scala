@@ -211,3 +211,87 @@ case class VecSimHash(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): VecSimHash =
     copy(child = newChild)
 }
+
+/** Content-defined cut positions over a binary payload — the native core
+  * of the FastCDC-style media chunker ([[graft.operators.MultimodalOps]]):
+  * emits the ascending cut array `[0, b1, b2, ..., len]` where position i
+  * (1-based) is a boundary iff the trailing `window`-byte polynomial hash
+  * `Σ_j base^j · byte(i−j) mod mod` is ≡ 0 mod `divisor`.
+  *
+  * One fused O(window·len) JIT loop per row. This replaced the
+  * declarative `transform(sequence(...), i -> ascii(substr(text, i, 1)))`
+  * form, whose per-position `substr` is an O(i) char-boundary scan on
+  * UTF8String — O(len²) per document, measured 14 s at sf0.1 / 138 s at
+  * sf1 for the whole query vs ~1 s with this expression. The boundary
+  * predicate is a pure content condition (no min/max clamps), so the
+  * DuckDB oracle replays it bit-for-bit from the ASCII text column with
+  * `unicode()` byte values.
+  */
+case class CdcCuts(
+    child: Expression, window: Int, base: Long, mod: Long, divisor: Long)
+    extends UnaryExpression {
+  require(window >= 1 && window <= 64, "cdc_cuts window must be in [1, 64]")
+  require(mod > 0 && base > 0 && divisor > 0 &&
+    mod <= Long.MaxValue / 255 / window,
+    "cdc_cuts polynomial step must not overflow a signed 64-bit long")
+
+  private val coefs: Array[Long] =
+    Iterator.iterate(1L)(c => c * base % mod).take(window).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_cuts requires a binary argument, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_cuts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val len = b.length
+    val cuts = scala.collection.mutable.ArrayBuffer[Long](0L)
+    var i = window
+    while (i <= len) {
+      var h = 0L
+      var j = 0
+      while (j < window) { h += coefs(j) * (b(i - 1 - j) & 0xff); j += 1 }
+      if (h % mod % divisor == 0L && i != len) cuts += i.toLong
+      i += 1
+    }
+    if (len >= 1) cuts += len.toLong
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cuts.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val b = ctx.freshName("b")
+      val len = ctx.freshName("len")
+      val lst = ctx.freshName("lst")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val arr = ctx.freshName("arr")
+      val k = ctx.freshName("k")
+      val poly = coefs.zipWithIndex
+        .map { case (c, j) => s"${c}L * (($b[$i - ${j + 1}]) & 0xff)" }
+        .mkString(" + ")
+      s"""
+         |byte[] $b = $in;
+         |int $len = $b.length;
+         |java.util.ArrayList<Long> $lst = new java.util.ArrayList<Long>();
+         |$lst.add(0L);
+         |for (int $i = $window; $i <= $len; $i++) {
+         |  long $h = ($poly) % ${mod}L;
+         |  if ($h % ${divisor}L == 0L && $i != $len) $lst.add((long) $i);
+         |}
+         |if ($len >= 1) $lst.add((long) $len);
+         |long[] $arr = new long[$lst.size()];
+         |for (int $k = 0; $k < $arr.length; $k++)
+         |  $arr[$k] = ((Long) $lst.get($k)).longValue();
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCuts =
+    copy(child = newChild)
+}

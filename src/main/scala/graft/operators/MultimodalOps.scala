@@ -100,6 +100,139 @@ object MultimodalOps {
        | CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS dedupable_frames
        |FROM g""".stripMargin
 
+  // ---- Content-defined chunking (FastCDC-style) ------------------------
+
+  /** Rolling-hash window width (bytes). */
+  val CdcWindow = 8
+  /** Polynomial modulus — prime < 2^20, so 8 terms × 255 stay < 2^31 and
+    * every intermediate is exact BIGINT in any engine. */
+  val CdcMod = 1048573L
+  /** Polynomial base. */
+  val CdcBase = 257L
+  /** Boundary density: a position is a cut when `h % CdcDivisor == 0`,
+    * so expected chunk length ≈ CdcDivisor bytes (the [[FrameBytes]]
+    * scale, deliberately — the two media-dedup passes price the same
+    * granularity). */
+  val CdcDivisor = 64L
+
+  /** C_j = CdcBase^j mod CdcMod — coefficient for the byte j positions
+    * behind the candidate cut. */
+  private val cdcCoefs: IndexedSeq[Long] =
+    Iterator.iterate(1L)(c => c * CdcBase % CdcMod).take(CdcWindow).toIndexedSeq
+
+  private def cdcPolyDuck(i: String): String =
+    cdcCoefs.zipWithIndex
+      .map { case (c, j) =>
+        s"$c::BIGINT * unicode(substring(text, CAST(($i - $j) AS INT), 1))" }
+      .mkString("(", " + ", s") % $CdcMod")
+
+  /** Content-defined chunks of every payload: `(doc_id, chunk_hash,
+    * clen)`, one row per chunk, where chunk k spans
+    * `(cuts[k] + 1) .. cuts[k+1]` of the BINARY payload.
+    *
+    * This is the FastCDC idea in its oracle-replayable core: a boundary
+    * is a PURE CONTENT predicate (trailing 8-byte polynomial hash ≡ 0
+    * mod [[CdcDivisor]], the [[graft.functions.CdcCuts]] native
+    * expression — one fused O(window·len) JIT loop per row), so two
+    * files sharing a region — shifted, re-muxed, or re-ordered — cut at
+    * the SAME interior positions and their shared chunks collide by
+    * digest, which whole-frame digests ([[frameDedup]]'s fixed grid)
+    * structurally miss. Statelessness is also the scale argument: the
+    * boundary test at position i reads only bytes i−7..i, so boundary
+    * detection is embarrassingly parallel — FastCDC's min/max clamps
+    * (skipped here) are exactly the part that forces a sequential scan,
+    * and a production chunker applies them in the same one-pass
+    * mapPartitions shape as [[extractFeatures]]; the gated variant keeps
+    * the pure predicate so DuckDB replays boundaries bit-for-bit. The
+    * divisor is the density dial (expected chunk ≈ divisor bytes).
+    *
+    * Plan shape (§5 codegen rule): the cuts array is a NATIVE expression
+    * (no Catalyst lambda below the Generate), and the chunk structs are
+    * exploded AS the generator expression — both documented safe shapes.
+    */
+  private[graft] def cdcChunks(payloads: DataFrame): DataFrame =
+    payloads
+      .filter(octet_length(col("payload")) >= 1)
+      .select(col("doc_id"), col("payload"),
+        graft.functions.GraftFunctions
+          .cdc_cuts(col("payload"), CdcWindow, CdcBase, CdcMod, CdcDivisor)
+          .as("cuts"))
+      .select(
+        col("doc_id"), col("payload"),
+        explode(expr(
+          """filter(
+            |  transform(sequence(1, size(cuts) - 1),
+            |    k -> struct(element_at(cuts, k) + 1 AS cstart,
+            |                element_at(cuts, k + 1) - element_at(cuts, k) AS clen)),
+            |  c -> c.clen >= 1)""".stripMargin)).as("c"))
+      .select(
+        col("doc_id"),
+        md5(col("payload").substr(col("c.cstart").cast("int"),
+          col("c.clen").cast("int"))).as("chunk_hash"),
+        col("c.clen").as("clen"))
+
+  /** Registered query: content-defined chunk dedup over the media
+    * payloads — the successor pass [[frameDedup]] exists to justify.
+    * Groups the CDC chunk digests corpus-wide and reports duplication
+    * mass in chunks AND bytes. Scale shape: only (digest, clen) enters
+    * the exchange — never chunk bytes — one map-side-combined groupBy
+    * and a scalar rollup, the digest-only exchange shared with
+    * [[frameDedup]] and text `dedup_stats`.
+    */
+  def mediaCdcDedup(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload")))
+      .groupBy("chunk_hash")
+      .agg(count(lit(1)).as("cnt"), max("clen").as("clen"))
+      .agg(
+        sum("cnt").as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_groups"),
+        sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L))
+          .as("dedupable_chunks"),
+        sum(col("cnt") * col("clen")).as("total_bytes"),
+        sum(when(col("cnt") > 1, (col("cnt") - 1) * col("clen")).otherwise(0L))
+          .as("dedupable_bytes"))
+
+  /** DuckDB oracle for [[mediaCdcDedup]]: identical polynomial window
+    * hash (exact integers), identical cut set (list_sort because
+    * list_distinct does not promise order), identical chunk slicing and
+    * digest rollup. The round-trip through the binary payload on the
+    * Spark side is byte-identical to the text column here because the
+    * corpus is ASCII (the standing multimodal-oracle contract).
+    */
+  val MediaCdcDedupOracleSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+       | FROM documents WHERE length(text) >= 1),
+       |b AS (
+       | SELECT doc_id, text,
+       |  list_sort(list_distinct(
+       |   [CAST(0 AS BIGINT)] ||
+       |   list_filter(
+       |     list_transform(range(CAST($CdcWindow AS BIGINT), greatest(len, $CdcWindow) + 1),
+       |       i -> CASE WHEN i <= len AND ${cdcPolyDuck("i")} % $CdcDivisor = 0
+       |                 THEN i ELSE CAST(-1 AS BIGINT) END),
+       |     x -> x >= 0) ||
+       |   [len])) AS cuts
+       | FROM d),
+       |k0 AS (
+       | SELECT doc_id, text, cuts, unnest(range(1, len(cuts))) AS k FROM b),
+       |c AS (
+       | SELECT md5(substring(text, CAST(cuts[k] + 1 AS INT),
+       |                      CAST(cuts[k + 1] - cuts[k] AS INT))) AS chunk_hash,
+       |        cuts[k + 1] - cuts[k] AS clen
+       | FROM k0 WHERE cuts[k + 1] - cuts[k] >= 1),
+       |g AS (SELECT chunk_hash, count(*) AS cnt, max(clen) AS clen
+       |      FROM c GROUP BY 1)
+       |SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
+       | count(*) AS distinct_chunks,
+       | CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+       | CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS dedupable_chunks,
+       | CAST(sum(cnt * clen) AS BIGINT) AS total_bytes,
+       | CAST(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * clen ELSE 0 END) AS BIGINT) AS dedupable_bytes
+       |FROM g""".stripMargin
+
   /** STUB decode + featurize: a real deployment decodes media bytes with a
     * native library inside this exact `mapPartitions` shape. The stand-in
     * is deterministic byte statistics, so tests pin the plumbing.

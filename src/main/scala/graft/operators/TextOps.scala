@@ -962,6 +962,121 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Seed width for the variable-length substring dedup. */
+  val SubstringSeed = 8
+  /** Minimum reported match length (tokens) — strictly beyond the fixed
+    * seed, so the query only reports what [[spanDedup]]'s fixed spans
+    * cannot measure. */
+  val SubstringMinTokens = 12
+
+  /** Variable-length exact-substring dedup — the Lee et al. 2022
+    * longest-duplicated-substring signal [[spanDedup]]'s fixed 8-token
+    * spans miss: for every cross-document pair sharing at least one
+    * seed span, the length (in tokens) of the LONGEST exactly shared
+    * token run, of any length.
+    *
+    * Algorithm (suffix-ordering re-expressed relationally): any shared
+    * run of ≥ seed tokens contains shared positional seed `n`-grams at
+    * every offset, and a pair's matching seed positions with equal
+    * diagonal `pos_a − pos_b` form a CONSECUTIVE integer run exactly as
+    * long as `run_tokens − n + 1` — so longest-match = longest
+    * consecutive-island per (pair, diagonal) + n − 1, the classic
+    * `pos − row_number()` island trick instead of a per-pair suffix
+    * sort. Seeds are occurrence-capped (the family's df-cap formula,
+    * replayed from count(*) in the oracle): a seed occurring more than
+    * cap times corpus-wide is template mass whose C(occ,2) join fan-out
+    * the cap exists to bound — dropping it can only SPLIT a reported
+    * run, never invent one, and the oracle drops identically so the
+    * gate stays exact.
+    *
+    * Scale shape: positional explode is O(corpus tokens); the seed join
+    * shuffles on the gram key with per-gram fan-out ≤ C(cap, 2); the
+    * island window partitions by (pair, diagonal) — bounded by actual
+    * match volume, never all-pairs. Output ≤ one row per genuinely
+    * overlapping pair.
+    */
+  def substringDedup(
+      s: SparkSession, dir: String,
+      n: Int = SubstringSeed, minTokens: Int = SubstringMinTokens): DataFrame =
+    substringDedupOf(Tables.documents(s, dir), n, minTokens)
+
+  /** [[substringDedup]] over an explicit documents frame (needs `doc_id`,
+    * `text`) — the planted-substring test seam.
+    */
+  private[graft] def substringDedupOf(
+      docs: DataFrame,
+      n: Int = SubstringSeed, minTokens: Int = SubstringMinTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = MinHashOps.defaultDfCap(docs.count())
+    val spans = docs
+      .select(col("doc_id"), tokens.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))"))
+        .as(Seq("pos", "g")))
+    val eligible = spans.groupBy("g")
+      .agg(count(lit(1)).as("occ"), count_distinct(col("doc_id")).as("dc"))
+      .filter(col("dc") >= 2 && col("occ") <= cap)
+      .select("g")
+    val sp = spans.join(eligible, "g")
+    val matches = sp.as("a")
+      .join(sp.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("delta"))
+      .distinct()
+    val w = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pos_a")
+    val runs = matches
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "delta", "island")
+      .agg(count(lit(1)).as("run"))
+    runs.groupBy("doc_a", "doc_b")
+      .agg(
+        (max(col("run")) + (n - 1)).as("longest_tokens"),
+        sum(col("run")).as("dup_seed_spans"))
+      .filter(col("longest_tokens") >= minTokens)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[substringDedup]]: identical positional seed
+    * grid, identical occurrence cap (derived from count(*)), identical
+    * diagonal-island run length via `pos − row_number()`.
+    */
+  def substringDedupOracleSql(
+      n: Int = SubstringSeed, minTokens: Int = SubstringMinTokens): String =
+    s"""WITH tok AS (
+       | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |sp AS (
+       | SELECT doc_id,
+       |  generate_subscripts([array_to_string(toks[i:i+${n - 1}], ' ')
+       |    for i in range(1, len(toks) - ${n - 2})], 1) - 1 AS pos,
+       |  unnest([array_to_string(toks[i:i+${n - 1}], ' ')
+       |    for i in range(1, len(toks) - ${n - 2})]) AS g
+       | FROM tok WHERE len(toks) >= $n),
+       |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM documents),
+       |elig AS (
+       | SELECT g FROM sp GROUP BY g
+       | HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= (SELECT cap FROM cap)),
+       |m AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.pos AS pos_a, a.pos - b.pos AS delta
+       | FROM sp a JOIN elig e ON a.g = e.g JOIN sp b ON a.g = b.g
+       | WHERE a.doc_id < b.doc_id),
+       |r AS (
+       | SELECT doc_a, doc_b, delta, pos_a,
+       |  pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pos_a) AS island
+       | FROM m),
+       |runs AS (
+       | SELECT doc_a, doc_b, delta, island, count(*) AS run
+       | FROM r GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       | CAST(max(run) + ${n - 1} AS BIGINT) AS longest_tokens,
+       | CAST(sum(run) AS BIGINT) AS dup_seed_spans
+       |FROM runs GROUP BY doc_a, doc_b
+       |HAVING max(run) + ${n - 1} >= $minTokens
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val SpanDedupOracleSql: String =
     """WITH tok AS (
       | SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
