@@ -1157,6 +1157,13 @@ object Registry {
     q("ivf_list_occupancy", LloydOps.ivfListOccupancyOracleSql())(
       LloydOps.ivfListOccupancy),
 
+    // IVF ingest manifests: frozen-centroid list assignment + per-list
+    // monoid manifests (count, id range, content digest) — the batch
+    // replay of streaming index maintenance; the streaming twin shares
+    // the identical expressions (StreamingIvfIngest, differential-spec'd).
+    q("ivf_ingest_manifest", LloydOps.ivfIngestManifestOracleSql())(
+      (s, d) => LloydOps.ivfIngestManifest(s, d)),
+
     // Mislabel audit over the bounded IVF graph — same rollup contract
     // as knn_label_agreement, for the clustered corpora where the
     // SimHash graph's candidates go superlinear.

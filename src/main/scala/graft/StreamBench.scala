@@ -297,7 +297,28 @@ object StreamBench {
           .writeStream.outputMode("update"))
     }
 
-    // 8) Streaming RAG chunking: stateless map-only projection — the
+    // 8) Streaming IVF ingest: frozen-centroid list assignment (stateless
+    // Column algebra, 64 lists x 64 dims per vector) + per-list monoid
+    // manifests — state is one row per list regardless of volume.
+    val ivfIngest = component("ivf_ingest") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = 100000L
+      val lists = 64
+      val cents: Array[Array[Long]] = Array.tabulate(lists, 64)((c, d) =>
+        ((c * 64L + d) % 97L) * 10000L)
+      val in = MemoryStream[(Long, Array[Float])]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i =>
+          (i, Array.tabulate(64)(d => ((i + d) % 100).toFloat / 100f))))
+      }
+      drain("ivf_ingest", rows,
+        graft.streaming.StreamingIvfIngest
+          .manifests(in.toDF().toDF("vec_id", "embedding"), cents)
+          .writeStream.outputMode("update"))
+    }
+
+    // 9) Streaming RAG chunking: stateless map-only projection — the
     // ceiling a continuous chunk-ingest pipeline runs at.
     val chunking = component("chunking") { s =>
       import s.implicits._
@@ -313,7 +334,8 @@ object StreamBench {
 
     val comps =
       Seq(curation, curationStateless, curationDigests, sessions, dedup,
-        nearDup, nearDupDigest, agg, upsert, manifest, qsketch, chunking).flatten
+        nearDup, nearDupDigest, agg, upsert, manifest, qsketch, ivfIngest,
+        chunking).flatten
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"streaming_throughput","unit":"rows_per_sec","components":$comps,"cpus":$cpus}"""

@@ -757,6 +757,81 @@ object LloydOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- IVF ingest: frozen-centroid list assignment + list manifests ----
+
+  /** Digest modulus for the per-list ingest manifest. */
+  val IngestFpPrime = 1000000007L
+
+  /** Stateless list assignment of vectors against FROZEN centroids — the
+    * ingest-time half of IVF index maintenance: new vectors joining an
+    * existing index are quantized and filed into their nearest list with
+    * pure Column algebra (centroids are a plan literal, nothing joins or
+    * shuffles), so the identical expressions run over a bounded batch or
+    * an unbounded stream ([[graft.streaming.StreamingIvfIngest]]).
+    * Emits `(vec_id, xq, list)`.
+    */
+  private[graft] def listAssignment(
+      vecs: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    assign(
+      vecs.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as long))")
+          .as("xq")),
+      cents)
+      .select(col("vec_id"), col("xq"), col("cluster").as("list"))
+
+  /** Per-list ingest manifest over an assignment frame: vector count, id
+    * range, and a running content digest (Σ per-vector fingerprint mod
+    * [[IngestFpPrime]], the mod applied AT EMIT over an exact
+    * decimal(38,0) state sum — the [[graft.streaming.StreamingManifest]]
+    * monoid recipe, so a stream chopped into ANY batch decomposition
+    * lands on the batch digest). State/output is one constant-width row
+    * per list regardless of ingest volume.
+    */
+  private[graft] def ivfManifestAgg(asg: DataFrame): DataFrame =
+    asg
+      .select(col("vec_id"), col("list"),
+        // Quantized coordinates are signed — renormalize each step into
+        // [0, prime) so the digest is engine-portable by construction.
+        expr(s"aggregate(xq, 0L, (acc, v) -> ((acc * 31 + v) % $IngestFpPrime + $IngestFpPrime) % $IngestFpPrime)")
+          .as("fp"))
+      .groupBy("list")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min("vec_id").as("id_lo"),
+        max("vec_id").as("id_hi"),
+        sum(col("fp").cast("decimal(38,0)")).as("fp_sum"))
+      .select(col("list"), col("n_vecs"), col("id_lo"), col("id_hi"),
+        expr(s"CAST(fp_sum % $IngestFpPrime AS BIGINT)").as("list_digest"))
+
+  /** Registered entry: the batch replay of IVF ingest — freeze the Lloyd
+    * chain's centroids at the [[listsFor]] operating point, file every
+    * corpus vector into its list, and emit the per-list manifests an
+    * index maintainer seals shards against. The streaming twin runs the
+    * IDENTICAL assignment + manifest expressions over an unbounded
+    * stream (differential-spec'd); the oracle replays centroid build,
+    * assignment, fingerprints, and digests end to end.
+    */
+  def ivfIngestManifest(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (cents, _) = run(emb, listsFor(emb.count()), Iters)
+    ivfManifestAgg(listAssignment(emb, cents)).orderBy("list")
+  }
+
+  def ivfIngestManifestOracleSql(iters: Int = Iters): String =
+    oracleChain(listsForSql, iters) + ivfAsgSql(iters) + s""",
+       |fpv AS (
+       | SELECT vec_id,
+       |  list_reduce(list_prepend(0::BIGINT, list(xq ORDER BY dim)),
+       |    (acc, v) -> ((acc * 31 + v) % $IngestFpPrime + $IngestFpPrime) % $IngestFpPrime) AS fp
+       | FROM x GROUP BY vec_id),
+       |ing AS (
+       | SELECT a.c_id AS vec_id, a.cluster AS list, f.fp
+       | FROM asg a JOIN fpv f ON a.c_id = f.vec_id)
+       |SELECT list, count(*) AS n_vecs, min(vec_id) AS id_lo,
+       | max(vec_id) AS id_hi,
+       | CAST(CAST(sum(fp) AS HUGEINT) % $IngestFpPrime AS BIGINT) AS list_digest
+       |FROM ing GROUP BY list ORDER BY list""".stripMargin
+
   /** kNN label-agreement over the IVF graph — the bounded-candidate twin
     * of `knn_label_agreement` (which rides the SimHash graph, measured
     * superlinear at sf1 on clustered embeddings): identical mislabel
