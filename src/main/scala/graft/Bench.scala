@@ -77,6 +77,25 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => -1L }
 
+  /** Peak USED heap across all heap pools, in MB — the cross-box
+    * comparable memory number. VmHWM additionally counts GC headroom
+    * (untouched-but-committed heap up to -Xmx), metaspace, Tungsten
+    * off-heap, netty buffers, and glibc arena fragmentation — all
+    * allocator/timing-dependent, which is why the SAME suite recorded
+    * 10.1 GB on one box and 24.1 GB on another in r14. Divergence
+    * between the two fields on one run is off-heap+headroom by
+    * definition; peak_heap_mb is what the code's live data actually
+    * reached.
+    */
+  private def peakHeapMb(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+        .sum / (1024 * 1024)
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the real core count: an unset env var must mean "use the
@@ -259,7 +278,7 @@ object Bench {
         "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
       val total = rs.collect { case Timing(_, v, None, _) => v }.sum
       val errField = if (errs == "{}") "" else s""","errors":$errs"""
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errField,"peak_rss_mb":${peakRssMb()},"sf":$sf}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errField,"peak_rss_mb":${peakRssMb()},"peak_heap_mb":${peakHeapMb()},"sf":$sf}"""
     }
 
     // Full precision for every entry, plus the raw per-rep spread — the
@@ -273,7 +292,7 @@ object Bench {
       .map(t => "\"" + t.name + "\":" + t.reps.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$fullTotal,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"spread":$spread,"peak_rss_mb":${peakRssMb()},"sf":$sf,"cpus":$cpus,"sfDir":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":$fullTotal,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"spread":$spread,"peak_rss_mb":${peakRssMb()},"peak_heap_mb":${peakHeapMb()},"sf":$sf,"cpus":$cpus,"sfDir":"${jsonEscape(sfDir)}"}"""
     // A filtered run (SPARK_GRAFT_ONLY) must never clobber the committed
     // full-inventory record — that exact mistake cost a round's bench
     // history once already. Partial runs write to bench_partial.json.

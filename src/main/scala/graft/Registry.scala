@@ -891,6 +891,15 @@ object Registry {
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin)(TextOps.fingerprints),
 
+    // Streaming tier INSIDE the driver gate: a real Structured Streaming
+    // execution (file source -> stateful complete-mode agg -> memory
+    // sink) drained synchronously; the monoid aggregates make the final
+    // snapshot batch-equal, so plain SQL oracles the whole streaming
+    // path. Every other streaming component is spec-pinned only.
+    q("streaming_replay_hourly",
+      graft.streaming.StreamingReplay.HourlyTypeCountsOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.hourlyTypeCounts(s, d)),
+
     // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
     q("multimodal_meta",
       """SELECT doc_id,

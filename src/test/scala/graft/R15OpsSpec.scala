@@ -70,6 +70,18 @@ class R15OpsSpec extends AnyFunSuite {
     assert(got.collect().toSeq == expected.collect().toSeq)
   }
 
+  test("streaming replay equals the batch aggregation over the same file") {
+    val streamed = graft.streaming.StreamingReplay
+      .hourlyTypeCounts(spark, sf).collect().toSeq
+    val batch = Tables.events(spark, sf)
+      .withColumn("hour_bucket", expr("ts_us div 3600000000"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("events"),
+        min("ts_us").as("first_us"), max("ts_us").as("last_us"))
+      .orderBy("hour_bucket", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("knn recall audit cohort is fixed-size and deterministic") {
     val r = LloydOps.knnRecallIvf(spark, sf).collect()
     assert(r.length <= LloydOps.KnnProbeCohort)
