@@ -1166,6 +1166,12 @@ object Registry {
     q("ivf_list_occupancy", LloydOps.ivfListOccupancyOracleSql())(
       LloydOps.ivfListOccupancy),
 
+    // The sqrt(n)-list centroid build itself, priced honestly (direct
+    // run, bypassing the frozen-centroid store the consumers ride) —
+    // emits the full index artifact; the IVF analogue of kmeans_lloyd.
+    q("ivf_build_centroids", LloydOps.ivfBuildCentroidsOracleSql())(
+      (s, d) => LloydOps.ivfBuildCentroids(s, d)),
+
     // IVF ingest manifests: frozen-centroid list assignment + per-list
     // monoid manifests (count, id range, content digest) — the batch
     // replay of streaming index maintenance; the streaming twin shares

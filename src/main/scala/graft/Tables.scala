@@ -50,6 +50,22 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** name:size:mtime signature of every file under `dir/table.parquet` —
+    * pure metadata, and any rewrite of the table changes it. The cache
+    * key the in-process artifact stores (cluster labels, frozen
+    * centroids) use so a regenerated table invalidates naturally.
+    */
+  def contentToken(dir: String, tableName: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(dir, s"$tableName.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.lang.Integer.toHexString(sig.hashCode)
+  }
+
   /** Decouple heavy per-row compute (regex tokenization, shingling,
     * per-char explodes) from the SOURCE file's split layout: a corpus
     * delivered as one fat row group scans as ONE task, and every narrow

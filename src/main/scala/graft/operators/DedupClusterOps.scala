@@ -56,20 +56,6 @@ object DedupClusterOps {
   private val labelStore =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** name:size:mtime signature of every file under the documents table —
-    * cheap (pure metadata), and any rewrite of the table changes it.
-    */
-  private def contentToken(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val sig = walk(new java.io.File(dir, "documents.parquet"))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|")
-    java.lang.Integer.toHexString(sig.hashCode)
-  }
-
   /** The converged cluster labels for `dir`'s documents table, computed
     * at most once per (dir contents, threshold) and served from the
     * materialized parquet thereafter. Same schema as
@@ -79,7 +65,7 @@ object DedupClusterOps {
       s: SparkSession, dir: String,
       thresholdMilli: Int = Threshold): DataFrame = {
     val key = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString +
-      "#" + thresholdMilli + "#" + contentToken(dir)
+      "#" + thresholdMilli + "#" + Tables.contentToken(dir, "documents")
     val path = labelStore.computeIfAbsent(key, _ => {
       val base = s.conf.getOption("graft.labelstore.dir")
         .orElse(s.conf.getOption("graft.checkpoint.dir"))

