@@ -884,7 +884,11 @@ object LloydOps {
   def ivfIngestManifest(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val (cents, _) = frozenCentroids(s, dir, listsFor(emb.count()))
-    ivfManifestAgg(listAssignment(emb, cents)).orderBy("list")
+    // parallelized: the O(n·√n·d) assignment scan must not inherit a
+    // row-group-starved file layout (§5 — the 67 s-serial trap); the
+    // streaming twin skips this, its source sets the parallelism.
+    ivfManifestAgg(listAssignment(Tables.parallelized(emb), cents))
+      .orderBy("list")
   }
 
   def ivfIngestManifestOracleSql(iters: Int = Iters): String =
