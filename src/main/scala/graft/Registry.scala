@@ -565,11 +565,13 @@ object Registry {
     q("ann_bucket_occupancy", AnnOps.bucketOccupancyOracleSql())(
       (s, d) => AnnOps.bucketOccupancy(s, d)),
 
-    // kNN label-agreement audit off the same bucketed graph: per-label
-    // mean neighborhood agreement + suspect counts — the mislabel
-    // detector a labeled-embedding corpus runs before training.
-    q("knn_label_agreement", AnnOps.knnLabelAgreementOracleSql())(
-      (s, d) => AnnOps.knnLabelAgreement(s, d)),
+    // kNN label-agreement audit: per-label mean neighborhood agreement
+    // + suspect counts — the mislabel detector a labeled-embedding
+    // corpus runs before training. Rides the AUTO-SELECTED graph since
+    // r15 (same occupancy-meter decision as knn_graph, replayed by the
+    // oracle), so the audit stays candidate-bounded on clustered corpora.
+    q("knn_label_agreement", LloydOps.knnLabelAgreementSelectOracleSql())(
+      (s, d) => LloydOps.knnLabelAgreementSelect(s, d)),
 
     // The LSH scale path for ANN as a first-class checked query: same
     // output contract as ann_topk, oracle generated from the identical

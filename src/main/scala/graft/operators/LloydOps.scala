@@ -780,18 +780,48 @@ object LloydOps {
     * it. DuckDB evaluates both chains (fine at gate scale; the Spark
     * side runs only the selected one, which is the 100 TB claim).
     */
-  def knnGraphSelectOracleSql(k: Int = 3, targetBucket: Long = 16L): String = {
-    val decision =
-      s"""(WITH ${AnnOps.adaptiveCodesSql(targetBucket)}
-         | SELECT max(cnt) > ${KnnOccCapFactor * targetBucket}
-         | FROM (SELECT count(*) AS cnt FROM codesw GROUP BY code) t)""".stripMargin
+  /** The occupancy decision as a standalone scalar subquery — shared by
+    * every oracle that replays the [[knnGraphSelect]] machine choice.
+    */
+  private def occDecisionSql(targetBucket: Long): String =
+    s"""(WITH ${AnnOps.adaptiveCodesSql(targetBucket)}
+       | SELECT max(cnt) > ${KnnOccCapFactor * targetBucket}
+       | FROM (SELECT count(*) AS cnt FROM codesw GROUP BY code) t)""".stripMargin
+
+  /** Both gated graph branches UNION'd as a chain ending in the ranked
+    * `r(q_id, c_id, rank, cosine_r6)` CTE — composable with the
+    * label-agreement tail exactly like the single-machine chains.
+    */
+  private def knnSelectChainSql(k: Int, targetBucket: Long): String = {
+    val decision = occDecisionSql(targetBucket)
     s"""WITH sim AS (${AnnOps.knnGraphAutoOracleSql(k, targetBucket)}),
-       |ivfg AS (${knnGraphIvfOracleSql(k)})
-       |SELECT * FROM sim WHERE NOT $decision
-       |UNION ALL
-       |SELECT * FROM ivfg WHERE $decision
-       |ORDER BY q_id, rank""".stripMargin
+       |ivfg AS (${knnGraphIvfOracleSql(k)}),
+       |r AS (
+       | SELECT q_id, c_id, rank, cosine_r6 FROM sim WHERE NOT $decision
+       | UNION ALL
+       | SELECT q_id, c_id, rank, cosine_r6 FROM ivfg WHERE $decision)""".stripMargin
   }
+
+  def knnGraphSelectOracleSql(k: Int = 3, targetBucket: Long = 16L): String =
+    knnSelectChainSql(k, targetBucket) + s"""
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** kNN label-agreement over the AUTO-SELECTED graph — the registered
+    * `knn_label_agreement` since r15: the mislabel rollup inherits the
+    * occupancy-meter machine choice (clustered corpora ride the bounded
+    * IVF graph, spread ones keep SimHash), so the audit's candidate work
+    * is scale-bounded on any corpus shape. Identical rollup contract to
+    * both single-machine twins ([[AnnOps.labelAgreementRollup]]).
+    */
+  def knnLabelAgreementSelect(
+      s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    AnnOps.labelAgreementRollup(
+      knnGraphSelect(s, dir, k), Tables.embeddings(s, dir))
+
+  def knnLabelAgreementSelectOracleSql(
+      k: Int = 3, targetBucket: Long = 16L): String =
+    knnSelectChainSql(k, targetBucket) + AnnOps.labelAgreementTailSql(k)
 
   /** Registered entry: the √n-list centroid BUILD itself, priced
     * honestly — a direct [[run]] (bypassing [[frozenCentroids]], exactly
