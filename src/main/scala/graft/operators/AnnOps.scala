@@ -539,7 +539,10 @@ object AnnOps {
        | FROM p)""".stripMargin
 
   /** [[knnGraph]] with the code width sized from the corpus — the
-    * registered entry: a fixed width is Σ occupancy² = N²/2^bits
+    * SimHash branch of the registered auto-select
+    * ([[LloydOps.knnGraphSelect]] since r15; the adaptive width bounds
+    * only the uniform part of the occupancy, so clustered corpora ride
+    * the IVF branch): a fixed width is Σ occupancy² = N²/2^bits
     * candidate pairs (the sf1 rehearsal measured the 10-bit graph going
     * superlinear, 1.0 s → 36 s, exponent ~1.55), while ~log₂(N/16) bits
     * holds bucket occupancy — and so candidate volume per vector — flat.

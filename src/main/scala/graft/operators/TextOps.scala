@@ -968,6 +968,14 @@ object TextOps {
     * seed, so the query only reports what [[spanDedup]]'s fixed spans
     * cannot measure. */
   val SubstringMinTokens = 12
+  /** PolyHash modulus for the seed keys — the largest prime admissible
+    * at base 31 (mod·base + maxCodePoint < 2^63), so the exchange
+    * carries 8-byte keys instead of ~60-char gram strings. At 5M seeds
+    * the expected number of colliding PAIRS corpus-wide is ~1e-4
+    * (birthday bound n²/2m); both engines hash identically, so the gate
+    * stays exact regardless.
+    */
+  val SubstringHashMod = 297528130221085727L
 
   /** Variable-length exact-substring dedup — the Lee et al. 2022
     * longest-duplicated-substring signal [[spanDedup]]'s fixed 8-token
@@ -1008,20 +1016,35 @@ object TextOps {
       n: Int = SubstringSeed, minTokens: Int = SubstringMinTokens): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cap = MinHashOps.defaultDfCap(docs.count())
+    // Seeds shuffle as 8-byte keys, never gram strings — and the keys
+    // are built WITHOUT materializing gram strings at all: each token
+    // hashes once (PolyHash), and a seed's key folds its n token-hashes
+    // (`acc = ((acc·31) mod M + h) mod M`, every step < 2^63 because M
+    // is the base-31 PolyHash cap). The first draft built 5M ~60-char
+    // gram strings per sf1 pass just to hash them; this shape is one
+    // codegen'd hash per token plus 8 multiply-adds per position.
+    // [[SubstringHashMod]] documents the collision arithmetic; the
+    // oracle folds identically, so the gate stays exact.
+    val m = SubstringHashMod
     val spans = docs
       .select(col("doc_id"), tokens.as("toks"))
       .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        transform(col("toks"), t =>
+          graft.functions.GraftFunctions.poly_hash(t, 31, m)).as("tokh"))
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))"))
-        .as(Seq("pos", "g")))
-    val eligible = spans.groupBy("g")
+        s"""transform(sequence(0, size(tokh) - $n),
+           |  i -> aggregate(slice(tokh, i + 1, $n), 0L,
+           |         (acc, h) -> ((acc * 31) % ${m}L + h) % ${m}L))""".stripMargin))
+        .as(Seq("pos", "gh")))
+    val eligible = spans.groupBy("gh")
       .agg(count(lit(1)).as("occ"), count_distinct(col("doc_id")).as("dc"))
       .filter(col("dc") >= 2 && col("occ") <= cap)
-      .select("g")
-    val sp = spans.join(eligible, "g")
+      .select("gh")
+    val sp = spans.join(eligible, "gh")
     val matches = sp.as("a")
       .join(sp.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("delta"))
@@ -1040,28 +1063,41 @@ object TextOps {
   }
 
   /** DuckDB oracle for [[substringDedup]]: identical positional seed
-    * grid, identical occurrence cap (derived from count(*)), identical
-    * diagonal-island run length via `pos − row_number()`.
+    * grid, identical PolyHash seed keys, identical occurrence cap
+    * (derived from count(*)), identical diagonal-island run length via
+    * `pos − row_number()`.
     */
   def substringDedupOracleSql(
       n: Int = SubstringSeed, minTokens: Int = SubstringMinTokens): String =
     s"""WITH tok AS (
        | SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |th AS (
+       | SELECT doc_id,
+       |  list_transform(toks, t ->
+       |   list_reduce(
+       |    list_prepend(0::BIGINT,
+       |     list_transform(regexp_extract_all(t, '(?s).'), ch -> unicode(ch)::BIGINT)),
+       |    (acc, x) -> (acc * 31 + x) % $SubstringHashMod)) AS tokh
+       | FROM tok WHERE len(toks) >= $n),
        |sp AS (
        | SELECT doc_id,
-       |  generate_subscripts([array_to_string(toks[i:i+${n - 1}], ' ')
-       |    for i in range(1, len(toks) - ${n - 2})], 1) - 1 AS pos,
-       |  unnest([array_to_string(toks[i:i+${n - 1}], ' ')
-       |    for i in range(1, len(toks) - ${n - 2})]) AS g
-       | FROM tok WHERE len(toks) >= $n),
+       |  generate_subscripts([
+       |    list_reduce(list_prepend(0::BIGINT, tokh[i:i+${n - 1}]),
+       |      (acc, h) -> ((acc * 31) % $SubstringHashMod + h) % $SubstringHashMod)
+       |    for i in range(1, len(tokh) - ${n - 2})], 1) - 1 AS pos,
+       |  unnest([
+       |    list_reduce(list_prepend(0::BIGINT, tokh[i:i+${n - 1}]),
+       |      (acc, h) -> ((acc * 31) % $SubstringHashMod + h) % $SubstringHashMod)
+       |    for i in range(1, len(tokh) - ${n - 2})]) AS gh
+       | FROM th),
        |cap AS (SELECT least(greatest(16, count(*) // 100), 64) AS cap FROM documents),
        |elig AS (
-       | SELECT g FROM sp GROUP BY g
+       | SELECT gh FROM sp GROUP BY gh
        | HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= (SELECT cap FROM cap)),
        |m AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  a.pos AS pos_a, a.pos - b.pos AS delta
-       | FROM sp a JOIN elig e ON a.g = e.g JOIN sp b ON a.g = b.g
+       | FROM sp a JOIN elig e ON a.gh = e.gh JOIN sp b ON a.gh = b.gh
        | WHERE a.doc_id < b.doc_id),
        |r AS (
        | SELECT doc_a, doc_b, delta, pos_a,
