@@ -53,7 +53,7 @@ object Registry {
     "dedup_survivor_quality", "dedup_cluster_sizes",
     // TextOps token collapses; SplitOps rides the pair machinery.
     "lm_surprise", "ccnet_buckets", "dsir_weights", "source_similarity",
-    "split_cluster_aware", "split_leakage_audit",
+    "split_cluster_aware", "split_leakage_audit", "dedup_substring",
     // HybridOps (persisted corpus shingle frame feeds postings + sizes).
     "hybrid_rrf_topk")
 

@@ -1037,6 +1037,11 @@ object TextOps {
            |  i -> aggregate(slice(tokh, i + 1, $n), 0L,
            |         (acc, h) -> ((acc * 31) % ${m}L + h) % ${m}L))""".stripMargin))
         .as(Seq("pos", "gh")))
+      // One materialized seed pass: the eligibility aggregate and BOTH
+      // sides of the self-join read this frame — unpersisted, the plan
+      // re-runs the tokenize+hash generation four times (read in the
+      // formatted plan, not guessed). Released by scopedCaches.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eligible = spans.groupBy("gh")
       .agg(count(lit(1)).as("occ"), count_distinct(col("doc_id")).as("dc"))
       .filter(col("dc") >= 2 && col("occ") <= cap)
