@@ -171,6 +171,80 @@ object MultimodalOps {
           col("c.clen").cast("int"))).as("chunk_hash"),
         col("c.clen").as("clen"))
 
+  /** One clamped CDC chunk: md5 digest + offsets within the payload. */
+  final case class CdcChunk(
+      doc_id: Long, chunk_idx: Long, cstart: Long, clen: Long,
+      chunk_hash: String)
+
+  /** Min/max chunk clamps for the PRODUCTION chunker ([[cdcChunksClamped]]):
+    * min suppresses boundaries that would emit a tiny chunk, max forces a
+    * cut — the full FastCDC contract. Expected chunk stays ≈ divisor. */
+  val CdcMinLen = 32
+  val CdcMaxLen = 256
+
+  /** The production FastCDC chunker: the SAME rolling window hash and
+    * boundary predicate as [[cdcChunks]], PLUS the min/max clamps — which
+    * make the cut decision sequential (a boundary's validity depends on
+    * where the previous cut landed), so this variant runs as ONE
+    * imperative O(len) pass per payload inside `mapPartitions` (the
+    * [[extractFeatures]] shape: per-partition iterator, no
+    * whole-partition materialization). Tests-only by gate design (a
+    * sequential fold over bytes is not SQL-expressible); the spec pins
+    * the clamp invariants and that on clamp-free inputs it emits
+    * EXACTLY the gated pure-predicate chunks.
+    *
+    * Why both exist: the pure predicate is embarrassingly parallel and
+    * oracle-replayable (the gate artifact); the clamps bound chunk-size
+    * variance for storage/dedup-ratio SLAs (the production artifact).
+    * Shifted duplicates still collide after at most one boundary
+    * re-sync inside the shared region, the FastCDC property.
+    */
+  def cdcChunksClamped(
+      s: SparkSession, payloads: DataFrame,
+      minLen: Int = CdcMinLen, maxLen: Int = CdcMaxLen): Dataset[CdcChunk] = {
+    require(0 < minLen && minLen <= maxLen && CdcWindow <= minLen)
+    import s.implicits._
+    val (window, mod, divisor) = (CdcWindow, CdcMod, CdcDivisor)
+    val coefs = cdcCoefs
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val out = scala.collection.mutable.ArrayBuffer[CdcChunk]()
+          val len = bytes.length
+          var start = 0 // chunk start, 0-based inclusive
+          var i = window // candidate cut position, 1-based
+          while (i <= len) {
+            var h = 0L
+            var j = 0
+            while (j < window) { h += coefs(j) * (bytes(i - 1 - j) & 0xff); j += 1 }
+            val cut =
+              (h % mod % divisor == 0L && i - start >= minLen) ||
+                i - start >= maxLen
+            if (cut && i < len) {
+              out += chunkOf(md, id, out.length, bytes, start, i - start)
+              start = i
+            }
+            i += 1
+          }
+          if (len > start)
+            out += chunkOf(md, id, out.length, bytes, start, len - start)
+          out.iterator
+        }
+      }
+  }
+
+  private def chunkOf(
+      md: java.security.MessageDigest, id: Long, idx: Int,
+      bytes: Array[Byte], start: Int, clen: Int): CdcChunk = {
+    md.reset()
+    md.update(bytes, start, clen)
+    CdcChunk(id, idx.toLong, start.toLong + 1, clen.toLong,
+      md.digest().map("%02x".format(_)).mkString)
+  }
+
   /** Registered query: content-defined chunk dedup over the media
     * payloads — the successor pass [[frameDedup]] exists to justify.
     * Groups the CDC chunk digests corpus-wide and reports duplication

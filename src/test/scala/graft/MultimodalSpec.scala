@@ -66,6 +66,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert((d3 & (d1 | d2)).isEmpty)
   }
 
+  test("clamped CDC chunker: tiling, clamp bounds, and cut provenance") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val byDoc = docs.as[(Long, Array[Byte])].collect().toMap
+    val chunks = MultimodalOps.cdcChunksClamped(spark, docs).collect()
+      .groupBy(_.doc_id)
+    // Pure-predicate cut positions per doc (the gated variant's cuts).
+    val pureCuts = MultimodalOps.cdcChunks(docs)
+      .collect() // (doc_id, hash, clen) — rebuild positions by prefix sum
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).scanLeft(0L)(_ + _).toSet).toMap
+    chunks.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.chunk_idx)
+      val len = byDoc(id).length.toLong
+      // Tiling: contiguous, exactly covering the payload.
+      assert(sorted.head.cstart == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.cstart == a.cstart + a.clen)
+        case _ =>
+      }
+      assert(sorted.map(_.clen).sum == len)
+      // Clamp bounds: every chunk <= max; every non-tail chunk >= min.
+      sorted.foreach(c => assert(c.clen <= MultimodalOps.CdcMaxLen))
+      sorted.dropRight(1).foreach(c =>
+        assert(c.clen >= MultimodalOps.CdcMinLen))
+      // Provenance: every interior cut is a pure-predicate boundary or
+      // closes a forced max-length chunk.
+      sorted.dropRight(1).foreach { c =>
+        val cutPos = c.cstart + c.clen - 1
+        assert(
+          pureCuts(id).contains(cutPos) || c.clen == MultimodalOps.CdcMaxLen,
+          s"doc $id cut at $cutPos is neither content boundary nor max-cut")
+      }
+    }
+  }
+
+  test("clamped CDC chunker: shifted duplicates still collide") {
+    import spark.implicits._
+    val shared = (1 to 60).map(k => s"sw$k").mkString(" ")
+    val docs = Seq(
+      (1L, s"p1 p2 p3 $shared"),
+      (2L, s"q1 q2 q3 q4 q5 q6 q7 q8 q9 $shared"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val cs = MultimodalOps.cdcChunksClamped(spark, docs).collect()
+    val d1 = cs.filter(_.doc_id == 1L).map(_.chunk_hash).toSet
+    val d2 = cs.filter(_.doc_id == 2L).map(_.chunk_hash).toSet
+    assert((d1 & d2).nonEmpty,
+      "shifted shared region must re-sync to at least one common chunk")
+  }
+
   test("CDC chunk rollup is consistent on the sf corpus") {
     val row = MultimodalOps.mediaCdcDedup(spark, sf).collect().head
     val total = row.getAs[Long]("total_chunks")
