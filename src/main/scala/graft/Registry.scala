@@ -36,6 +36,7 @@ object Registry {
     "pagerank", "pagerank_weighted", "pagerank_topk", "pagerank_conv",
     "hits", "connected_components", "components_conv", "triangle_count",
     "kcore", "kcore_conv", "ppr_seeded", "bfs_hops", "sssp_weighted",
+    "harmonic_centrality",
     "graph_assortativity", "mst_forest", "community_lpa", "community_stats",
     // MinHashOps shingle family (shingle sets + inverted indexes).
     "dedup_minhash", "dedup_ngram", "ngram_stop_shingles",
@@ -609,6 +610,28 @@ object Registry {
     q("ann_recall_ivfpq_rerank", PqOps.annRecallIvfPqRerankOracleSql())(
       PqOps.annRecallIvfPqRerank),
 
+    // Binary (sign-bit) quantization ANN: 16-byte packed codes, Hamming
+    // popcount shortlist, exact re-rank on shortlist ids only — the 32x-
+    // compression end of the ANN storage ladder; plus its recall audit.
+    q("ann_binary_topk", BinaryAnnOps.binaryOracleSql())(
+      (s, d) => BinaryAnnOps.annBinaryTopK(s, d)),
+    q("ann_recall_binary", BinaryAnnOps.annRecallBinaryOracleSql())(
+      BinaryAnnOps.annRecallBinary),
+
+    // Matryoshka truncation-recall ladder: exact search over 16/32-dim
+    // prefixes vs the full-width baseline — prices MRL-style dimension
+    // truncation the way the PQ audits price code compression.
+    q("ann_matryoshka_recall", BinaryAnnOps.annMatryoshkaRecallOracleSql())(
+      (s, d) => BinaryAnnOps.annMatryoshkaRecall(s, d)),
+
+    // Semantic decontamination: per-label counts of corpus vectors whose
+    // max cosine against the fixed eval carve crosses the threshold —
+    // the embedding-space complement of the lexical decontamination
+    // family (paraphrases never collide on n-grams). One scan, constant
+    // eval set as a broadcast literal, no join.
+    q("decontamination_semantic", AnnOps.decontaminationSemanticOracleSql())(
+      (s, d) => AnnOps.decontaminationSemantic(s, d)),
+
     // Sub-document span duplication map: positional 8-token spans shared
     // with another doc, per-doc boilerplate fraction in bp.
     q("span_dedup", TextOps.SpanDedupOracleSql)(
@@ -733,6 +756,12 @@ object Registry {
     // shares plus the boost factor per source.
     q("mixture_temperature", SampleOps.MixtureTemperatureOracleSql)(
       SampleOps.mixtureTemperature),
+
+    // Leave-one-source-out quality ablation: corpus keep-rate without
+    // each source + ppm delta vs the full corpus, from per-source totals
+    // alone (one scan; ablation is subtraction on an additive metric).
+    q("source_ablation", SampleOps.SourceAblationOracleSql)(
+      (s, d) => SampleOps.sourceAblation(s, d)),
 
     // Flagship composition: quality filter -> stratified sample -> shard
     // routing in ONE declarative plan (single scan, one agg shuffle).
@@ -976,6 +1005,12 @@ object Registry {
     // prunes (narrow min/max on BOTH columns per file).
     q("zorder_plan", LayoutOps.oracleSql())((s, d) => LayoutOps.zorderPlan(s, d)),
 
+    // Small-files compaction plan (lakehouse OPTIMIZE planning): files
+    // packed in id order into merge groups by start-offset binning over
+    // a per-source cumsum of the (small) file manifest.
+    q("compaction_plan", LayoutOps.compactionPlanOracleSql())(
+      (s, d) => LayoutOps.compactionPlan(s, d)),
+
     // LLM-pretraining sequence packing: hierarchical token prefix sum
     // cuts the concatenated doc stream into fixed-length sequences; the
     // oracle is the flat serial window (independent algorithm).
@@ -1162,6 +1197,17 @@ object Registry {
     q("ann_recall_knn_ivf", LloydOps.knnRecallIvfOracleSql())(
       (s, d) => LloydOps.knnRecallIvf(s, d)),
 
+    // One NN-descent round over the IVF graph (direct + reverse + 2-hop
+    // candidates, exact re-score): k+k+k^2 bounded candidates per
+    // vector, buys back recall the IVF list boundary loses.
+    q("knn_graph_refined", LloydOps.knnGraphRefinedOracleSql())(
+      (s, d) => LloydOps.knnGraphRefined(s, d)),
+
+    // ...and the refined graph's recall over the same fixed cohort —
+    // read beside ann_recall_knn_ivf to price the refinement round.
+    q("ann_recall_knn_refined", LloydOps.knnRecallRefinedOracleSql())(
+      (s, d) => LloydOps.knnRecallRefined(s, d)),
+
     // The capacity meter for the IVF path, symmetric with
     // ann_bucket_occupancy's SimHash readout: list-size histogram +
     // exact own-list candidate work at the sqrt(n) operating point.
@@ -1314,6 +1360,12 @@ object Registry {
       (s, d) => GraphOps.bfsHops(s, d)),
     q("sssp_weighted", GraphOps.ssspWeightedOracleSql())(
       (s, d) => GraphOps.ssspWeighted(s, d)),
+
+    // Seeded harmonic centrality (fixed landmark cohort, Eppstein-Wang
+    // style): per node Σ 1/d(seed, node) in exact micro fixed-point —
+    // the bfs_hops relaxation with seed as an extra state key.
+    q("harmonic_centrality", GraphOps.harmonicCentralityOracleSql())(
+      (s, d) => GraphOps.harmonicCentrality(s, d)),
 
     // A/B arm readout per event type: (type, arm) aggregate + pivot;
     // epu in milli, B-vs-A lift in ppm.

@@ -814,4 +814,115 @@ object AnnOps {
       .distinct()
     rankTopK(s, scored, k)
   }
+
+  // -------------------------------------------------------------------
+  // Semantic decontamination
+  // -------------------------------------------------------------------
+
+  /** Eval-cohort size for [[decontaminationSemantic]] — a FIXED carve
+    * (the `decontamination_ngram` bounded-cohort precedent), so the
+    * audit's per-row work is constant at any corpus size.
+    */
+  val SemanticEvalN = 64
+
+  /** Flag threshold in milli-cosine for the semantic decontamination
+    * audit. 450 sits under this corpus's max eval-vs-corpus cosine at
+    * gate scale (sf0.01 per-label maxima run 362-493, so BOTH branches
+    * of the flag are exercised by the oracle compare); a production run
+    * on real embeddings would raise it to ~950.
+    */
+  val SemanticTauMilli = 450
+
+  /** The per-row max cosine of `embedding` against the broadcast eval
+    * cohort, as a declarative `aggregate`/`zip_with` fold (documented
+    * bit-identical to [[dot]]'s accumulation order, and to DuckDB's
+    * `list_sum(list_transform(...))` — the same equivalence every gated
+    * cosine query relies on). The eval vectors ride a collected literal
+    * (the frozenCentroids precedent: SemanticEvalN x 64 floats, constant
+    * size), so the scan needs NO join and no shuffle before the label
+    * rollup.
+    */
+  private[graft] def maxEvalCosine(evalVecs: Seq[Seq[Float]]): Column = {
+    val evalLit = typedlit(evalVecs)
+    array_max(transform(evalLit, e => cosine(col("embedding"), e)))
+  }
+
+  /** The eval cohort's vectors, collected in vec_id order (bounded:
+    * SemanticEvalN rows).
+    */
+  private[graft] def evalCohort(emb: DataFrame, evalN: Int): Seq[Seq[Float]] =
+    emb.filter(col("vec_id") < evalN)
+      .orderBy("vec_id")
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0))
+      .toSeq
+
+  /** Semantic (embedding-space) decontamination audit: for every corpus
+    * vector outside the fixed eval carve, the max cosine against the eval
+    * cohort; per-label counts of vectors above the flag threshold — the
+    * similarity-based complement of the lexical `decontamination_*`
+    * family (an eval item paraphrased or re-tokenized never collides on
+    * n-grams but still lands next to its source in embedding space).
+    *
+    * Scale shape: the eval set is a constant-size broadcast literal, so
+    * the flag is ONE scan with per-row bounded work (evalN folds), no
+    * join, no shuffle until the label rollup (bounded label domain,
+    * map-side combined). Linear in the corpus with a constant eval set —
+    * the shape that survives 100 TB.
+    */
+  def decontaminationSemantic(
+      s: SparkSession, dir: String,
+      evalN: Int = SemanticEvalN, tauMilli: Int = SemanticTauMilli): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val evalVecs = evalCohort(emb, evalN)
+    semanticFlags(emb.filter(col("vec_id") >= evalN), evalVecs)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_corpus"),
+        sum(col("flagged")).as("n_flagged"),
+        max(col("max_cos_milli")).as("max_cos_milli"))
+      .withColumn("flagged_ppm", expr("(n_flagged * 1000000) div n_corpus"))
+      .select("label", "n_corpus", "n_flagged", "flagged_ppm", "max_cos_milli")
+      .orderBy("label")
+  }
+
+  /** The shared per-row projection (corpus frame -> flag columns): also
+    * run verbatim by the streaming twin, so streamed flags are pinned
+    * bit-equal to the batch pass.
+    */
+  private[graft] def semanticFlags(
+      corpus: DataFrame, evalVecs: Seq[Seq[Float]],
+      tauMilli: Int = SemanticTauMilli): DataFrame =
+    corpus
+      .withColumn("max_cos", maxEvalCosine(evalVecs))
+      .withColumn("max_cos_milli",
+        expr("CAST(round(max_cos * 1000) AS BIGINT)"))
+      .withColumn("flagged",
+        (col("max_cos_milli") >= tauMilli).cast("long"))
+
+  /** DuckDB oracle for [[decontaminationSemantic]]: the eval cohort is
+    * recomputed from the same table (vec_id < evalN), the max-cosine fold
+    * and rollup mirror the Spark expressions.
+    */
+  def decontaminationSemanticOracleSql(
+      evalN: Int = SemanticEvalN, tauMilli: Int = SemanticTauMilli): String =
+    s"""WITH ev AS (
+       | SELECT vec_id AS e_id, embedding AS ev FROM embeddings WHERE vec_id < $evalN),
+       |c AS (SELECT vec_id, label, embedding AS cv FROM embeddings WHERE vec_id >= $evalN),
+       |m AS (
+       | SELECT c.vec_id, c.label,
+       |  CAST(round(max(
+       |   round(
+       |    list_sum(list_transform(list_zip(cv, ev), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(cv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(ev, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6)
+       |  ) * 1000) AS BIGINT) AS max_cos_milli
+       | FROM c, ev GROUP BY c.vec_id, c.label)
+       |SELECT label, count(*) AS n_corpus,
+       | CAST(sum(CASE WHEN max_cos_milli >= $tauMilli THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       | CAST((sum(CASE WHEN max_cos_milli >= $tauMilli THEN 1 ELSE 0 END) * 1000000)
+       |   // count(*) AS BIGINT) AS flagged_ppm,
+       | max(max_cos_milli) AS max_cos_milli
+       |FROM m GROUP BY label ORDER BY label""".stripMargin
 }

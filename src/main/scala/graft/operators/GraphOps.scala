@@ -1250,6 +1250,82 @@ object GraphOps {
     sb.toString
   }
 
+  /** Seeded harmonic centrality: per node, Σ 1/d(seed, node) over a
+    * FIXED cohort of the `nSeeds` lowest node ids, in micro fixed-point
+    * (`1000000 div hops`, summed exactly). True harmonic centrality is
+    * all-pairs (O(n·m) — unrunnable at scale); the seeded form is the
+    * standard estimator (Eppstein–Wang style: centrality against a
+    * fixed landmark set), and the FIXED cohort keeps the audit's cost
+    * independent of corpus size (the §5 bounded-carve rule).
+    *
+    * Mechanics: the [[bfsHops]] relaxation with `seed` as an extra key —
+    * state is (node, seed, hops), at most nSeeds rows per node, carry is
+    * the same union + min-combine (map-side combined, exchange reused).
+    * Distances are exact integers so every round is deterministic and
+    * the unrolled oracle matches bit-for-bit. Nodes no seed reaches
+    * within `rounds` drop out (the bfs drop-out contract); a seed's own
+    * hops=0 row is excluded from its centrality (standard harmonic).
+    */
+  def harmonicCentrality(
+      s: SparkSession,
+      dir: String,
+      rounds: Int = 4,
+      nSeeds: Int = 8): DataFrame = {
+    val dirEdges = directedEdges(s, dir).repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val seeds = nodes.orderBy("node").limit(nSeeds)
+    var dist = seeds.select(col("node"), col("node").as("seed"),
+      lit(0L).as("hops"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dirEdges
+        .join(roundSide(dist.withColumnRenamed("node", "src"), n * nSeeds),
+          "src")
+        .select(col("dst").as("node"), col("seed"),
+          (col("hops") + 1L).as("hops"))
+      dist = truncate(s, dist.union(relaxed)
+        .groupBy("node", "seed").agg(min("hops").as("hops")))
+    }
+    dist.filter(col("hops") > 0L)
+      .groupBy("node")
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div hops")).as("harmonic_micro"))
+      .orderBy("node")
+  }
+
+  def harmonicCentralityOracleSql(rounds: Int = 4, nSeeds: Int = 8): String = {
+    val inf = Long.MaxValue
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH und AS MATERIALIZED (
+         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         | FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |seeds AS MATERIALIZED (SELECT node AS seed FROM nodes ORDER BY node LIMIT $nSeeds),
+         |d0 AS MATERIALIZED (SELECT seed AS node, seed, 0::BIGINT AS hops FROM seeds)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (
+        | SELECT coalesce(p.node, r.node) AS node,
+        |  coalesce(p.seed, r.seed) AS seed,
+        |  least(coalesce(p.hops, $inf), coalesce(r.h2, $inf)) AS hops
+        | FROM d${i - 1} p FULL JOIN (
+        |  SELECT e.dst AS node, p.seed, min(p.hops + 1) AS h2
+        |  FROM edges e JOIN d${i - 1} p ON e.src = p.node GROUP BY e.dst, p.seed) r
+        |  ON p.node = r.node AND p.seed = r.seed)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT node, count(*) AS n_reached,
+      | CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_micro
+      |FROM d$rounds WHERE hops > 0 GROUP BY node ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   private def pagerankChainSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(

@@ -403,4 +403,76 @@ object LayoutOps {
        | CAST(sum(match_rows) AS BIGINT) AS rows_match,
        | (CAST(sum(is_read * rows) AS BIGINT) * 10000) // greatest(CAST(sum(match_rows) AS BIGINT), 1) AS read_amp_bp
        |FROM perfile GROUP BY layout ORDER BY layout""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Small-files compaction planning
+  // -------------------------------------------------------------------
+
+  /** Docs per synthetic input file (a deliberately fragmented layout —
+    * the small-files problem the plan exists to fix).
+    */
+  val CompactionDocsPerFile = 4
+
+  /** Target merged-file size in bytes (n_chars standing in for bytes). */
+  val CompactionTargetBytes = 4096L
+
+  /** Small-files compaction plan — the lakehouse `OPTIMIZE` planning
+    * step: given a per-file listing (source, file_id, bytes), assign
+    * files in id order to merge groups by start-offset binning
+    * (`(cum_bytes - bytes) div target`), so every group's total lands in
+    * [target, target + max_file) and the assignment is a pure function
+    * of the listing — re-runs produce the same plan with no coordination.
+    *
+    * Scale shape: the INPUT of a real compaction planner is the file
+    * manifest (one row per file — millions of rows at 100 TB, not
+    * billions); here the manifest is derived from the documents table by
+    * a map-side-combined groupBy, and the plan itself is a per-source
+    * window cumsum over that small frame. Partitioned by source so no
+    * global sort exists; sources are the table's natural write
+    * partitions.
+    */
+  def compactionPlan(
+      s: SparkSession, dir: String,
+      docsPerFile: Int = CompactionDocsPerFile,
+      targetBytes: Long = CompactionTargetBytes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.documents(s, dir)
+      .select(col("source"),
+        expr(s"doc_id div $docsPerFile").as("file_id"), col("n_chars"))
+      .groupBy("source", "file_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("bytes"))
+    val w = Window.partitionBy("source").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("merge_group", expr(s"(cum - bytes) div $targetBytes"))
+      .groupBy("source", "merge_group")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("n_docs").as("n_docs"),
+        sum("bytes").as("bytes"),
+        min("file_id").as("file_lo"),
+        max("file_id").as("file_hi"))
+      .orderBy("source", "merge_group")
+  }
+
+  /** DuckDB oracle for [[compactionPlan]]. */
+  def compactionPlanOracleSql(
+      docsPerFile: Int = CompactionDocsPerFile,
+      targetBytes: Long = CompactionTargetBytes): String =
+    s"""WITH f AS (
+       | SELECT source, doc_id // $docsPerFile AS file_id,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
+       | FROM documents GROUP BY source, doc_id // $docsPerFile),
+       |c AS (
+       | SELECT source, file_id, n_docs, bytes,
+       |  sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+       |   ROWS UNBOUNDED PRECEDING) AS cum
+       | FROM f)
+       |SELECT source, CAST((cum - bytes) // $targetBytes AS BIGINT) AS merge_group,
+       | count(*) AS n_files, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       | CAST(sum(bytes) AS BIGINT) AS bytes,
+       | min(file_id) AS file_lo, max(file_id) AS file_hi
+       |FROM c GROUP BY source, (cum - bytes) // $targetBytes
+       |ORDER BY source, merge_group""".stripMargin
 }

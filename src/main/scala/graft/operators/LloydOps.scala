@@ -1003,6 +1003,101 @@ object LloydOps {
       knnGraphIvfOracleSql(k,
         probeFilter = s"AND q_id IN $cohortSql"))
 
+  /** One NN-descent refinement round over [[knnGraphIvf]] (Dong et al.
+    * 2011: a vector's true neighbors are usually neighbors OF its
+    * current neighbors): candidates = the base graph's edges, their
+    * reverses, and the 2-hop closure, re-scored exactly and re-ranked.
+    * Per-vector candidate work is bounded by k + k + k² regardless of
+    * corpus size or clustering — the refinement costs one id-only
+    * self-join on the (tiny) edge list plus a shortlist re-score, and
+    * buys back the recall the IVF list boundary loses (neighbors that
+    * fall just outside the probed lists are reachable through a co-list
+    * neighbor). The base graph is materialized ONCE (truncated) and
+    * feeds all three candidate branches.
+    */
+  def knnGraphRefined(
+      s: SparkSession, dir: String,
+      k: Int = 3, nprobe: Int = KnnNprobe): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = GraphOps.truncate(s,
+      knnGraphIvf(s, dir, k, nprobe).select("q_id", "c_id"))
+    val rev = base.select(col("c_id").as("q_id"), col("q_id").as("c_id"))
+    val nn2 = base.as("a")
+      .join(base.as("b"), col("a.c_id") === col("b.q_id"))
+      .select(col("a.q_id").as("q_id"), col("b.c_id").as("c_id"))
+    val cand = base.union(rev).union(nn2)
+      .filter(col("q_id") =!= col("c_id")).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        "q_id")
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+        "c_id")
+      .select(col("q_id"), col("c_id"),
+        AnnOps.cosine(col("qv"), col("cv")).as("cosine_r6"))
+    AnnOps.rankTopK(s, scored, k)
+  }
+
+  /** Oracle for [[knnGraphRefined]]: the IVF chain once, then the
+    * direct/reverse/2-hop candidate union (UNION dedups, mirroring the
+    * Spark `.distinct()`), exact re-score, re-rank.
+    */
+  def knnGraphRefinedOracleSql(
+      k: Int = 3, nprobe: Int = KnnNprobe, iters: Int = Iters,
+      probeFilter: String = ""): String =
+    knnIvfChainSql(nprobe, iters) + s""",
+       |base AS (SELECT q_id, c_id FROM r WHERE rank <= $k),
+       |cand AS (
+       | SELECT q_id, c_id FROM base
+       | UNION SELECT c_id AS q_id, q_id AS c_id FROM base
+       | UNION SELECT a.q_id, b.c_id FROM base a JOIN base b ON a.c_id = b.q_id
+       |  WHERE a.q_id <> b.c_id),
+       |p2 AS (
+       | SELECT cand.q_id, cand.c_id,
+       |  round(
+       |   list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+       |     t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+       |   / (sqrt(list_sum(list_transform(qe.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       |      * sqrt(list_sum(list_transform(ce.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)
+       |   AS cosine_r6
+       | FROM cand
+       |  JOIN embeddings qe ON cand.q_id = qe.vec_id
+       |  JOIN embeddings ce ON cand.c_id = ce.vec_id),
+       |r2 AS (
+       | SELECT q_id, c_id, cosine_r6,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+       | FROM p2)
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r2
+       |WHERE rank <= $k $probeFilter
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Recall@k of the refined graph over the fixed probe cohort — read
+    * beside [[knnRecallIvf]]: the pair prices what one NN-descent round
+    * buys over the raw IVF graph.
+    */
+  def knnRecallRefined(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cohort = emb.select(col("vec_id")).orderBy("vec_id")
+      .limit(KnnProbeCohort)
+    val q = emb.join(broadcast(cohort), "vec_id")
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val scored = broadcast(q)
+      .crossJoin(emb.select(col("vec_id").as("c_id"), col("embedding").as("cv")))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        AnnOps.cosine(col("qv"), col("cv")).as("cosine_r6"))
+    val exact = AnnOps.rankTopK(s, scored, k)
+    val approx = knnGraphRefined(s, dir, k)
+      .join(broadcast(cohort.select(col("vec_id").as("q_id"))), Seq("q_id"),
+        "left_semi")
+    AnnOps.recallOf(exact, approx)
+  }
+
+  def knnRecallRefinedOracleSql(k: Int = 3): String =
+    AnnOps.recallAuditSql(
+      knnExactProbeSql(k),
+      knnGraphRefinedOracleSql(k,
+        probeFilter = s"AND q_id IN $cohortSql"))
+
   /** IVF list-occupancy histogram at the [[listsFor]] operating point —
     * the capacity meter for every Lloyd-list consumer, symmetric with
     * [[AnnOps.bucketOccupancy]]'s SimHash readout: per occupancy band,

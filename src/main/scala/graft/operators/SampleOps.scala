@@ -690,4 +690,77 @@ object SampleOps {
       | (1000 * ((1000 * w_fp) // total_w))
       |  // greatest((1000 * n) // total_docs, 1) AS boost_milli
       |FROM b CROSS JOIN t ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Leave-one-source-out quality ablation
+  // -------------------------------------------------------------------
+
+  /** Leave-one-source-out quality ablation: for each source, the corpus
+    * keep-rate (Gopher rules, [[TextOps.qualityFlags]]) WITHOUT that
+    * source, and the ppm delta against the full corpus — the data-mixing
+    * readout that ranks sources by how much removing them would move
+    * corpus quality, computed from per-source totals alone (never a
+    * second scan per source: ablating source X from an additive metric
+    * is total minus X's contribution).
+    *
+    * Scale shape: one scan -> per-source totals (bounded source domain,
+    * map-side combined) -> a one-row totals frame broadcast back. The
+    * leave-one-out arithmetic is per-source integer math on that tiny
+    * frame; cost is one pass at any corpus size.
+    */
+  def sourceAblation(s: SparkSession, dir: String): DataFrame = {
+    val per = TextOps.qualityFlags(Tables.documents(s, dir))
+      .select(col("source"), col("keep").cast("long").as("keep"), col("n_chars"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("keep").as("kept"),
+        sum("n_chars").cast("long").as("chars"))
+    val tot = per.agg(
+      sum("docs").as("t_docs"), sum("kept").as("t_kept"),
+      sum("chars").as("t_chars"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("docs"),
+        expr("(1000000 * kept) div docs").as("kept_ppm"),
+        expr("(1000000 * chars) div t_chars").as("char_share_ppm"),
+        expr("(1000000 * (t_kept - kept)) div greatest(t_docs - docs, 1)")
+          .as("kept_ppm_excl"),
+        (expr("(1000000 * (t_kept - kept)) div greatest(t_docs - docs, 1)") -
+          expr("(1000000 * t_kept) div t_docs")).as("delta_ppm"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[sourceAblation]] (quality CTE text shared with
+    * the `quality_filter` oracle).
+    */
+  val SourceAblationOracleSql: String =
+    """WITH t AS (
+      | SELECT source, n_chars,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+      |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+      |  CAST(len(regexp_extract_all(text, '\b(the|and|is|of|to|in|it|a)\b')) AS BIGINT) AS n_stopwords
+      | FROM documents),
+      |r AS (
+      | SELECT source, n_chars,
+      |  CAST(CAST(n_tokens < 20 AS BIGINT)
+      |   + CAST((1000 * n_chars_nows) // greatest(n_tokens, 1) NOT BETWEEN 3000 AND 5000 AS BIGINT)
+      |   + CAST(n_stopwords = 0 AS BIGINT)
+      |   + CAST((1000 * n_punct) // greatest(n_tokens, 1) > 200 AS BIGINT) = 0 AS BIGINT) AS keep
+      | FROM t),
+      |per AS (
+      | SELECT source, count(*) AS docs, CAST(sum(keep) AS BIGINT) AS kept,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      | FROM r GROUP BY source),
+      |tot AS (
+      | SELECT CAST(sum(docs) AS BIGINT) AS t_docs, CAST(sum(kept) AS BIGINT) AS t_kept,
+      |  CAST(sum(chars) AS BIGINT) AS t_chars FROM per)
+      |SELECT source, docs,
+      | (1000000 * kept) // docs AS kept_ppm,
+      | (1000000 * chars) // t_chars AS char_share_ppm,
+      | (1000000 * (t_kept - kept)) // greatest(t_docs - docs, 1) AS kept_ppm_excl,
+      | (1000000 * (t_kept - kept)) // greatest(t_docs - docs, 1)
+      |  - (1000000 * t_kept) // t_docs AS delta_ppm
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 }
