@@ -37,6 +37,8 @@ object Registry {
     "hits", "connected_components", "components_conv", "triangle_count",
     "kcore", "kcore_conv", "ppr_seeded", "bfs_hops", "sssp_weighted",
     "harmonic_centrality",
+    // AssocOps entity resolution (persists the match-edge frame).
+    "entity_clusters",
     "graph_assortativity", "mst_forest", "community_lpa", "community_stats",
     // MinHashOps shingle family (shingle sets + inverted indexes).
     "dedup_minhash", "dedup_ngram", "ngram_stop_shingles",
@@ -307,6 +309,12 @@ object Registry {
     // whose quadratic step never leaves a block.
     q("fuzzy_link_parts", AssocOps.fuzzyLinkOracleSql())(
       (s, d) => AssocOps.fuzzyLinkParts(s, d)),
+
+    // ...and the entity-resolution step those blocked pairs feed:
+    // min-label propagation collapses transitive match chains into
+    // entities (one row each: label, member count, key range).
+    q("entity_clusters", AssocOps.entityClustersOracleSql())(
+      (s, d) => AssocOps.entityClusters(s, d)),
 
     // Skyline / Pareto frontier (min price, max size): dominance test
     // decomposed into hierarchical prefix maxima — no self-join, no
@@ -815,6 +823,12 @@ object Registry {
     // classes below each k threshold and the row ppm they hold.
     q("k_anonymity_audit", PiiOps.KAnonymityOracleSql)(
       PiiOps.kAnonymityAudit),
+
+    // l-diversity ladder beside it: k bounds re-identification, l bounds
+    // attribute disclosure (a 50-anonymous class still leaks if all 50
+    // share one sensitive value).
+    q("l_diversity_audit", PiiOps.LDiversityOracleSql)(
+      PiiOps.lDiversityAudit),
 
     // C4-style normalized dedup: case/punct/whitespace-insensitive digest
     // groups — same shuffle contract as dedup_exact.

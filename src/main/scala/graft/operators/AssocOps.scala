@@ -223,4 +223,91 @@ object AssocOps {
        |  AND l.p_partkey < r.p_partkey
        |GROUP BY l.p_type, l.p_size
        |ORDER BY l.p_type, l.p_size""".stripMargin
+
+  /** Entity-resolution clusters — the step [[fuzzyLinkParts]] feeds:
+    * match pairs (same (p_type, p_size) block, name Levenshtein ≤
+    * `maxDist`) become an undirected graph, `rounds` synchronous
+    * min-label propagation rounds collapse transitive match chains
+    * (A≈B, B≈C ⇒ one entity even when A and C never matched directly),
+    * and each multi-record entity emits one row: fixed-round label,
+    * member count, canonical key range. Fixed rounds, not convergence —
+    * both engines run the identical unrolled relaxation, and fuzzy-match
+    * chains inside a block are short (the spec pins a planted 3-chain).
+    *
+    * Scale shape: candidate pairs are BLOCKED (the linkage family's
+    * contract — never all-pairs), label state is one row per matched
+    * node, each round is the bfs-style union + min-combine with the
+    * exchange reused, and the rollup is one grouped aggregate over the
+    * matched-node frame (small: only records with a fuzzy match at all).
+    */
+  def entityClusters(
+      s: SparkSession, dir: String,
+      maxDist: Int = 4, rounds: Int = 4): DataFrame =
+    entityClustersOf(s,
+      Tables.part(s, dir)
+        .select(col("p_partkey").cast("long").as("key"),
+          col("p_name"), col("p_type"), col("p_size")),
+      maxDist, rounds)
+
+  /** [[entityClusters]] over an arbitrary record frame (`key`, `p_name`,
+    * `p_type`, `p_size`) — the spec's planted-chain seam.
+    */
+  private[graft] def entityClustersOf(
+      s: SparkSession, p: DataFrame,
+      maxDist: Int, rounds: Int): DataFrame = {
+    val pairs = p.as("l").join(p.as("r"), Seq("p_type", "p_size"))
+      .filter(col("l.key") < col("r.key") &&
+        levenshtein(col("l.p_name"), col("r.p_name")) <= maxDist)
+      .select(col("l.key").as("src"), col("r.key").as("dst"))
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to rounds) {
+      val relaxed = edges
+        .join(lab.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lab"))
+      lab = GraphOps.truncate(s, lab.union(relaxed)
+        .groupBy("node").agg(min("lab").as("lab")))
+    }
+    lab.groupBy(col("lab").as("entity"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min("node").as("key_lo"),
+        max("node").as("key_hi"))
+      .orderBy("entity")
+  }
+
+  /** DuckDB oracle for [[entityClusters]]: blocked match edges + the
+    * same unrolled min-label rounds (bfs-oracle carry shape).
+    */
+  def entityClustersOracleSql(maxDist: Int = 4, rounds: Int = 4): String = {
+    val inf = Long.MaxValue
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH mp AS MATERIALIZED (
+         | SELECT CAST(l.p_partkey AS BIGINT) AS src, CAST(r.p_partkey AS BIGINT) AS dst
+         | FROM part l JOIN part r
+         |  ON l.p_type = r.p_type AND l.p_size = r.p_size
+         |   AND l.p_partkey < r.p_partkey
+         |   AND levenshtein(l.p_name, r.p_name) <= $maxDist),
+         |edges AS MATERIALIZED (SELECT src, dst FROM mp UNION ALL SELECT dst AS src, src AS dst FROM mp),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM edges)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |l$i AS MATERIALIZED (
+        | SELECT coalesce(p.node, r.node) AS node,
+        |  least(coalesce(p.lab, $inf), coalesce(r.ml, $inf)) AS lab
+        | FROM l${i - 1} p FULL JOIN (
+        |  SELECT e.dst AS node, min(p.lab) AS ml
+        |  FROM edges e JOIN l${i - 1} p ON e.src = p.node GROUP BY e.dst) r
+        |  ON p.node = r.node)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT lab AS entity, count(*) AS n_members,
+      | min(node) AS key_lo, max(node) AS key_hi
+      |FROM l$rounds GROUP BY lab ORDER BY entity""".stripMargin)
+    sb.toString
+  }
 }

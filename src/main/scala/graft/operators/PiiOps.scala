@@ -167,4 +167,63 @@ object PiiOps {
        | CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_below,
        | CAST((1000000 * sum(CASE WHEN sz < k THEN sz ELSE 0 END)) // sum(sz) AS BIGINT) AS suppress_ppm
        |FROM cls, ks GROUP BY k ORDER BY k""".stripMargin
+
+  /** The l ladder audited by [[lDiversityAudit]]. */
+  val DiversityLs: Seq[Int] = Seq(2, 3, 5)
+
+  /** l-diversity release audit — [[kAnonymityAudit]]'s companion: k
+    * bounds RE-IDENTIFICATION (class size), l bounds ATTRIBUTE
+    * disclosure — a class of 50 people is 50-anonymous yet leaks
+    * everyone's balance if all 50 share one balance bucket. Quasi-
+    * identifiers here are (nation, segment); the sensitive attribute is
+    * the account-balance bucket. Per l in the ladder: classes whose
+    * distinct-sensitive count falls below l, the rows inside them, and
+    * the suppression fraction a release at that l would pay.
+    *
+    * Scale shape: one map-side-combined groupBy to (QI-class, sensitive)
+    * pairs, a second to classes (both bounded by the QI domain), then a
+    * broadcast ladder join — no row-level shuffle survives the first
+    * partial aggregate.
+    */
+  def lDiversityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.customer(s, dir)
+      .groupBy(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("sz"),
+        countDistinct(floor(col("c_acctbal") / 1000.0).cast("long"))
+          .as("d_sensitive"))
+    val ls = DiversityLs.toDF("l").select(col("l").cast("long").as("l"))
+    classes
+      .join(broadcast(ls))
+      .groupBy("l")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("d_sensitive") < col("l"), 1L).otherwise(0L))
+          .as("classes_below"),
+        sum(when(col("d_sensitive") < col("l"), col("sz")).otherwise(0L))
+          .as("rows_below"),
+        sum(col("sz")).as("n_rows"))
+      .select(col("l"), col("n_classes"), col("classes_below"),
+        col("rows_below"),
+        expr("(1000000 * rows_below) div n_rows").as("suppress_ppm"))
+      .orderBy("l")
+  }
+
+  /** DuckDB oracle for [[lDiversityAudit]]. */
+  val LDiversityOracleSql: String =
+    s"""WITH cls AS (
+       | SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+       |  count(*) AS sz,
+       |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS d_sensitive
+       | FROM customer GROUP BY 1, 2),
+       |ls AS (SELECT CAST(l AS BIGINT) AS l FROM (VALUES ${DiversityLs.map(l => s"($l)").mkString(", ")}) t(l))
+       |SELECT l,
+       | count(*) AS n_classes,
+       | CAST(sum(CASE WHEN d_sensitive < l THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+       | CAST(sum(CASE WHEN d_sensitive < l THEN sz ELSE 0 END) AS BIGINT) AS rows_below,
+       | CAST((1000000 * sum(CASE WHEN d_sensitive < l THEN sz ELSE 0 END)) // sum(sz) AS BIGINT) AS suppress_ppm
+       |FROM cls, ls GROUP BY l ORDER BY l""".stripMargin
 }

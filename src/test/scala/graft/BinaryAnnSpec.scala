@@ -155,6 +155,36 @@ class BinaryAnnSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("entity clusters: a transitive 3-chain collapses to one entity") {
+    import spark.implicits._
+    import graft.operators.AssocOps
+    // aaaa~aaab (dist 1), aaab~aabb (dist 1), but aaaa~aabb dist 2: with
+    // maxDist 1 only the chain links match — transitivity must merge all
+    // three. 'zzzz' shares the block but matches nothing.
+    val recs = Seq(
+      (1L, "aaaa", "t", 1), (2L, "aaab", "t", 1),
+      (3L, "aabb", "t", 1), (9L, "zzzz", "t", 1))
+      .toDF("key", "p_name", "p_type", "p_size")
+    val out = AssocOps.entityClustersOf(spark, recs, maxDist = 1, rounds = 4)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("entity") == 1L)
+    assert(out.head.getAs[Long]("n_members") == 3L)
+    assert(out.head.getAs[Long]("key_lo") == 1L)
+    assert(out.head.getAs[Long]("key_hi") == 3L)
+  }
+
+  test("l-diversity audit: ladder rows present, suppression monotone in l") {
+    import graft.operators.PiiOps
+    val rows = PiiOps.lDiversityAudit(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("l")).toSeq == Seq(2L, 3L, 5L))
+    val supp = rows.map(_.getAs[Long]("suppress_ppm"))
+    assert(supp.zip(supp.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("classes_below") <= r.getAs[Long]("n_classes"))
+    }
+  }
+
   test("source ablation: totals reconcile and ablating the worst source helps") {
     val rows = SampleOps.sourceAblation(spark, sf).collect()
     assert(rows.length >= 2)
