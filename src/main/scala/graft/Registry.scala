@@ -511,6 +511,12 @@ object Registry {
     q("lang_confusion", TextOps.LangConfusionOracleSql)(
       TextOps.langConfusion),
 
+    // Cohen's kappa for the detector: chance-corrected agreement as one
+    // fixed-point row beside the full confusion matrix (accuracy
+    // flatters any detector on a skewed language mix).
+    q("lang_kappa", TextOps.LangKappaOracleSql)(
+      TextOps.langKappa),
+
     // Per-doc character-bigram self-information (compressibility-proxy
     // junk detector): exact floor-log2 bits via the bitlen trick, the
     // document's OWN statistics rather than the corpus vocabulary.
@@ -1139,6 +1145,12 @@ object Registry {
     q("split_cluster_aware", SplitOps.oracleSql())(
       (s, d) => SplitOps.splitStats(s, d)),
 
+    // Temporal split with a purge/embargo band: train ends strictly
+    // before test starts, the gap absorbs trailing-window features, and
+    // per-split user carryover is reported for population-shift evals.
+    q("split_temporal_embargo", SplitOps.TemporalEmbargoOracleSql)(
+      (s, d) => SplitOps.splitTemporalEmbargo(s, d)),
+
     // Naive vs cluster-aware split leakage, side by side: crossing
     // near-dup pairs + contaminated eval docs (cluster row must be 0).
     q("split_leakage_audit", SplitOps.leakageOracleSql())(
@@ -1596,7 +1608,14 @@ object Registry {
     // read-back pays JSON's schema-inference scan, which is the
     // documented cost of the format, not a harness artifact.
     q("sink_roundtrip_jsonl", sinks.ParquetSink.roundtripOracleSql)(
-      (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "json"))
+      (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "json")),
+
+    // Fourth format arm: CSV (header on write, explicit schema on read —
+    // the format is untyped, so the audit binds types instead of paying
+    // an inference scan). The poly-hash digest catches quoting/escaping
+    // loss, the sums catch numeric round-trip drift.
+    q("sink_roundtrip_csv", sinks.ParquetSink.roundtripOracleSql)(
+      (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "csv"))
   )
 
   val all: Vector[RegisteredQuery] = raw.map { rq =>

@@ -1045,8 +1045,8 @@ object LloydOps {
       k: Int = 3, nprobe: Int = KnnNprobe, iters: Int = Iters,
       probeFilter: String = ""): String =
     knnIvfChainSql(nprobe, iters) + s""",
-       |base AS (SELECT q_id, c_id FROM r WHERE rank <= $k),
-       |cand AS (
+       |base AS MATERIALIZED (SELECT q_id, c_id FROM r WHERE rank <= $k),
+       |cand AS MATERIALIZED (
        | SELECT q_id, c_id FROM base
        | UNION SELECT c_id AS q_id, q_id AS c_id FROM base
        | UNION SELECT a.q_id, b.c_id FROM base a JOIN base b ON a.c_id = b.q_id

@@ -212,4 +212,76 @@ object SplitOps {
        |  WHEN bucket < $ValMilli THEN 'val' ELSE 'test' END AS split,
        | count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters
        |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** Train-span and embargo-span widths in milli of the event-time
+    * range: train = first 700‰, embargo = next 50‰ (discarded), test =
+    * the rest.
+    */
+  val TemporalTrainMilli = 700L
+  val TemporalEmbargoMilli = 50L
+
+  /** Temporal train/test split with an embargo gap — the time-series
+    * leakage guard [[splitAssignments]]'s hash split cannot give:
+    * training must END strictly before evaluation STARTS, and the
+    * embargo band between them absorbs windowed features (trailing
+    * aggregates computed at test time would otherwise read training-era
+    * rows right at the boundary — López de Prado's purge/embargo rule).
+    * Cutoffs are fixed fractions of the event-time RANGE (exact integer
+    * micros off one min/max scan), so the split is a pure function of
+    * the table. Per split: volume, distinct users, the time box, and
+    * the count of users already seen in train — the carryover a
+    * population-shift eval watches.
+    *
+    * Scale shape: one min/max scan broadcast back, one per-(user, split)
+    * map-side-combined rollup (state bounded by users×3), then a
+    * users-sized reduction to the 3-row report.
+    */
+  def splitTemporalEmbargo(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts_us"))
+    val box = ev.agg(min("ts_us").as("t0"), max("ts_us").as("t1"))
+    val cut = ev.crossJoin(broadcast(box))
+      .withColumn("span", col("t1") - col("t0"))
+      .withColumn("split",
+        when(col("ts_us") < col("t0") + expr(s"(span * $TemporalTrainMilli) div 1000"),
+          lit("train"))
+          .when(col("ts_us") < col("t0") +
+            expr(s"(span * ${TemporalTrainMilli + TemporalEmbargoMilli}) div 1000"),
+            lit("embargo"))
+          .otherwise(lit("test")))
+    val perUserSplit = cut.groupBy("user_id", "split")
+      .agg(count(lit(1)).as("n"), min("ts_us").as("lo"), max("ts_us").as("hi"))
+    val trainUsers = perUserSplit.filter(col("split") === "train")
+      .select(col("user_id").as("tu"))
+    perUserSplit
+      .join(broadcast(trainUsers), col("user_id") === col("tu"), "left")
+      .groupBy("split")
+      .agg(
+        sum("n").as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(when(col("tu").isNotNull, 1L).otherwise(0L)).as("users_in_train"),
+        min("lo").as("ts_lo"),
+        max("hi").as("ts_hi"))
+      .orderBy("split")
+  }
+
+  /** DuckDB oracle for [[splitTemporalEmbargo]]. */
+  val TemporalEmbargoOracleSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+       |box AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM ev),
+       |cut AS (
+       | SELECT user_id, ts_us,
+       |  CASE WHEN ts_us < t0 + ((t1 - t0) * $TemporalTrainMilli) // 1000 THEN 'train'
+       |   WHEN ts_us < t0 + ((t1 - t0) * ${TemporalTrainMilli + TemporalEmbargoMilli}) // 1000 THEN 'embargo'
+       |   ELSE 'test' END AS split
+       | FROM ev, box),
+       |pus AS (
+       | SELECT user_id, split, count(*) AS n, min(ts_us) AS lo, max(ts_us) AS hi
+       | FROM cut GROUP BY 1, 2),
+       |tu AS (SELECT DISTINCT user_id FROM pus WHERE split = 'train')
+       |SELECT split, CAST(sum(n) AS BIGINT) AS n_events,
+       | count(*) AS n_users,
+       | CAST(sum(CASE WHEN tu.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS users_in_train,
+       | min(lo) AS ts_lo, max(hi) AS ts_hi
+       |FROM pus LEFT JOIN tu ON pus.user_id = tu.user_id
+       |GROUP BY split ORDER BY split""".stripMargin
 }

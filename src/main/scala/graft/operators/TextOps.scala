@@ -703,6 +703,79 @@ object TextOps {
       .orderBy("lang", "predicted_lang")
   }
 
+  /** Cohen's kappa between the declared `lang` column and the n-gram
+    * detector's verdict — the single-number chance-corrected agreement
+    * statistic read beside [[langConfusion]]'s full matrix (raw accuracy
+    * flatters a detector on a skewed language mix; kappa subtracts the
+    * agreement a label-marginal random guesser gets for free). All
+    * fixed-point: po/pe in ppm, kappa in milli; the marginal product sum
+    * runs in DECIMAL(38,0) (the community_stats overflow precedent — at
+    * web scale Σ dc·pc exceeds INT64 long before any other term).
+    * Confusion counts are bounded by the language-domain square, so
+    * everything after the first map-side-combined rollup is constant
+    * size.
+    */
+  def langKappa(s: SparkSession, dir: String): DataFrame = {
+    val cm = langId(s, dir)
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("docs"))
+    val tot = cm.agg(
+      sum("docs").as("n_docs"),
+      sum(when(col("lang") === col("predicted_lang"), col("docs"))
+        .otherwise(0L)).as("agree_docs"))
+    val d = cm.groupBy("lang").agg(sum("docs").as("dc"))
+    val p = cm.groupBy(col("predicted_lang").as("lang"))
+      .agg(sum("docs").as("pc"))
+    val peRaw = d.join(p, "lang")
+      .agg(sum(expr("CAST(dc AS DECIMAL(38,0)) * pc")).as("pe_raw"))
+    tot.crossJoin(broadcast(peRaw))
+      .select(
+        col("n_docs"), col("agree_docs"),
+        expr("(1000000 * agree_docs) div n_docs").as("po_ppm"),
+        expr("CAST((pe_raw * 1000000) div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+          .as("pe_ppm"))
+      .select(col("n_docs"), col("agree_docs"), col("po_ppm"), col("pe_ppm"),
+        expr("(1000 * (po_ppm - pe_ppm)) div (1000000 - pe_ppm)")
+          .as("kappa_milli"))
+  }
+
+  /** DuckDB oracle for [[langKappa]] (the lang_id CTEs + the same ppm
+    * fixed-point; HUGEINT carries the marginal product sum).
+    */
+  val LangKappaOracleSql: String =
+    """WITH s AS (
+      | SELECT doc_id, lang,
+      |  CAST(len(regexp_extract_all(text, '\b(the|and|is|of)\b')) AS BIGINT) AS s_en,
+      |  CAST(len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) AS BIGINT) AS s_es,
+      |  CAST(len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS BIGINT) AS s_fr,
+      |  CAST(len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS BIGINT) AS s_de
+      | FROM documents),
+      |pr AS (
+      | SELECT lang,
+      |  CASE
+      |   WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |   WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+      |   WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+      |   WHEN s_de > 0 THEN 'de'
+      |   ELSE 'und' END AS predicted_lang
+      | FROM s),
+      |cm AS (SELECT lang, predicted_lang, count(*) AS docs FROM pr GROUP BY 1, 2),
+      |tot AS (
+      | SELECT CAST(sum(docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN lang = predicted_lang THEN docs ELSE 0 END) AS BIGINT) AS agree_docs
+      | FROM cm),
+      |dm AS (SELECT lang, CAST(sum(docs) AS BIGINT) AS dc FROM cm GROUP BY lang),
+      |pm AS (SELECT predicted_lang AS lang, CAST(sum(docs) AS BIGINT) AS pc FROM cm GROUP BY 1),
+      |pe AS (SELECT sum(CAST(dc AS HUGEINT) * pc) AS pe_raw FROM dm JOIN pm USING (lang)),
+      |f AS (
+      | SELECT n_docs, agree_docs,
+      |  (1000000 * agree_docs) // n_docs AS po_ppm,
+      |  CAST((pe_raw * 1000000) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS pe_ppm
+      | FROM tot, pe)
+      |SELECT n_docs, agree_docs, po_ppm, pe_ppm,
+      | (1000 * (po_ppm - pe_ppm)) // (1000000 - pe_ppm) AS kappa_milli
+      |FROM f""".stripMargin
+
   val LangConfusionOracleSql: String =
     """WITH s AS (
       | SELECT doc_id, lang,

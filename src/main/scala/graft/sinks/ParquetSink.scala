@@ -25,12 +25,14 @@ object ParquetSink {
       partitionBy: Seq[String],
       sortWithin: Seq[String] = Nil,
       maxRecordsPerFile: Long = 5000000L,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit = {
     val sorted =
       if (sortWithin.nonEmpty) df.sortWithinPartitions(sortWithin.map(df.col): _*)
       else df
     sorted.write
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(options)
       .partitionBy(partitionBy: _*)
       .mode("overwrite")
       .format(format)
@@ -56,11 +58,23 @@ object ParquetSink {
     val scratch =
       s"/tmp/graft-sink-roundtrip/${new java.io.File(dir).getName}-" +
         s"${ProcessHandle.current().pid()}/documents-$format"
+    // CSV is untyped and headerless by default: the write emits a header
+    // and the read-back binds the EXPLICIT schema (inference would be a
+    // second full scan and could legitimately drift on an all-digit text
+    // column — the audit must test the write path, not the inferrer).
+    val fmtOpts =
+      if (format == "csv") Map("header" -> "true") else Map.empty[String, String]
     writePartitioned(
       Tables.documents(s, dir), scratch,
-      partitionBy = Seq("lang"), sortWithin = Seq("doc_id"), format = format)
+      partitionBy = Seq("lang"), sortWithin = Seq("doc_id"), format = format,
+      options = fmtOpts)
     def fp(c: org.apache.spark.sql.Column) = GraftFunctions.poly_hash(c, 31, 1000000007L)
-    s.read.format(format).load(scratch)
+    val reader0 = s.read.format(format).options(fmtOpts)
+    val reader =
+      if (format == "csv")
+        reader0.schema("doc_id BIGINT, text STRING, source STRING, n_chars BIGINT")
+      else reader0
+    reader.load(scratch)
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

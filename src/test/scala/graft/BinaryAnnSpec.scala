@@ -185,6 +185,35 @@ class BinaryAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("lang kappa: po matches the confusion diagonal, kappa in range") {
+    import graft.operators.TextOps
+    val k = TextOps.langKappa(spark, sf).collect().head
+    val n = k.getAs[Long]("n_docs")
+    val agree = k.getAs[Long]("agree_docs")
+    val diag = TextOps.langConfusion(spark, sf).collect()
+      .filter(r => r.getString(0) == r.getString(1))
+      .map(_.getAs[Long]("docs")).sum
+    assert(agree == diag)
+    assert(k.getAs[Long]("po_ppm") == 1000000L * agree / n)
+    val km = k.getAs[Long]("kappa_milli")
+    assert(km >= -1000L && km <= 1000L)
+  }
+
+  test("temporal embargo split: ordered time boxes, train carryover total") {
+    import graft.operators.SplitOps
+    val rows = SplitOps.splitTemporalEmbargo(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("train", "embargo", "test"))
+    val tr = rows("train"); val em = rows("embargo"); val te = rows("test")
+    // Train ends strictly before the embargo band, which ends strictly
+    // before test begins.
+    assert(tr.getAs[Long]("ts_hi") < em.getAs[Long]("ts_lo"))
+    assert(em.getAs[Long]("ts_hi") < te.getAs[Long]("ts_lo"))
+    assert(tr.getAs[Long]("users_in_train") == tr.getAs[Long]("n_users"))
+    val total = rows.values.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
   test("source ablation: totals reconcile and ablating the worst source helps") {
     val rows = SampleOps.sourceAblation(spark, sf).collect()
     assert(rows.length >= 2)
