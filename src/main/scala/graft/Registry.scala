@@ -777,6 +777,14 @@ object Registry {
     q("source_ablation", SampleOps.SourceAblationOracleSql)(
       (s, d) => SampleOps.sourceAblation(s, d)),
 
+    // Score-based selection: integer composite score (quality keep +
+    // exact-unique + language-known), per-source top-600-milli cut at
+    // EXACT hierarchical rank; one waterline row per source. Where
+    // sample_stratified keeps a hash-random fraction, this keeps the
+    // best fraction.
+    q("selection_scores", SampleOps.selectionScoresOracleSql())(
+      (s, d) => SampleOps.selectionScores(s, d)),
+
     // Flagship composition: quality filter -> stratified sample -> shard
     // routing in ONE declarative plan (single scan, one agg shuffle).
     q("curation_pipeline", SampleOps.curationOracleSql())(

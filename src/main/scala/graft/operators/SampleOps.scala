@@ -731,6 +731,103 @@ object SampleOps {
       .orderBy("source")
   }
 
+  /** Per-source selection fraction for [[selectionScores]], in milli. */
+  val SelectMilli = 600L
+
+  /** The union of all four detector stopword alternations — nonzero
+    * count ⇔ [[TextOps.langId]] predicts something other than 'und'
+    * (word lists are disjoint, and whenever any list scores > 0 one
+    * branch of the detector fires).
+    */
+  private val LangKnownRe =
+    "\\b(the|and|is|of|el|la|de|que|y|le|les|et|est|une|der|die|und|das|ist)\\b"
+
+  /** Score-based data selection (the DataComp/quality-classifier shape):
+    * every doc gets an integer composite score — 500·quality-keep +
+    * 300·exact-unique + 200·language-known — and each source keeps its
+    * top [[SelectMilli]]‰ by (score desc, doc_id) EXACT rank; the report
+    * is one row per source with the selected volume, the waterline score
+    * (the last admitted doc's score), and the selected mass's quality
+    * makeup. Where `sample_stratified` keeps a hash-random fraction,
+    * this keeps the BEST fraction — the curation step between scoring
+    * and training-shard export.
+    *
+    * Scale shape: one scan computes every signal (the dup signal costs
+    * the dedup_exact digest exchange — 64-byte keys, never text); the
+    * per-source rank is [[RankOps.withHierarchicalRank]], so no source
+    * funnels through one task (the length_quartiles precedent); the
+    * waterline rollup is per-source bounded.
+    */
+  def selectionScores(
+      s: SparkSession, dir: String,
+      selectMilli: Long = SelectMilli): DataFrame = {
+    val sized = TextOps.qualityFlags(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("keep"),
+        sha2(col("text"), 256).as("h"),
+        (regexp_count(col("text"), lit(LangKnownRe)) > 0)
+          .cast("long").as("lang_known"))
+    val dupSizes = sized.groupBy("h").agg(count(lit(1)).as("copies"))
+    val scored = sized.join(dupSizes, "h")
+      .withColumn("score_milli",
+        expr("500 * keep + 300 * IF(copies = 1, 1, 0) + 200 * lang_known"))
+      .withColumn("inv", expr("1000 - score_milli"))
+    val nSrc = scored.groupBy("source").agg(count(lit(1)).as("n_src"))
+    RankOps.withHierarchicalRank(
+      scored, Seq("source"), "inv", "doc_id", "inv div 100", "rk")
+      .join(broadcast(nSrc), "source")
+      .withColumn("selected",
+        (col("rk") <= expr(s"($selectMilli * n_src) div 1000")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("selected").as("n_selected"),
+        min(when(col("selected") === 1L, col("score_milli")))
+          .as("waterline_score"),
+        sum(when(col("selected") === 1L, col("n_chars")).otherwise(0L))
+          .as("sel_chars"),
+        sum(when(col("selected") === 1L, col("keep")).otherwise(0L))
+          .as("sel_keep"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[selectionScores]] — the flat per-source
+    * row_number window (independent of the hierarchical-rank algorithm).
+    */
+  def selectionScoresOracleSql(selectMilli: Long = SelectMilli): String =
+    s"""WITH t0 AS (
+       | SELECT doc_id, source, n_chars, text, sha256(text) AS h,
+       |  CASE WHEN len(regexp_extract_all(text, '$LangKnownRe')) > 0 THEN 1 ELSE 0 END AS lang_known,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+       |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       |  CAST(len(regexp_extract_all(text, '\\b(the|and|is|of|to|in|it|a)\\b')) AS BIGINT) AS n_stopwords
+       | FROM documents),
+       |t AS (
+       | SELECT doc_id, source, n_chars, h, lang_known,
+       |  CAST(CAST(n_tokens < 20 AS BIGINT)
+       |   + CAST((1000 * n_chars_nows) // greatest(n_tokens, 1) NOT BETWEEN 3000 AND 5000 AS BIGINT)
+       |   + CAST(n_stopwords = 0 AS BIGINT)
+       |   + CAST((1000 * n_punct) // greatest(n_tokens, 1) > 200 AS BIGINT) = 0 AS BIGINT) AS keep
+       | FROM t0),
+       |d AS (SELECT h, count(*) AS copies FROM t GROUP BY h),
+       |sc AS (
+       | SELECT t.*, 500 * keep + 300 * (CASE WHEN copies = 1 THEN 1 ELSE 0 END)
+       |  + 200 * lang_known AS score_milli
+       | FROM t JOIN d USING (h)),
+       |r AS (
+       | SELECT *, row_number() OVER (PARTITION BY source ORDER BY score_milli DESC, doc_id) AS rk,
+       |  count(*) OVER (PARTITION BY source) AS n_src
+       | FROM sc),
+       |sel AS (
+       | SELECT *, CASE WHEN rk <= ($selectMilli * n_src) // 1000 THEN 1 ELSE 0 END AS selected
+       | FROM r)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(selected) AS BIGINT) AS n_selected,
+       | min(CASE WHEN selected = 1 THEN score_milli END) AS waterline_score,
+       | CAST(sum(CASE WHEN selected = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS sel_chars,
+       | CAST(sum(CASE WHEN selected = 1 THEN keep ELSE 0 END) AS BIGINT) AS sel_keep
+       |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
   /** DuckDB oracle for [[sourceAblation]] (quality CTE text shared with
     * the `quality_filter` oracle).
     */

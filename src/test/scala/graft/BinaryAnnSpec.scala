@@ -214,6 +214,22 @@ class BinaryAnnSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("selection scores: per-source cut is exact and waterline-consistent") {
+    import graft.operators.SampleOps
+    val rows = SampleOps.selectionScores(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val sel = r.getAs[Long]("n_selected")
+      // Exact per-source cut: floor(600 * n / 1000) docs admitted.
+      assert(sel == (SampleOps.SelectMilli * n) / 1000,
+        s"source ${r.getString(0)}: $sel of $n")
+      val wl = r.getAs[Long]("waterline_score")
+      assert(wl >= 0L && wl <= 1000L)
+      assert(r.getAs[Long]("sel_keep") <= sel)
+    }
+  }
+
   test("source ablation: totals reconcile and ablating the worst source helps") {
     val rows = SampleOps.sourceAblation(spark, sf).collect()
     assert(rows.length >= 2)

@@ -444,6 +444,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate scan shuffled into a sort-merge join:\n$plan")
   }
 
+  test("semantic decon is one join-free scan: no join operator, label-only shuffle") {
+    val plan = executedPlan(
+      graft.operators.AnnOps.decontaminationSemantic(spark, sf))
+    // The eval cohort rides a broadcast literal, so the flag pass is a
+    // projection: NO join of any kind may appear, and the only shuffled
+    // key is the bounded label rollup (plus the output range sort).
+    assert(!plan.contains("Join"), s"join found in:\n$plan")
+    "Exchange hashpartitioning\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).foreach { key =>
+        assert(key.startsWith("label"), s"unexpected shuffle key $key in:\n$plan")
+      }
+  }
+
+  test("binary ANN: corpus scan never shuffles; raw vectors only join for the shortlist") {
+    val plan = executedPlan(
+      graft.operators.BinaryAnnOps.annBinaryTopK(spark, sf))
+    // Stage 1 (Hamming over packed words) joins the 5-query code side by
+    // broadcast; stage 2 re-attaches raw vectors via broadcast of the
+    // bounded shortlist. The corpus must never be hash-exchanged on an
+    // id for either join — the only allowed hash exchange is the bounded
+    // top-k aggregator's q_id rollup.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join in:\n$plan")
+  }
+
+  test("source ablation: only source survives as a shuffle key") {
+    val plan = executedPlan(
+      graft.operators.SampleOps.sourceAblation(spark, sf))
+    "Exchange hashpartitioning\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).foreach { key =>
+        assert(key.startsWith("source"), s"unexpected shuffle key $key in:\n$plan")
+      }
+    assert(!plan.contains("SortMergeJoin"), s"totals join not broadcast:\n$plan")
+  }
+
   test("epoch schedule collapses map-side: no token or text crosses an exchange") {
     val plan = executedPlan(
       graft.operators.SampleOps.epochSchedule(spark, sf))
