@@ -195,40 +195,93 @@ object AssocOps {
     * and nothing ever compares across blocks. Both engines implement
     * textbook unit-cost edit distance, so `dist` is engine-portable.
     */
+  /** Sorted-neighborhood window for the linkage family: each record is
+    * compared with the next `EntityWindow` records in (p_name, key)
+    * order inside its (p_type, p_size) block.
+    */
+  val EntityWindow = 8
+
+  /** Shared candidate generator for the linkage family: records paired
+    * with their next [[EntityWindow]] name-order neighbors inside each
+    * block, via an EQUI-join on (block, rank+offset) — offsets explode
+    * from a constant literal, so the within-block pair product is never
+    * materialized and candidate volume is window × n at any block size.
+    */
+  private[graft] def windowedBlockPairs(p: DataFrame, window: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_type", "p_size").orderBy("p_name", "key")
+    val ranked = p.withColumn("rn", row_number().over(w))
+    ranked
+      .select(col("p_type"), col("p_size"), col("rn"),
+        col("key").as("src"), col("p_name").as("name_l"))
+      .withColumn("o", explode(array((1 to window).map(lit(_)): _*)))
+      .withColumn("rn", col("rn") + col("o"))
+      .join(ranked.select(col("p_type"), col("p_size"), col("rn"),
+        col("key").as("dst"), col("p_name").as("name_r")),
+        Seq("p_type", "p_size", "rn"))
+      .select(col("p_type"), col("p_size"), col("src"), col("dst"),
+        col("name_l"), col("name_r"))
+  }
+
+  /** Blocked fuzzy-linkage audit. Per (p_type, p_size) block: the EXACT
+    * candidate mass `C(sz, 2)` a naive all-pairs comparer would pay
+    * (computed arithmetically from the block size — no pair is ever
+    * materialized for it), the window × n candidates the sorted-
+    * neighborhood pass actually verifies, the verified matches, and the
+    * windowed distance profile. `cand_pairs − win_pairs` is the priced
+    * dropped-comparison volume (the df-cap dropped-postings precedent):
+    * block keys don't grow with the corpus, so the naive form is
+    * quadratic (measured exp 1.95 on the entity-clusters twin before the
+    * window landed) while this audit stays linear.
+    */
   def fuzzyLinkParts(s: SparkSession, dir: String, maxDist: Int = 4): DataFrame = {
     val p = Tables.part(s, dir)
-      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
-    p.as("l").join(p.as("r"), Seq("p_type", "p_size"))
-      .filter(col("l.p_partkey") < col("r.p_partkey"))
+      .select(col("p_partkey").cast("long").as("key"),
+        col("p_name"), col("p_type"), col("p_size"))
+    val sizes = p.groupBy("p_type", "p_size").agg(count(lit(1)).as("sz"))
+    val stats = windowedBlockPairs(p, EntityWindow)
       .select(col("p_type"), col("p_size"),
-        levenshtein(col("l.p_name"), col("r.p_name")).as("dist"))
+        levenshtein(col("name_l"), col("name_r")).as("dist"))
       .groupBy("p_type", "p_size")
       .agg(
-        count(lit(1)).as("cand_pairs"),
+        count(lit(1)).as("win_pairs"),
         sum(when(col("dist") <= maxDist, 1L).otherwise(0L)).as("matches"),
         min("dist").cast("long").as("min_dist"),
         expr("(1000 * sum(dist)) div count(*)").as("avg_dist_milli"))
+    sizes.filter(col("sz") >= 2)
+      .join(stats, Seq("p_type", "p_size"))
+      .select(col("p_type"), col("p_size"),
+        expr("(sz * (sz - 1)) div 2").as("cand_pairs"),
+        col("win_pairs"), col("matches"), col("min_dist"),
+        col("avg_dist_milli"))
       .orderBy("p_type", "p_size")
   }
 
   def fuzzyLinkOracleSql(maxDist: Int = 4): String =
-    s"""SELECT l.p_type, l.p_size, count(*) AS cand_pairs,
-       | CAST(sum(CASE WHEN levenshtein(l.p_name, r.p_name) <= $maxDist
-       |  THEN 1 ELSE 0 END) AS BIGINT) AS matches,
-       | CAST(min(levenshtein(l.p_name, r.p_name)) AS BIGINT) AS min_dist,
-       | CAST((1000 * sum(levenshtein(l.p_name, r.p_name))) // count(*)
-       |  AS BIGINT) AS avg_dist_milli
-       |FROM part l JOIN part r
-       | ON l.p_type = r.p_type AND l.p_size = r.p_size
-       |  AND l.p_partkey < r.p_partkey
-       |GROUP BY l.p_type, l.p_size
-       |ORDER BY l.p_type, l.p_size""".stripMargin
-
-  /** Sorted-neighborhood window for [[entityClusters]]: each record is
-    * compared with the next `EntityWindow` records in (p_name, key)
-    * order inside its block.
-    */
-  val EntityWindow = 8
+    s"""WITH rk AS (
+       | SELECT CAST(p_partkey AS BIGINT) AS key, p_name, p_type, p_size,
+       |  row_number() OVER (PARTITION BY p_type, p_size
+       |   ORDER BY p_name, CAST(p_partkey AS BIGINT)) AS rn
+       | FROM part),
+       |sz AS (SELECT p_type, p_size, count(*) AS sz FROM rk GROUP BY 1, 2),
+       |wp AS (
+       | SELECT l.p_type, l.p_size,
+       |  levenshtein(l.p_name, r.p_name) AS dist
+       | FROM rk l JOIN rk r
+       |  ON l.p_type = r.p_type AND l.p_size = r.p_size
+       |   AND r.rn - l.rn BETWEEN 1 AND $EntityWindow),
+       |st AS (
+       | SELECT p_type, p_size, count(*) AS win_pairs,
+       |  CAST(sum(CASE WHEN dist <= $maxDist THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+       |  CAST(min(dist) AS BIGINT) AS min_dist,
+       |  CAST((1000 * sum(dist)) // count(*) AS BIGINT) AS avg_dist_milli
+       | FROM wp GROUP BY 1, 2)
+       |SELECT sz.p_type, sz.p_size,
+       | (sz * (sz - 1)) // 2 AS cand_pairs,
+       | win_pairs, matches, min_dist, avg_dist_milli
+       |FROM sz JOIN st ON sz.p_type = st.p_type AND sz.p_size = st.p_size
+       |WHERE sz >= 2
+       |ORDER BY sz.p_type, sz.p_size""".stripMargin
 
   /** Entity-resolution clusters — the step [[fuzzyLinkParts]] feeds:
     * candidate pairs (same (p_type, p_size) block, within a sorted-
@@ -268,19 +321,7 @@ object AssocOps {
   private[graft] def entityClustersOf(
       s: SparkSession, p: DataFrame,
       maxDist: Int, rounds: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("p_type", "p_size").orderBy("p_name", "key")
-    val ranked = p.withColumn("rn", row_number().over(w))
-    val probes = ranked
-      .select(col("p_type"), col("p_size"), col("rn"),
-        col("key").as("src"), col("p_name").as("name_l"))
-      .withColumn("o",
-        explode(array((1 to EntityWindow).map(lit(_)): _*)))
-      .withColumn("rn", col("rn") + col("o"))
-    val pairs = probes
-      .join(ranked.select(col("p_type"), col("p_size"), col("rn"),
-        col("key").as("dst"), col("p_name").as("name_r")),
-        Seq("p_type", "p_size", "rn"))
+    val pairs = windowedBlockPairs(p, EntityWindow)
       .filter(levenshtein(col("name_l"), col("name_r")) <= maxDist)
       .select(col("src"), col("dst"))
     val edges = pairs

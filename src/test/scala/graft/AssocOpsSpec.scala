@@ -76,10 +76,11 @@ class AssocOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("fuzzy linkage matches a naive edit-distance recomputation") {
+  test("fuzzy linkage matches a naive windowed edit-distance recomputation") {
     val rows = AssocOps.fuzzyLinkParts(spark, sf).collect()
       .map(r => ((r.getString(0), r.getInt(1)),
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
     assert(rows.nonEmpty)
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
@@ -92,13 +93,20 @@ class AssocOpsSpec extends AnyFunSuite {
     val parts = Tables.part(spark, sf)
       .select("p_partkey", "p_name", "p_type", "p_size").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    // Naive replay of the contract: exact C(sz,2) candidate mass, then
+    // distances over the sorted-neighborhood window only.
     val naive = parts.groupBy(p => (p._3, p._4)).flatMap { case (blk, ps) =>
-      val ds = for {
-        i <- ps.indices; j <- i + 1 until ps.length
-      } yield lev(ps(i)._2, ps(j)._2)
-      if (ds.isEmpty) None
-      else Some(blk -> (ds.length.toLong, ds.count(_ <= 4).toLong,
-        ds.min.toLong, 1000L * ds.sum / ds.length))
+      if (ps.length < 2) None
+      else {
+        val ordered = ps.sortBy(p => (p._2, p._1))
+        val ds = for {
+          i <- ordered.indices
+          j <- (i + 1) until math.min(i + 1 + AssocOps.EntityWindow, ordered.length)
+        } yield lev(ordered(i)._2, ordered(j)._2)
+        val sz = ps.length.toLong
+        Some(blk -> (sz * (sz - 1) / 2, ds.length.toLong,
+          ds.count(_ <= 4).toLong, ds.min.toLong, 1000L * ds.sum / ds.length))
+      }
     }
     assert(rows.keySet == naive.keySet)
     naive.foreach { case (blk, expect) =>
