@@ -53,7 +53,7 @@ object Registry {
     "rolling_median_7d", "acf_daily",
     // DedupClusterOps family (pair graph + label loop caches).
     "dedup_clusters", "clusters_conv", "dedup_savings",
-    "dedup_survivor_quality", "dedup_cluster_sizes",
+    "dedup_survivor_quality", "dedup_cluster_sizes", "dedup_consensus",
     // TextOps token collapses; SplitOps rides the pair machinery.
     "lm_surprise", "ccnet_buckets", "dsir_weights", "source_similarity",
     "split_cluster_aware", "split_leakage_audit", "dedup_substring",
@@ -706,6 +706,13 @@ object Registry {
     // independent recursive-reachability oracle.
     q("dedup_savings", DedupClusterOps.dedupSavingsOracleSql())(
       DedupClusterOps.dedupSavings),
+
+    // Machine-consensus contingency: per doc, the exact / normalized /
+    // near-dup verdicts rolled to the 2x2x2 table — what each machine
+    // adds, and any exact-dup-missed-by-neardup recall hole as a gated
+    // number.
+    q("dedup_consensus", DedupClusterOps.dedupConsensusOracleSql())(
+      (s, d) => DedupClusterOps.dedupConsensus(s, d)),
 
     // Survivor POLICY audit: keep-min-id vs keep-the-quality-passing
     // member, one hashed decision row per duplicate cluster; independent

@@ -458,4 +458,75 @@ object DedupClusterOps {
        | CAST((1000 * coalesce(d.dup_chars, 0)) // b.chars AS BIGINT)
        |  AS savings_milli
        |FROM b LEFT JOIN d ON b.source = d.source ORDER BY b.source""".stripMargin
+
+  /** Dedup-machine consensus: every document flagged by each of the
+    * three lexical dedup machines — exact (sha256 of the raw text),
+    * normalized (C4-style lower/strip digest), and near-dup (≥ threshold
+    * exact n-gram Jaccard through the capped candidate path) — rolled up
+    * to the 2×2×2 contingency. The cells are the curation decision
+    * table: (0,1,·) is what normalization alone recovers, (·,·,1)-only
+    * is what shingle similarity adds, and any (1,·,0) mass is a RECALL
+    * HOLE in the capped candidate generation (an exact duplicate the
+    * near-dup path failed to pair) — surfaced as a gated number instead
+    * of an assumption.
+    *
+    * Scale shape: two digest exchanges (16/32-byte keys) and the capped
+    * pair machinery the cluster family already prices; the contingency
+    * rollup is map-side combined over 8 cells.
+    */
+  def dedupConsensus(
+      s: SparkSession, dir: String,
+      thresholdMilli: Int = Threshold): DataFrame =
+    dedupConsensusOf(Tables.documents(s, dir), thresholdMilli)
+
+  /** [[dedupConsensus]] over an arbitrary documents frame — the spec's
+    * planted-verdicts seam.
+    */
+  private[graft] def dedupConsensusOf(
+      docs: DataFrame, thresholdMilli: Int): DataFrame = {
+    def digestFlag(d: org.apache.spark.sql.Column, name: String) = {
+      val keyed = docs.select(col("doc_id"), d.as("d"))
+      keyed.join(keyed.groupBy("d").agg(count(lit(1)).as("c")), "d")
+        .select(col("doc_id"), (col("c") > 1).cast("long").as(name))
+    }
+    val exFlag = digestFlag(sha2(col("text"), 256), "f_exact")
+    val nmFlag = digestFlag(
+      sha2(TextOps.normalizeText(col("text")), 256), "f_norm")
+    val pairs = MinHashOps.ngramJaccardPairs(docs, thresholdMilli,
+      Some(MinHashOps.defaultDfCap(docs.count())))
+    val near = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .withColumn("f_near", lit(1L))
+    exFlag.join(nmFlag, "doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("f_near"))
+      .groupBy("f_exact", "f_norm", "f_near")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("f_exact", "f_norm", "f_near")
+  }
+
+  /** DuckDB oracle for [[dedupConsensus]] — the shared capped pair CTEs
+    * plus the two digest groupings.
+    */
+  def dedupConsensusOracleSql(thresholdMilli: Int = Threshold): String =
+    s"""WITH${pairGraphSql(thresholdMilli)},
+       |exd AS (SELECT doc_id, sha256(text) AS d FROM documents),
+       |exc AS (SELECT d, count(*) AS c FROM exd GROUP BY d),
+       |exf AS (
+       | SELECT exd.doc_id, CAST(exc.c > 1 AS BIGINT) AS f_exact
+       | FROM exd JOIN exc USING (d)),
+       |nmd AS (
+       | SELECT doc_id,
+       |  sha256(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+       |   '\\s+', ' ', 'g'))) AS d
+       | FROM documents),
+       |nmc AS (SELECT d, count(*) AS c FROM nmd GROUP BY d),
+       |nmf AS (
+       | SELECT nmd.doc_id, CAST(nmc.c > 1 AS BIGINT) AS f_norm
+       | FROM nmd JOIN nmc USING (d))
+       |SELECT f_exact, f_norm,
+       | CAST(CASE WHEN n0.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS f_near,
+       | count(*) AS n_docs
+       |FROM exf JOIN nmf USING (doc_id) LEFT JOIN n0 ON exf.doc_id = n0.doc_id
+       |GROUP BY 1, 2, 3 ORDER BY f_exact, f_norm, f_near""".stripMargin
 }

@@ -230,6 +230,32 @@ class BinaryAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup consensus: planted verdicts land in the right contingency cells") {
+    import spark.implicits._
+    import graft.operators.DedupClusterOps
+    val base = (1 to 30).map(k => s"w${k}a w${k}b w${k}c").mkString(" ")
+    val docs = Seq(
+      // Exact pair: identical texts (also normalized- and near-dups).
+      (1L, base), (2L, base),
+      // Normalized-only pair: own vocabulary, differ by case/punct only
+      // (shingles are case-sensitive, so they never near-dup pair).
+      (3L, (1 to 40).map(k => s"n${k}p n${k}q").mkString(" ")),
+      (4L, (1 to 40).map(k => s"N${k}P N${k}Q").mkString(" ") + "."),
+      // Near-only pair: one word of ~90 changed.
+      (5L, s"$base uniq5 end"), (6L, s"$base uniq6 end"),
+      // Unique doc: shares nothing.
+      (9L, (1 to 40).map(k => s"z${k}x z${k}y").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cells = DedupClusterOps.dedupConsensusOf(docs, 600)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(cells((1L, 1L, 1L)) == 2L, s"exact pair: $cells")      // 1,2
+    assert(cells((0L, 1L, 0L)) == 2L, s"norm-only pair: $cells")  // 3,4
+    assert(cells((0L, 0L, 1L)) == 2L, s"near-only pair: $cells")  // 5,6
+    assert(cells((0L, 0L, 0L)) == 1L, s"unique doc: $cells")      // 9
+  }
+
   test("source ablation: totals reconcile and ablating the worst source helps") {
     val rows = SampleOps.sourceAblation(spark, sf).collect()
     assert(rows.length >= 2)
