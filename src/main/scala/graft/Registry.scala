@@ -38,7 +38,9 @@ object Registry {
     "kcore", "kcore_conv", "ppr_seeded", "bfs_hops", "sssp_weighted",
     "harmonic_centrality",
     // AssocOps entity resolution (persists the match-edge frame).
-    "entity_clusters",
+    "entity_clusters", "entity_clusters_conv",
+    // LloydOps NN-descent family (localCheckpoints the base IVF graph).
+    "knn_graph_refined", "ann_recall_knn_refined",
     "graph_assortativity", "mst_forest", "community_lpa", "community_stats",
     // MinHashOps shingle family (shingle sets + inverted indexes).
     "dedup_minhash", "dedup_ngram", "ngram_stop_shingles",
@@ -315,6 +317,14 @@ object Registry {
     // entities (one row each: label, member count, key range).
     q("entity_clusters", AssocOps.entityClustersOracleSql())(
       (s, d) => AssocOps.entityClusters(s, d)),
+
+    // ...and its convergence-checked twin: iterate until no label moves,
+    // oracle unrolled with 20-round headroom (a stable fixpoint, so the
+    // extra oracle rounds are no-ops once converged) — pins that the
+    // fixed-round production form's 4 rounds actually suffice at each
+    // gated SF, and catches >4-hop chains the mirrored oracle can't.
+    q("entity_clusters_conv", AssocOps.entityClustersOracleSql(rounds = 20))(
+      (s, d) => AssocOps.entityClustersConverged(s, d)._2),
 
     // Skyline / Pareto frontier (min price, max size): dominance test
     // decomposed into hierarchical prefix maxima — no self-join, no

@@ -876,7 +876,7 @@ object AnnOps {
       evalN: Int = SemanticEvalN, tauMilli: Int = SemanticTauMilli): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val evalVecs = evalCohort(emb, evalN)
-    semanticFlags(emb.filter(col("vec_id") >= evalN), evalVecs)
+    semanticFlags(emb.filter(col("vec_id") >= evalN), evalVecs, tauMilli)
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_corpus"),

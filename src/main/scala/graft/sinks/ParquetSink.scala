@@ -62,18 +62,29 @@ object ParquetSink {
     // and the read-back binds the EXPLICIT schema (inference would be a
     // second full scan and could legitimately drift on an all-digit text
     // column — the audit must test the write path, not the inferrer).
+    // multiLine lets the read-back parse quoted text containing newlines —
+    // today's documents.text is newline-free, but the audit must not start
+    // silently truncating rows the day that changes.
     val fmtOpts =
-      if (format == "csv") Map("header" -> "true") else Map.empty[String, String]
+      if (format == "csv") Map("header" -> "true", "multiLine" -> "true")
+      else Map.empty[String, String]
+    val docs = Tables.documents(s, dir)
     writePartitioned(
-      Tables.documents(s, dir), scratch,
+      docs, scratch,
       partitionBy = Seq("lang"), sortWithin = Seq("doc_id"), format = format,
       options = fmtOpts)
     def fp(c: org.apache.spark.sql.Column) = GraftFunctions.poly_hash(c, 31, 1000000007L)
     val reader0 = s.read.format(format).options(fmtOpts)
+    // CSV read-back binds the source table's own schema minus the `lang`
+    // partition column (recovered by partition discovery) — derived, not
+    // hand-duplicated, so a documents schema change fails loudly here
+    // instead of silently misbinding positional columns.
     val reader =
-      if (format == "csv")
-        reader0.schema("doc_id BIGINT, text STRING, source STRING, n_chars BIGINT")
-      else reader0
+      if (format == "csv") {
+        val csvSchema = org.apache.spark.sql.types.StructType(
+          docs.schema.fields.filterNot(_.name == "lang"))
+        reader0.schema(csvSchema)
+      } else reader0
     reader.load(scratch)
       .groupBy("lang")
       .agg(
