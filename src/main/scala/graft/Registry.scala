@@ -1319,9 +1319,18 @@ object Registry {
 
     // Top-2 embedding principal components: exact integer moment sums
     // (one corpus pass, typed Aggregator), driver-sized 64×64 power
-    // iteration — eigensolve not SQL-expressible, rows-only; AnnSpec
-    // pins the eigen identities.
+    // iteration — the double eigensolve is not SQL-expressible,
+    // rows-only; AnnSpec pins the eigen identities and the fixed-point
+    // twin below hash-gates the family.
     rowsOnly("embedding_pca")(PcaOps.embeddingPca),
+
+    // ...and its ORACLE-GATED fixed-point twin (the kmeans_lloyd recipe
+    // applied to the eigensolve): identical moment pass, then a
+    // 40-round all-integer power iteration (truncated covariance,
+    // e6-grid iterates, integer-sqrt normalization, sign-invariant
+    // deflation) the DuckDB chain replays bit-identically.
+    q("embedding_pca_fp", PcaOps.pcaFpOracleSql())(
+      (s, d) => PcaOps.embeddingPcaFp(s, d)),
 
     // ---- Catalog profiling + cohort survival (ProfileOps) ----
     // Per-column stats row via ONE scan (Expand'd exact distincts +

@@ -44,6 +44,48 @@ class R16OpsSpec extends AnyFunSuite {
     assert(fixed == conv)
   }
 
+  test("fixed-point PCA twin tracks the double eigensolve") {
+    import graft.operators.PcaOps
+    val dbl = PcaOps.embeddingPca(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val fp = PcaOps.embeddingPcaFp(spark, sf).collect()
+    assert(fp.length == 2 * PcaOps.Dims)
+    // Both solves are fully converged (500 double rounds / 12 exact
+    // squarings against λ2/λ1 ≈ 0.93), so they must agree up to
+    // fixed-point truncation: eigenvalues to 0.2%, vectors to cosine
+    // ≥ 0.9999.
+    fp.foreach { r =>
+      val (_, de) = dbl((r.getLong(0), r.getLong(1)))
+      assert(math.abs(r.getLong(3) - de) <= math.max(de.abs / 500, 1000),
+        s"eigenvalue drift: ${r.getLong(3)} vs $de")
+    }
+    Seq(1L, 2L).foreach { c =>
+      val a = (0 until PcaOps.Dims).map(d => dbl((c, d.toLong))._1.toDouble)
+      val b = fp.filter(_.getLong(0) == c).sortBy(_.getLong(1))
+        .map(_.getLong(2).toDouble)
+      val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(cos >= 0.9999, s"component $c cosine $cos")
+    }
+    // Unit-norm on the e6 grid: |Σv² − 1e12| small.
+    Seq(1L, 2L).foreach { c =>
+      val nrm2 = fp.filter(_.getLong(0) == c)
+        .map(r => BigInt(r.getLong(2)) * BigInt(r.getLong(2))).sum
+      assert((nrm2 - BigInt("1000000000000")).abs < BigInt(4000000L * PcaOps.Dims))
+    }
+  }
+
+  test("isqrt is the exact floor sqrt across magnitudes") {
+    import graft.operators.PcaOps
+    val xs = Seq[BigInt](0, 1, 2, 3, 4, 99, 100,
+      BigInt("999999999999999999"), BigInt("1000000000000000000"),
+      BigInt(10).pow(24), BigInt(10).pow(24) - 1, BigInt(10).pow(30) + 12345)
+    xs.foreach { x =>
+      val s = PcaOps.isqrt(x)
+      assert(s * s <= x && (s + 1) * (s + 1) > x, s"isqrt($x) = $s")
+    }
+  }
+
   test("semantic decontamination forwards a custom tau to the flag threshold") {
     import graft.operators.AnnOps
     // A tau of 0 flags everything; the default 450 flags a strict subset.
