@@ -35,6 +35,7 @@ object Registry {
     // GraphOps iterative family (cached edge/degree frames per entry).
     "pagerank", "pagerank_weighted", "pagerank_topk", "pagerank_conv",
     "hits", "connected_components", "components_conv", "triangle_count",
+    "scc_components",
     "kcore", "kcore_conv", "ppr_seeded", "bfs_hops", "sssp_weighted",
     "harmonic_centrality",
     // AssocOps entity resolution (persists the match-edge frame).
@@ -1304,6 +1305,15 @@ object Registry {
       (s, d) => GraphOps.pagerankConverged(s, d)._2),
     q("components_conv", GraphOps.connectedComponentsOracleSql(20))(
       (s, d) => GraphOps.connectedComponentsConverged(s, d)._2),
+
+    // Strongly connected components (FW-BW-trim, Fleischer et al.) over
+    // the DIRECTED add-to-cart sequence graph (earlier line position →
+    // later, high-quantity lines — the thinning that yields the
+    // web-graph one-giant-SCC-plus-periphery shape). Spark converges
+    // each phase; the oracle unrolls 2 outer × (16 trim + 32 fwd +
+    // 32 bwd) rounds, all no-op headroom past the measured fixpoints.
+    q("scc_components", GraphOps.sccOracleSql())(
+      (s, d) => GraphOps.sccComponents(s, d)),
     q("kcore_conv", GraphOps.kcoreOracleSql(60, 20))(
       (s, d) => GraphOps.kcoreConverged(s, d)._2),
     q("clusters_conv", DedupClusterOps.convergedOracleSql())(

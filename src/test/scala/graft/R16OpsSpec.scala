@@ -44,6 +44,35 @@ class R16OpsSpec extends AnyFunSuite {
     assert(fixed == conv)
   }
 
+  test("SCC: planted two-cycle digraph peels in two outer rounds") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // Cycle A {1,2,3} → cycle B {4,5}; 6→7→1 feeder chain, 5→8 sink.
+    // Round 1: trim kills 6,7,8; FW gives f≡1 on {1..5}; BW marks only
+    // {1,2,3} (4,5 cannot reach 1). Round 2 peels {4,5}.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L),
+      (3L, 4L), (6L, 7L), (7L, 1L), (5L, 8L)).toDF("src", "dst")
+    val out = GraphOps.sccOf(spark, edges, maxOuter = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 3L), (4L, 2L, 4L, 5L),
+      (6L, 1L, 6L, 6L), (7L, 1L, 7L, 7L), (8L, 1L, 8L, 8L)))
+  }
+
+  test("SCC summary is consistent: members partition the node set") {
+    import graft.operators.GraphOps
+    val rows = GraphOps.sccComponents(spark, sf).collect()
+    val nodes = GraphOps.sccEdges(spark, sf)
+      .select("src").union(GraphOps.sccEdges(spark, sf).select("dst"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nodes)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("key_lo") == r.getAs[Long]("scc")) // min member IS the id
+      assert(r.getAs[Long]("key_hi") >= r.getAs[Long]("key_lo"))
+    }
+  }
+
   test("fixed-point PCA twin tracks the double eigensolve") {
     import graft.operators.PcaOps
     val dbl = PcaOps.embeddingPca(spark, sf).collect()
