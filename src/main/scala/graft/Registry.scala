@@ -37,7 +37,7 @@ object Registry {
     "hits", "connected_components", "components_conv", "triangle_count",
     "scc_components",
     "kcore", "kcore_conv", "ppr_seeded", "bfs_hops", "sssp_weighted",
-    "harmonic_centrality",
+    "harmonic_centrality", "betweenness_landmark",
     // AssocOps entity resolution (persists the match-edge frame).
     "entity_clusters", "entity_clusters_conv",
     // LloydOps NN-descent family (localCheckpoints the base IVF graph).
@@ -1436,6 +1436,14 @@ object Registry {
     // the bfs_hops relaxation with seed as an extra state key.
     q("harmonic_centrality", GraphOps.harmonicCentralityOracleSql())(
       (s, d) => GraphOps.harmonicCentrality(s, d)),
+
+    // Approximate betweenness from the same landmark cohort (Brandes &
+    // Pich style): per seed, level-synchronous path counts over the
+    // truncated BFS, then descending-level dependency accumulation in
+    // exact integer micro terms — prices the centrality family beyond
+    // closeness.
+    q("betweenness_landmark", GraphOps.betweennessOracleSql())(
+      (s, d) => GraphOps.betweennessLandmark(s, d)),
 
     // A/B arm readout per event type: (type, arm) aggregate + pivot;
     // epu in milli, B-vs-A lift in ppm.

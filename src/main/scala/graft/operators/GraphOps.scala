@@ -1326,6 +1326,178 @@ object GraphOps {
     sb.toString
   }
 
+  /** Approximate betweenness centrality from the fixed landmark cohort —
+    * Brandes (2001) dependency accumulation restricted to the same 8
+    * lowest-id seeds and `rounds`-truncated BFS as [[harmonicCentrality]]
+    * (the standard landmark estimator: exact betweenness is O(n·m), the
+    * k-landmark form is k BFS sweeps + k backward passes and its quality
+    * is a sampling argument, Brandes & Pich 2007):
+    *
+    *  1. per seed, `rounds` synchronous BFS rounds give hop levels;
+    *  2. level-synchronous path counts σ(v) = Σ σ(u) over level-(l-1)
+    *     in-neighbors — exact integers;
+    *  3. levels descending, dependency δ(v) = Σ_w (σ(v)·(10⁶+δ(w))) div
+    *     σ(w) over level-(l+1) out-neighbors — exact integer micro
+    *     terms, truncating division identical in both engines (the
+    *     `harmonic_micro` fixed-point contract applied to Brandes'
+    *     ratio);
+    *  4. bc_micro(v) = Σ over seeds of δ(v), seed's own row excluded.
+    *
+    * Scale shape: every stage is one cached-edge × (node×k)-frame join
+    * with map-side-combined aggregation (broadcast under the size
+    * guard), k and `rounds` constant — k·(2·rounds+1) bounded passes
+    * regardless of corpus size. σ products ride DECIMAL(38,0) (σ ≤
+    * deg^rounds can pass 10¹⁶; the δ product would overflow a long at
+    * ~10¹⁸) and `div` (IntegralDivide) brings the term back to a long
+    * exactly as DuckDB's HUGEINT `//` does.
+    */
+  def betweennessLandmark(
+      s: SparkSession,
+      dir: String,
+      rounds: Int = 4,
+      nSeeds: Int = 8): DataFrame =
+    betweennessOf(s, directedEdges(s, dir), rounds, nSeeds)
+
+  /** [[betweennessLandmark]] over an arbitrary symmetrized (src, dst)
+    * edge frame — the planted-path spec seam.
+    */
+  private[graft] def betweennessOf(
+      s: SparkSession,
+      edgesIn: DataFrame,
+      rounds: Int,
+      nSeeds: Int): DataFrame = {
+    val dirEdges = edgesIn.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val seeds = nodes.orderBy("node").limit(nSeeds)
+    // 1. hop levels (the harmonicCentrality BFS chain, verbatim).
+    var dist = seeds.select(col("node"), col("node").as("seed"),
+      lit(0L).as("hops"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dirEdges
+        .join(roundSide(dist.withColumnRenamed("node", "src"), n * nSeeds),
+          "src")
+        .select(col("dst").as("node"), col("seed"),
+          (col("hops") + 1L).as("hops"))
+      dist = truncate(s, dist.union(relaxed)
+        .groupBy("node", "seed").agg(min("hops").as("hops")))
+    }
+    dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    // 2. level-synchronous path counts: sig(l) holds ONLY level-l rows.
+    // σ rides DECIMAL(38,0) end-to-end: level-4 path counts through hub
+    // stacks can pass 2⁶³ at large SF, and a silent long wrap would
+    // diverge from the oracle's HUGEINT sums.
+    val sigByLevel = new Array[DataFrame](rounds + 1)
+    sigByLevel(0) = truncate(s,
+      seeds.select(col("node"), col("node").as("seed"),
+        lit(1L).cast("decimal(38,0)").as("sigma")))
+    for (l <- 1 to rounds) {
+      val lvl = dist.filter(col("hops") === l.toLong).select("node", "seed")
+      sigByLevel(l) = truncate(s, dirEdges
+        .join(roundSide(sigByLevel(l - 1)
+          .select(col("node").as("src"), col("seed"), col("sigma")), n * nSeeds),
+          "src")
+        .select(col("dst").as("node"), col("seed"), col("sigma"))
+        .join(lvl, Seq("node", "seed"), "left_semi")
+        .groupBy("node", "seed").agg(sum("sigma").as("sigma")))
+    }
+    // 3. dependencies, levels descending; delta(l) holds level-l rows.
+    val deltaByLevel = new Array[DataFrame](rounds + 1)
+    deltaByLevel(rounds) = truncate(s,
+      sigByLevel(rounds).select(col("node"), col("seed"), lit(0L).as("delta")))
+    for (l <- (rounds - 1) to 0 by -1) {
+      val wSide = sigByLevel(l + 1)
+        .join(deltaByLevel(l + 1), Seq("node", "seed"))
+        .select(col("node").as("dst"), col("seed"),
+          col("sigma").as("w_sigma"), col("delta").as("w_delta"))
+      val contrib = dirEdges
+        .join(roundSide(wSide, n * nSeeds), "dst")
+        .select(col("src").as("node"), col("seed"),
+          col("w_sigma"), col("w_delta"))
+      deltaByLevel(l) = truncate(s, sigByLevel(l).as("v")
+        .join(contrib.as("c"), Seq("node", "seed"), "left")
+        .groupBy(col("node"), col("seed"))
+        .agg(coalesce(sum(expr(
+          """CAST(sigma AS DECIMAL(38,0)) * (1000000 + w_delta)
+             div CAST(w_sigma AS DECIMAL(38,0))""")), lit(0L)).as("delta")))
+    }
+    val all = deltaByLevel.reduce(_ union _)
+    val out = all.filter(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(sum("delta").as("bc_micro"))
+      .filter(col("bc_micro") > 0L)
+      .orderBy("node")
+    out
+  }
+
+  /** DuckDB oracle for [[betweennessLandmark]]: the harmonic BFS chain,
+    * then per-level σ and δ CTEs mirroring the three phases, HUGEINT
+    * products with `//` truncation.
+    */
+  def betweennessOracleSql(rounds: Int = 4, nSeeds: Int = 8): String = {
+    val inf = Long.MaxValue
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH und AS MATERIALIZED (
+         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         | FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |seeds AS MATERIALIZED (SELECT node AS seed FROM nodes ORDER BY node LIMIT $nSeeds),
+         |d0 AS MATERIALIZED (SELECT seed AS node, seed, 0::BIGINT AS hops FROM seeds)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (
+        | SELECT coalesce(p.node, r.node) AS node,
+        |  coalesce(p.seed, r.seed) AS seed,
+        |  least(coalesce(p.hops, $inf), coalesce(r.h2, $inf)) AS hops
+        | FROM d${i - 1} p FULL JOIN (
+        |  SELECT e.dst AS node, p.seed, min(p.hops + 1) AS h2
+        |  FROM edges e JOIN d${i - 1} p ON e.src = p.node GROUP BY e.dst, p.seed) r
+        |  ON p.node = r.node AND p.seed = r.seed)""".stripMargin)
+    }
+    sb.append(s""",
+      |s0 AS MATERIALIZED (SELECT seed AS node, seed, CAST(1 AS HUGEINT) AS sigma FROM seeds)"""
+      .stripMargin)
+    for (l <- 1 to rounds) {
+      sb.append(s""",
+        |s$l AS MATERIALIZED (
+        | SELECT lv.node, lv.seed, sum(sp.sigma) AS sigma
+        | FROM d$rounds lv
+        | JOIN edges e ON e.dst = lv.node
+        | JOIN s${l - 1} sp ON sp.node = e.src AND sp.seed = lv.seed
+        | WHERE lv.hops = $l
+        | GROUP BY lv.node, lv.seed)""".stripMargin)
+    }
+    sb.append(s""",
+      |b$rounds AS MATERIALIZED (
+      | SELECT node, seed, CAST(0 AS HUGEINT) AS delta FROM s$rounds)""".stripMargin)
+    for (l <- (rounds - 1) to 0 by -1) {
+      sb.append(s""",
+        |b$l AS MATERIALIZED (
+        | SELECT v.node, v.seed,
+        |  coalesce(sum((v.sigma * (1000000 + w.delta)) // w.sigma), 0) AS delta
+        | FROM s$l v
+        | LEFT JOIN edges e ON e.src = v.node
+        | LEFT JOIN (
+        |  SELECT sw.node, sw.seed, sw.sigma, bw.delta
+        |  FROM s${l + 1} sw JOIN b${l + 1} bw
+        |   ON sw.node = bw.node AND sw.seed = bw.seed) w
+        |  ON w.node = e.dst AND w.seed = v.seed
+        | GROUP BY v.node, v.seed)""".stripMargin)
+    }
+    val unions = (0 to rounds).map(l => s"SELECT node, seed, delta FROM b$l")
+      .mkString(" UNION ALL ")
+    sb.append(s"""
+      |SELECT node, CAST(sum(delta) AS BIGINT) AS bc_micro
+      |FROM ($unions) WHERE node <> seed
+      |GROUP BY node HAVING sum(delta) > 0 ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   private def pagerankChainSql(iters: Int): String = {
     val sb = new StringBuilder
     sb.append(

@@ -73,6 +73,19 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("landmark betweenness: exact Brandes values on a planted path") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // Undirected path 1-2-3-4-5, all 5 nodes are landmarks (nSeeds=8):
+    // Σ_s δ_s(v) = 2·bc(v); bc(2)=bc(4)=3, bc(3)=4 → 6e6 / 8e6 micro.
+    // Endpoints have bc 0 and are filtered out.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val sym = und.union(und.select($"dst".as("src"), $"src".as("dst")))
+    val out = GraphOps.betweennessOf(spark, sym, rounds = 4, nSeeds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((2L, 6000000L), (3L, 8000000L), (4L, 6000000L)))
+  }
+
   test("fixed-point PCA twin tracks the double eigensolve") {
     import graft.operators.PcaOps
     val dbl = PcaOps.embeddingPca(spark, sf).collect()
