@@ -1667,7 +1667,15 @@ object Registry {
     // an inference scan). The poly-hash digest catches quoting/escaping
     // loss, the sums catch numeric round-trip drift.
     q("sink_roundtrip_csv", sinks.ParquetSink.roundtripOracleSql)(
-      (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "csv"))
+      (s, d) => sinks.ParquetSink.roundtripAudit(s, d, format = "csv")),
+
+    // Avro container roundtrip — the fifth format arm, hand-rolled over
+    // avro-core (this environment has no spark-avro connector): a
+    // distributed Hadoop-FS DataFileWriter sink + a schema-resolving
+    // reader (AvroSinkSpec pins real schema evolution), digested by the
+    // same format-independent oracle as the other four arms.
+    q("sink_roundtrip_avro", sinks.ParquetSink.roundtripOracleSql)(
+      (s, d) => sinks.AvroSink.roundtripAudit(s, d))
   )
 
   val all: Vector[RegisteredQuery] = raw.map { rq =>
