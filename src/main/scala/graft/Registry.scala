@@ -977,6 +977,18 @@ object Registry {
       graft.streaming.StreamingReplay.HourlyTypeCountsOracleSql)(
       (s, d) => graft.streaming.StreamingReplay.hourlyTypeCounts(s, d)),
 
+    // ...r16: two more streaming components graduate into the gate via
+    // the same replay pattern. The manifest state is a per-shard monoid
+    // (snapshot == the batch shard_manifest fold, same oracle); the
+    // dedup gate drains the dropDuplicatesWithinWatermark state machine
+    // and reads out the surviving digest SET (survivor doc choice is
+    // arrival-order dependent, the set is not).
+    q("streaming_manifest_replay", SampleOps.shardManifestOracleSql())(
+      (s, d) => graft.streaming.StreamingReplay.manifestReplay(s, d)),
+    q("streaming_dedup_replay",
+      graft.streaming.StreamingReplay.DedupReplayOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.dedupReplay(s, d)),
+
     // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
     q("multimodal_meta",
       """SELECT doc_id,

@@ -66,4 +66,78 @@ object StreamingReplay {
       | min(epoch_us(ts)) AS first_us,
       | max(epoch_us(ts)) AS last_us
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** A streaming documents source for replay gates: the file source over
+    * the sf directory glob-filtered to the documents table.
+    */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Drain a streaming frame into a memory sink and return the final
+    * snapshot table.
+    */
+  private def drain(
+      s: SparkSession, df: DataFrame, view: String, mode: String): DataFrame = {
+    s.catalog.dropTempView(view)
+    val q = df.writeStream.format("memory").queryName(view)
+      .outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(view)
+  }
+
+  /** [[StreamingManifest]] under the replay gate: the live per-shard
+    * manifest state drained over the finite documents replay. Every
+    * aggregate is a commutative monoid, so the complete-mode snapshot
+    * equals the batch `shard_manifest` fold over the union regardless of
+    * micro-batch decomposition — the same oracle gates both.
+    */
+  def manifestReplay(s: SparkSession, dir: String): DataFrame =
+    drain(s, StreamingManifest.manifests(docsStream(s, dir)),
+      "graft_streaming_manifest", "complete")
+      .orderBy("shard")
+
+  /** [[StreamingDedup]] under the replay gate: the first-seen dedup
+    * state machine drained over the documents replay (event time
+    * synthesized deterministically from doc_id; the finite replay ends
+    * before any watermark eviction, so every duplicate digest is
+    * dropped). WHICH doc survives per digest is arrival-order dependent
+    * under partition parallelism, so the gated readout aggregates over
+    * the digest only — count and digest-fingerprint mass per 2-hex-char
+    * bucket — which pins the deduped SET bit-exactly while staying
+    * decomposition-proof.
+    */
+  def dedupReplay(s: SparkSession, dir: String): DataFrame = {
+    // +1 day base: a synthesized event time of exactly epoch 0 (doc_id
+    // 0) ties the initial watermark and the row is filtered as late —
+    // dropping a digest the batch oracle keeps.
+    val deduped = StreamingDedup.firstSeen(
+      docsStream(s, dir)
+        .withColumn("ts",
+          timestamp_micros((col("doc_id") + 86400L) * 1000000L)))
+    val survivors = drain(s, deduped, "graft_streaming_dedup", "append")
+    val fp = graft.functions.GraftFunctions.poly_hash(
+      col("text_hash"), 31, 1000000007L)
+    survivors
+      .groupBy(substring(col("text_hash"), 1, 2).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(fp).as("digest_fp"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle for [[dedupReplay]]: distinct sha256 digests, same bucket
+    * rollup and poly-hash digest mass.
+    */
+  val DedupReplayOracleSql: String =
+    """WITH d AS (SELECT DISTINCT sha256(text) AS h FROM documents)
+      |SELECT substr(h, 1, 2) AS bucket, count(*) AS n_docs,
+      | CAST(sum(list_reduce(
+      |  list_prepend(0::BIGINT,
+      |   list_transform(regexp_extract_all(h, '(?s).'), c -> unicode(c)::BIGINT)),
+      |  (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS digest_fp
+      |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
 }

@@ -73,6 +73,26 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming manifest replay snapshot equals the batch shard manifest") {
+    import graft.operators.SampleOps
+    import graft.streaming.StreamingReplay
+    val batch = SampleOps.shardManifestQuery(spark, sf).collect().map(_.toSeq).toSeq
+    val streamed = StreamingReplay.manifestReplay(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming dedup replay keeps exactly the distinct digest set (incl. epoch edge)") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingReplay
+    val nDistinct = Tables.documents(spark, sf)
+      .select(sha2(col("text"), 256)).distinct().count()
+    val buckets = StreamingReplay.dedupReplay(spark, sf).collect()
+    // Row for doc_id 0 must survive: a synthesized event time equal to
+    // the initial watermark was silently late-dropped before the +1day
+    // clock base (the regression this pins).
+    assert(buckets.map(_.getAs[Long]("n_docs")).sum == nDistinct)
+  }
+
   test("landmark betweenness: exact Brandes values on a planted path") {
     import spark.implicits._
     import graft.operators.GraphOps
