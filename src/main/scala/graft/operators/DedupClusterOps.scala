@@ -77,7 +77,8 @@ object DedupClusterOps {
         .getOrElse(
           java.nio.file.Files.createTempDirectory("graft-dedup-labels"))
         .toString
-      clustersConverged(s, Tables.documents(s, dir), thresholdMilli)._2
+      clustersConverged(s, Tables.documents(s, dir), thresholdMilli,
+        pairsIn = Some(storePairs(s, dir, thresholdMilli)))._2
         .write.mode("overwrite").parquet(base)
       base
     })
@@ -145,7 +146,19 @@ object DedupClusterOps {
     * fixpoint (recursive reachability), so under-merging fails the gate.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersConverged(s, Tables.documents(s, dir))._2
+    clustersConverged(s, Tables.documents(s, dir),
+      pairsIn = Some(storePairs(s, dir, Threshold)))._2
+
+  /** The [[MinHashOps.frozenPairs]] store filtered to a consumer's bar —
+    * the exact frame `ngramJaccardPairs(docs, t, defaultDfCap)` builds,
+    * read from the materialized pair index instead of re-running the
+    * inverted-index stage per query.
+    */
+  private def storePairs(
+      s: SparkSession, dir: String, thresholdMilli: Int): DataFrame =
+    MinHashOps.frozenPairs(s, dir)
+      .filter(col("jaccard_milli") >= thresholdMilli)
+      .select(col("doc_a"), col("doc_b"))
 
   /** Fixed-iteration entry (kept for callers that need a bounded round
     * count; pairs with [[oracleSql]]'s identical unrolled formulation).
@@ -477,13 +490,15 @@ object DedupClusterOps {
   def dedupConsensus(
       s: SparkSession, dir: String,
       thresholdMilli: Int = Threshold): DataFrame =
-    dedupConsensusOf(Tables.documents(s, dir), thresholdMilli)
+    dedupConsensusOf(Tables.documents(s, dir), thresholdMilli,
+      pairsIn = Some(storePairs(s, dir, thresholdMilli)))
 
   /** [[dedupConsensus]] over an arbitrary documents frame — the spec's
     * planted-verdicts seam.
     */
   private[graft] def dedupConsensusOf(
-      docs: DataFrame, thresholdMilli: Int): DataFrame = {
+      docs: DataFrame, thresholdMilli: Int,
+      pairsIn: Option[DataFrame] = None): DataFrame = {
     def digestFlag(d: org.apache.spark.sql.Column, name: String) = {
       val keyed = docs.select(col("doc_id"), d.as("d"))
       keyed.join(keyed.groupBy("d").agg(count(lit(1)).as("c")), "d")
@@ -492,8 +507,9 @@ object DedupClusterOps {
     val exFlag = digestFlag(sha2(col("text"), 256), "f_exact")
     val nmFlag = digestFlag(
       sha2(TextOps.normalizeText(col("text")), 256), "f_norm")
-    val pairs = MinHashOps.ngramJaccardPairs(docs, thresholdMilli,
-      Some(MinHashOps.defaultDfCap(docs.count())))
+    val pairs = pairsIn.getOrElse(
+      MinHashOps.ngramJaccardPairs(docs, thresholdMilli,
+        Some(MinHashOps.defaultDfCap(docs.count()))))
     val near = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       .withColumn("f_near", lit(1L))

@@ -335,6 +335,54 @@ object MinHashOps {
     ngramJaccardPairs(docs, dfCap = Some(defaultDfCap(docs.count())))
   }
 
+  /** Floor threshold of the [[frozenPairs]] store — the lowest Jaccard
+    * any consumer reads (the threshold-curve/band-curve sweeps start at
+    * 300); every consumer filters `jaccard_milli >=` its own bar on the
+    * stored frame.
+    */
+  val PairStoreFloor = 300
+
+  private val pairStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** In-process materialized store of the df-capped exact n-gram-Jaccard
+    * pair set over `dir`'s documents table — the
+    * [[graft.operators.DedupClusterOps.convergedLabels]] /
+    * frozen-centroid pattern pointed at the pair machinery: the
+    * shingle→inverted-index→candidate→verify stage (the dominant cost of
+    * `lsh_miss_audit`, `split_leakage_audit`, `dedup_threshold_curve`,
+    * `dedup_consensus`, the cluster family, `dedup_source_matrix`) runs
+    * ONCE per (documents contents) and every later consumer reads the
+    * scored parquet, filtered to its own threshold. This is also the
+    * right 100 TB shape: a published pair index with many consumers, not
+    * a per-query index rebuild. Build cost stays honestly priced by the
+    * direct-run entries that bypass the store (`dedup_ngram`,
+    * `ngram_stop_shingles`). Content-token keying invalidates on table
+    * rewrite.
+    */
+  def frozenPairs(s: SparkSession, dir: String): DataFrame = {
+    val key = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString +
+      "#" + PairStoreFloor + "#" + Tables.contentToken(dir, "documents")
+    val path = pairStore.computeIfAbsent(key, _ => {
+      val base = s.conf.getOption("graft.labelstore.dir")
+        .orElse(s.conf.getOption("graft.checkpoint.dir"))
+        .map { d =>
+          val p = java.nio.file.Paths.get(d)
+          java.nio.file.Files.createDirectories(p)
+          java.nio.file.Files.createTempDirectory(p, "graft-pair-store")
+        }
+        .getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-pair-store"))
+        .toString
+      val docs = Tables.documents(s, dir)
+      ngramJaccardPairs(docs, PairStoreFloor,
+        dfCap = Some(defaultDfCap(docs.count())))
+        .write.mode("overwrite").parquet(base)
+      base
+    })
+    s.read.parquet(path)
+  }
+
   /** The exploded (doc_id, shingle) index, optionally df-capped: shingles
     * appearing in more than `dfCap` documents are dropped entirely.
     */
@@ -542,8 +590,8 @@ object MinHashOps {
   def lshMissAudit(
       s: SparkSession, dir: String, thresholdMilli: Int = 600): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val exact = ngramJaccardPairs(docs, thresholdMilli,
-      dfCap = Some(defaultDfCap(docs.count())))
+    val exact = frozenPairs(s, dir)
+      .filter(col("jaccard_milli") >= thresholdMilli)
     val found = nearDupPairs(docs, thresholdMilli)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
     exact
@@ -758,9 +806,8 @@ object MinHashOps {
     * machinery; the cumulative rollup is an 8-row self-join.
     */
   def dedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val pairs = ngramJaccardPairs(docs, thresholdMilli = 300,
-      dfCap = Some(defaultDfCap(docs.count())))
+    val pairs = frozenPairs(s, dir) // store floor == this sweep's 300
+
     val hist = pairs
       .select(expr("(jaccard_milli div 100) * 100").as("bucket_lo"))
       .groupBy("bucket_lo")
@@ -806,9 +853,7 @@ object MinHashOps {
     */
   def lshBandCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val pairs = ngramJaccardPairs(docs, thresholdMilli = 300,
-      dfCap = Some(defaultDfCap(docs.count())))
+    val pairs = frozenPairs(s, dir) // store floor == this sweep's 300
     val cfgs = Seq((64, 1), (32, 2), (16, 4), (8, 8))
       .map { case (b, r) => (s"${b}x$r", b, r) }
       .toDF("band_cfg", "bands", "rows_per_band")
@@ -1041,7 +1086,7 @@ object MinHashOps {
   def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val src = docs.select(col("doc_id"), col("source"))
-    ngramJaccardPairs(docs, dfCap = Some(defaultDfCap(docs.count())))
+    frozenPairs(s, dir).filter(col("jaccard_milli") >= 600)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
         "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),

@@ -99,8 +99,8 @@ object SplitOps {
     */
   def splitLeakageAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = MinHashOps.ngramJaccardPairs(docs, DedupClusterOps.Threshold,
-        dfCap = Some(MinHashOps.defaultDfCap(docs.count())))
+    val pairs = MinHashOps.frozenPairs(s, dir)
+      .filter(col("jaccard_milli") >= DedupClusterOps.Threshold)
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The clustering consumes the SAME materialized pair set — the
