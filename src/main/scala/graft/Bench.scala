@@ -96,6 +96,33 @@ object Bench {
         .sum / (1024 * 1024)
     } catch { case _: Throwable => -1L }
 
+  /** CURRENT used heap across heap pools, in MB. Sampled right after the
+    * inter-query double-GC, this is (approximately) live data only.
+    */
+  private def usedHeapMb(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(p => Option(p.getUsage).map(_.getUsed).getOrElse(0L))
+        .sum / (1024 * 1024)
+    } catch { case _: Throwable => -1L }
+
+  /** Running max of the POST-GC used heap, updated at every inter-query
+    * cleanup — the -Xmx-insensitive memory number. peak_heap_mb proved
+    * NOT cross-box comparable in r15 (driver 18.1 GB vs builder 8.4 GB
+    * on the same suite): with a larger heap the JVM simply collects
+    * later, so peak USED inflates with headroom even though live data is
+    * identical. The post-GC floor is sampled immediately after two full
+    * GC cycles, when only live data remains, so it tracks what the
+    * queries actually retain regardless of heap sizing or GC laziness.
+    */
+  private var heapFloorPeakMb: Long = 0L
+  private def sampleHeapFloor(): Unit = {
+    val u = usedHeapMb()
+    if (u > heapFloorPeakMb) heapFloorPeakMb = u
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the real core count: an unset env var must mean "use the
@@ -257,6 +284,7 @@ object Bench {
       Thread.sleep(200)
       System.gc()
       Thread.sleep(100)
+      sampleHeapFloor()
       maybeRecycle()
       out
     }
@@ -278,7 +306,7 @@ object Bench {
         "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
       val total = rs.collect { case Timing(_, v, None, _) => v }.sum
       val errField = if (errs == "{}") "" else s""","errors":$errs"""
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errField,"peak_rss_mb":${peakRssMb()},"peak_heap_mb":${peakHeapMb()},"sf":$sf}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$errField,"peak_rss_mb":${peakRssMb()},"peak_heap_mb":${peakHeapMb()},"heap_floor_mb":$heapFloorPeakMb,"sf":$sf}"""
     }
 
     // Full precision for every entry, plus the raw per-rep spread — the
@@ -292,7 +320,7 @@ object Bench {
       .map(t => "\"" + t.name + "\":" + t.reps.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$fullTotal,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"spread":$spread,"peak_rss_mb":${peakRssMb()},"peak_heap_mb":${peakHeapMb()},"sf":$sf,"cpus":$cpus,"sfDir":"${jsonEscape(sfDir)}"}"""
+      s"""{"metric":"total","value":$fullTotal,"unit":"sec","queries":$fullQs,"errors":$fullErrs,"spread":$spread,"peak_rss_mb":${peakRssMb()},"peak_heap_mb":${peakHeapMb()},"heap_floor_mb":$heapFloorPeakMb,"sf":$sf,"cpus":$cpus,"sfDir":"${jsonEscape(sfDir)}"}"""
     // A filtered run (SPARK_GRAFT_ONLY) must never clobber the committed
     // full-inventory record — that exact mistake cost a round's bench
     // history once already. Partial runs write to bench_partial.json.
