@@ -50,6 +50,8 @@ object Registry {
     "dedup_sorted_neighborhood", "dedup_containment", "dedup_source_matrix",
     // SimHashOps (persisted code frame feeds two probe branches).
     "dedup_simhash",
+    // MultimodalOps phash (persisted band frame feeds buckets + verify).
+    "media_phash_dedup",
     // LinkOps (cached edges + wedge frames).
     "clustering_coeff", "link_prediction",
     // TemporalOps (persisted zero-filled day spine).
@@ -1015,6 +1017,15 @@ object Registry {
     // bit-exactly in the oracle (integer window hash).
     q("media_cdc_dedup", MultimodalOps.MediaCdcDedupOracleSql)(
       (s, d) => MultimodalOps.mediaCdcDedup(s, d)),
+
+    // Perceptual (average-hash) near-dup over the frame grid — the
+    // NEAR-dup companion of frame_dedup's exact digests (re-encoded
+    // media never digest-matches but stays perceptually adjacent):
+    // 64-bit aHash per distinct frame, 16-bit band buckets with the
+    // df-cap precedent (dropped mass gated as the hamming=-1 row),
+    // exact Hamming verify, pair-mass histogram.
+    q("media_phash_dedup", MultimodalOps.MediaPhashOracleSql)(
+      (s, d) => MultimodalOps.mediaPhashDedup(s, d)),
 
     // The mapPartitions decode-stub path, oracle-gated end to end.
     q("multimodal_features", MultimodalOps.MultimodalFeaturesOracleSql)(

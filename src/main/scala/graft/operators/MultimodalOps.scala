@@ -100,6 +100,134 @@ object MultimodalOps {
        | CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS dedupable_frames
        |FROM g""".stripMargin
 
+  // ---- Perceptual near-dup (average-hash) over the frame grid ---------
+
+  /** Band count for the 64-bit perceptual hash (4 × 16-bit bands). */
+  val PhashBands = 4
+
+  /** Max Hamming distance reported as "near-duplicate". */
+  val PhashHammingMax = 6
+
+  /** Bucket cap for a (band, value) candidate bucket — the df-cap
+    * precedent: a constant-background band value (e.g. all-zero bits
+    * from flat frames) would otherwise contribute C(bucket, 2) pairs.
+    * Dropped buckets are surfaced as the gated `hamming = -1` row.
+    */
+  val PhashBucketCap = 128L
+
+  /** Perceptual near-dup audit over the sampled frame grid — the
+    * NEAR-dup companion of [[frameDedup]]'s exact digests (re-encoded
+    * media never digest-matches but its frames stay perceptually
+    * adjacent): each distinct full frame gets a 64-bit average-hash
+    * (bit_i = byte_i ≥ the frame's exact integer mean — the classic
+    * aHash on the 8×8 grid), candidates pair through 16-bit band
+    * buckets (the SimHash banding shape: Hamming ≤ 3 guarantees one of
+    * 4 bands equal; ≤ 6 still pairs unless misses spread 2-2-1-1),
+    * exact Hamming verifies, and the output is the pair-mass histogram
+    * per distance plus the dropped-bucket diagnostic row
+    * (`hamming = -1`, the capped mass priced like dropped postings).
+    *
+    * Scale shape: exact-dup frames collapse to ONE representative
+    * before any pairing (the dedup_minhash pre-collapse), candidates
+    * are bucket-join + cap (never all-pairs), and only 8-byte band
+    * values and 64-bit hashes cross shuffles — never frame bytes.
+    */
+  def mediaPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val frames = sampleFrames(withPayload(Tables.documents(s, dir)))
+      .filter(octet_length(col("frame")) === FrameBytes)
+    // One representative per distinct frame content (bytes equal per
+    // hash, so max() is value-deterministic).
+    val rep = frames.groupBy("frame_hash")
+      .agg(max(decode(col("frame"), "UTF-8")).as("chars"))
+    // 64 char codes -> exact integer mean -> 4 x 16-bit band values.
+    val codes = rep.select(
+      col("frame_hash"),
+      expr(s"transform(sequence(1, $FrameBytes), i -> ascii(substring(chars, i, 1)))")
+        .as("codes"))
+    val bands = codes
+      .withColumn("avgc",
+        expr(s"aggregate(codes, 0L, (a, x) -> a + CAST(x AS BIGINT))" +
+          s" div $FrameBytes"))
+      .select(col("frame_hash"),
+        // codes[k] is the SQL [] operator — 0-based on Spark arrays.
+        posexplode(expr(
+          s"""transform(sequence(0, ${PhashBands - 1}), b ->
+             | aggregate(sequence(0, 15), 0L,
+             |  (a, j) -> a + IF(codes[b * 16 + j] >= avgc,
+             |                   shiftleft(1L, j), 0L)))""".stripMargin)))
+      .select(col("frame_hash"), col("pos").as("band"), col("col").as("val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketSizes = bands.groupBy("band", "val")
+      .agg(count(lit(1)).as("bsz"))
+    val kept = bands.join(
+      bucketSizes.filter(col("bsz") <= PhashBucketCap), Seq("band", "val"))
+    val cand = kept.as("x")
+      .join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.val") === col("y.val") &&
+          col("x.frame_hash") < col("y.frame_hash"))
+      .select(col("x.frame_hash").as("fa"), col("y.frame_hash").as("fb"))
+      .distinct()
+    val ham = cand
+      .join(bands.select(col("frame_hash").as("fa"), col("band"),
+        col("val").as("va")), Seq("fa"))
+      .join(bands.select(col("frame_hash").as("fb"), col("band"),
+        col("val").as("vb")), Seq("fb", "band"))
+      .groupBy("fa", "fb")
+      .agg(sum(expr("bit_count(va ^ vb)")).as("hamming"))
+    val hist = ham.filter(col("hamming") <= PhashHammingMax)
+      .groupBy(col("hamming").cast("long").as("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val dropped = bucketSizes.filter(col("bsz") > PhashBucketCap)
+      .agg(lit(-1L).as("hamming"),
+        coalesce(count(lit(1)), lit(0L)).as("n_pairs"))
+    val out = dropped.union(hist).orderBy("hamming")
+    out
+  }
+
+  /** DuckDB oracle for [[mediaPhashDedup]] — the same grid, aHash, band
+    * buckets with the cap, exact Hamming via `bit_count(xor(...))`.
+    */
+  val MediaPhashOracleSql: String =
+    s"""WITH fr AS MATERIALIZED (
+       | SELECT md5(sub) AS fh, min(sub) AS chars FROM (
+       |  SELECT substring(text, CAST(i * $FrameBytes + 1 AS BIGINT), $FrameBytes) AS sub
+       |  FROM documents, range(0, 64) t(i)
+       |  WHERE i <= (octet_length(encode(text)) - 1) // $FrameBytes AND i % 4 = 0)
+       | WHERE octet_length(encode(sub)) = $FrameBytes
+       | GROUP BY md5(sub)),
+       |c AS MATERIALIZED (
+       | SELECT fh, CAST(t.j AS INTEGER) AS j,
+       |  CAST(unicode(substr(chars, CAST(t.j + 1 AS BIGINT), 1)) AS BIGINT) AS code
+       | FROM fr, range(0, $FrameBytes) t(j)),
+       |av AS (SELECT fh, sum(code) // $FrameBytes AS avgc FROM c GROUP BY fh),
+       |b AS MATERIALIZED (
+       | SELECT c.fh, c.j // 16 AS band,
+       |  CAST(sum(CASE WHEN c.code >= av.avgc
+       |       THEN (1::BIGINT << (c.j % 16)) ELSE 0 END) AS BIGINT) AS val
+       | FROM c JOIN av ON c.fh = av.fh GROUP BY c.fh, c.j // 16),
+       |bs AS MATERIALIZED (SELECT band, val, count(*) AS bsz FROM b GROUP BY 1, 2),
+       |kept AS (SELECT b.* FROM b JOIN bs USING (band, val) WHERE bsz <= $PhashBucketCap),
+       |cand AS MATERIALIZED (
+       | SELECT DISTINCT x.fh AS fa, y.fh AS fb
+       | FROM kept x JOIN kept y
+       |  ON x.band = y.band AND x.val = y.val AND x.fh < y.fh),
+       |ham AS (
+       | SELECT cand.fa, cand.fb,
+       |  CAST(sum(bit_count(xor(xa.val, yb.val))) AS BIGINT) AS hamming
+       | FROM cand
+       | JOIN b xa ON xa.fh = cand.fa
+       | JOIN b yb ON yb.fh = cand.fb AND yb.band = xa.band
+       | GROUP BY cand.fa, cand.fb),
+       |hist AS (
+       | SELECT hamming, count(*) AS n_pairs FROM ham
+       | WHERE hamming <= $PhashHammingMax GROUP BY hamming),
+       |drp AS (
+       | SELECT CAST(-1 AS BIGINT) AS hamming, count(*) AS n_pairs
+       | FROM bs WHERE bsz > $PhashBucketCap)
+       |SELECT hamming, n_pairs FROM drp
+       |UNION ALL SELECT hamming, n_pairs FROM hist
+       |ORDER BY hamming""".stripMargin
+
   // ---- Content-defined chunking (FastCDC-style) ------------------------
 
   /** Rolling-hash window width (bytes). */

@@ -73,6 +73,36 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("phash near-dup: planted re-encoded frame pairs at the expected Hamming") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.MultimodalOps
+    // Build a corpus by hand: doc 1 and doc 2 share a 64-char frame with
+    // ONE character brightness-shifted (a re-encode artifact) — distinct
+    // md5, perceptually adjacent. Doc 3 is unrelated noise.
+    val base = ("ab" * 32).take(64)
+    val near = "zb" + base.drop(2) // 1 char differs ('a'->'z' flips its bit)
+    val noise = (0 until 64).map(i => ('A' + (i * 7) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, base, "en", "s0", 64L),
+      (2L, near, "en", "s0", 64L),
+      (3L, noise, "en", "s0", 64L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = MultimodalOps.sampleFrames(MultimodalOps.withPayload(docs))
+      .filter(octet_length(col("frame")) === MultimodalOps.FrameBytes)
+    assert(frames.count() == 3)
+    // Run the full pipeline via a temp parquet dir shaped like a table.
+    val out = {
+      val dir = java.nio.file.Files.createTempDirectory("phash-docs").toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      MultimodalOps.mediaPhashDedup(spark, dir).collect()
+    }
+    val histo = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Exactly one near pair within the Hamming budget, zero dropped buckets.
+    assert(histo.getOrElse(-1L, 0L) == 0L)
+    assert(histo.filter(_._1 >= 0).values.sum == 1L)
+  }
+
   test("streaming manifest replay snapshot equals the batch shard manifest") {
     import graft.operators.SampleOps
     import graft.streaming.StreamingReplay
