@@ -645,6 +645,16 @@ object Registry {
     q("ann_recall_binary", BinaryAnnOps.annRecallBinaryOracleSql())(
       BinaryAnnOps.annRecallBinary),
 
+    // SQ8 (scalar-quantized int8) ANN — the 4x-compression middle rung
+    // between raw floats and PQ/binary codes (FAISS IndexScalarQuantizer
+    // shape): full scan over per-vector symmetric int8 codes with the
+    // exact-integer symmetric ADC, shortlist re-ranked by exact cosine;
+    // recall@k audited against the exact baseline like every other rung.
+    q("ann_sq8_topk", BinaryAnnOps.sq8OracleSql())(
+      (s, d) => BinaryAnnOps.annSq8TopK(s, d)),
+    q("ann_recall_sq8", BinaryAnnOps.annRecallSq8OracleSql())(
+      BinaryAnnOps.annRecallSq8),
+
     // Matryoshka truncation-recall ladder: exact search over 16/32-dim
     // prefixes vs the full-width baseline — prices MRL-style dimension
     // truncation the way the PQ audits price code compression.

@@ -218,4 +218,115 @@ object BinaryAnnOps {
        |SELECT dims, q_id, k, hits, CAST((1000 * hits) // k AS BIGINT) AS recall_milli
        |FROM r ORDER BY dims, q_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // SQ8 (scalar-quantized int8) ANN — the 4x-compression middle rung
+  // between raw floats (256 B) and PQ/binary codes.
+  // -------------------------------------------------------------------
+
+  /** Per-vector symmetric int8 codes under `embedding_int8_audit`'s
+    * EXACT quantization contract (scale = max|x|/127, half-up floor,
+    * ±127 clamp): (vec_id, amax, q8[64]). The approx score between two
+    * coded vectors is the symmetric SQ ADC — exact integer Σq_i·c_i
+    * rescaled by (amax_q·amax_c)/127² in one fixed IEEE chain, so both
+    * engines produce bit-identical doubles and the shortlist boundary
+    * is deterministic (the cosine_r6 precedent).
+    */
+  private[graft] def sq8Codes(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("amax",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .select(col("vec_id"), col("amax"),
+        expr(
+          """CASE WHEN amax > 0D THEN transform(embedding, x ->
+            | CAST(greatest(least(floor(CAST(x AS DOUBLE) / (amax / 127.0D) + 0.5D),
+            |                     127.0D), -127.0D) AS BIGINT))
+            |ELSE transform(embedding, x -> 0L) END""".stripMargin
+            .replace("\n", " ")).as("q8"))
+
+  /** SQ8 top-k: full scan over int8 codes (64 B/vector vs 256 B raw),
+    * exact cosine re-rank on the shortlist only. Output contract matches
+    * `ann_topk` (q_id, c_id, rank, cosine_r6).
+    */
+  def annSq8TopK(
+      s: SparkSession, dir: String,
+      k: Int = DefaultK, nQueries: Int = DefaultQueries,
+      shortlist: Int = Shortlist): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val codes = sq8Codes(emb)
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("amax").as("q_amax"),
+        col("q8").as("qq8"))
+    val approx = codes
+      .select(col("vec_id").as("c_id"), col("amax").as("c_amax"),
+        col("q8").as("cq8"))
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        expr(
+          """CAST(aggregate(zip_with(qq8, cq8, (a, b) -> a * b), 0L,
+            |               (acc, x) -> acc + x) AS DOUBLE)
+            | * q_amax * c_amax / 16129.0D""".stripMargin.replace("\n", " "))
+          .as("score"))
+    val sl = AnnOps.rankTopK(s, approx, shortlist)
+      .select(col("q_id").as("sq"), col("c_id").as("sc"))
+    val qv = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = emb
+      .join(broadcast(sl), col("vec_id") === col("sc"))
+      .join(broadcast(qv), col("sq") === col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        AnnOps.cosine(col("q_vec"), col("embedding")).as("cosine_r6"))
+    AnnOps.rankTopK(s, scored, k)
+  }
+
+  /** Integer recall@k of the SQ8 path against the exact baseline. */
+  def annRecallSq8(s: SparkSession, dir: String): DataFrame =
+    AnnOps.recallOf(AnnOps.annTopK(s, dir), annSq8TopK(s, dir))
+
+  private def duckSq8Codes: String =
+    s"""codes AS MATERIALIZED (
+       | SELECT vec_id, amax,
+       |  CASE WHEN amax > 0 THEN list_transform(embedding, x ->
+       |   CAST(greatest(least(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5),
+       |                       127.0), -127.0) AS BIGINT))
+       |  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q8
+       | FROM (SELECT vec_id, embedding,
+       |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |       FROM embeddings))""".stripMargin
+
+  /** DuckDB oracle for [[annSq8TopK]]: identical codes, identical
+    * fixed-IEEE approx chain, row_number shortlist, exact re-rank.
+    */
+  def sq8OracleSql(
+      k: Int = DefaultK, nQueries: Int = DefaultQueries,
+      shortlist: Int = Shortlist): String =
+    s"""WITH $duckSq8Codes,
+       |q AS (SELECT vec_id AS q_id, amax AS q_amax, q8 AS qq8
+       |      FROM codes WHERE vec_id < $nQueries),
+       |h AS (
+       | SELECT q_id, c.vec_id AS c_id,
+       |  CAST(list_sum(list_transform(list_zip(qq8, c.q8), t -> t[1] * t[2])) AS DOUBLE)
+       |   * q_amax * c.amax / 16129.0 AS score
+       | FROM q, codes c WHERE c.vec_id <> q_id),
+       |sl AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rn
+       |  FROM h) WHERE rn <= $shortlist),
+       |p AS (
+       | SELECT sl.q_id, sl.c_id,
+       |  ${duckCos("qe.embedding", "ce.embedding")} AS cosine_r6
+       | FROM sl
+       | JOIN embeddings ce ON ce.vec_id = sl.c_id
+       | JOIN embeddings qe ON qe.vec_id = sl.q_id),
+       |r AS (
+       | SELECT q_id, c_id, cosine_r6,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine_r6 DESC, c_id) AS BIGINT) AS rank
+       | FROM p)
+       |SELECT q_id, c_id, rank, cosine_r6 FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB oracle for [[annRecallSq8]]. */
+  def annRecallSq8OracleSql(): String =
+    AnnOps.recallAuditSql(AnnOps.annTopkOracleSql(), sq8OracleSql())
 }

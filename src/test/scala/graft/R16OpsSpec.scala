@@ -73,6 +73,21 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 ANN: near-lossless recall and exact-cosine output contract") {
+    import graft.operators.{AnnOps, BinaryAnnOps}
+    val rec = BinaryAnnOps.annRecallSq8(spark, sf).collect()
+    assert(rec.nonEmpty)
+    // int8 symmetric quantization barely perturbs ranking: recall@10
+    // measured 1000 milli at every gated SF; pin a generous floor.
+    rec.foreach(r => assert(r.getAs[Long]("recall_milli") >= 900L))
+    // The re-rank emits EXACT cosines: top-1 per query must equal the
+    // exact path's top-1 score.
+    val exact = AnnOps.annTopK(spark, sf).filter("rank = 1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    BinaryAnnOps.annSq8TopK(spark, sf).filter("rank = 1").collect()
+      .foreach(r => assert(r.getDouble(3) == exact(r.getLong(0))))
+  }
+
   test("phash near-dup: planted re-encoded frame pairs at the expected Hamming") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
