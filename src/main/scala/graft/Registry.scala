@@ -1252,6 +1252,14 @@ object Registry {
     q("kmeans_purity", LloydOps.purityOracleSql())(
       LloydOps.kmeansPurity),
 
+    // Cluster-balanced sampling (the D4/SemDeDup-family diversity step):
+    // cap each SEMANTIC cluster's contribution at an equal share of the
+    // corpus in deterministic hash-random order — balances LEARNED
+    // structure where sample_stratified balances metadata strata; the
+    // purity/silhouette audits above are this knob's go/no-go.
+    q("sample_cluster_balanced", LloydOps.sampleClusterBalancedOracleSql())(
+      (s, d) => LloydOps.sampleClusterBalanced(s, d)),
+
     // SemDedup-style semantic prune: Lloyd clusters -> within-cluster
     // sorted-neighborhood (distance-shell bands) -> exact-cosine
     // verdicts. Full per-vector decision list, fully replayed.

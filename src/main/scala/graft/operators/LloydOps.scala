@@ -298,6 +298,79 @@ object LloydOps {
       .orderBy("cluster")
   }
 
+  /** Cluster-balanced sampling (the D4/SemDeDup-family diversity step:
+    * after dedup, cap each SEMANTIC cluster's contribution so a few
+    * dense modes can't dominate the training mix): every vector files
+    * into its frozen-centroid argmin cluster, each cluster keeps up to
+    * an equal share `total div k` of the corpus in deterministic
+    * hash-random order (h = (vec_id·2654435761) mod 1e9+7 — reproducible
+    * across runs/engines, uncorrelated with insert order), and the gated
+    * readout is one row per cluster: size, kept count, the kept-set
+    * waterline hash, and the kept label diversity. Where
+    * `sample_stratified` balances METADATA strata and `source_quota`
+    * caps declared feeds, this balances LEARNED structure — the knob the
+    * purity/silhouette audits above exist to justify.
+    *
+    * Scale shape: one assignment pass (k×dims literal, no join), the
+    * per-cluster rank rides [[RankOps.withHierarchicalRank]] (bucketed
+    * by `h div 1e6`, so no cluster ever sorts through one task), k-row
+    * output.
+    */
+  def sampleClusterBalanced(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = frozenCentroids(s, dir, K)._1
+    val total = emb.count()
+    val quota = total / K
+    val assigned = assign(quantized(emb), cents)
+      .select(col("vec_id"), col("cluster"))
+      .join(Tables.parallelized(emb)
+        .select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .withColumn("h", expr("(vec_id * 2654435761L) % 1000000007L"))
+    RankOps.withHierarchicalRank(
+      assigned, Seq("cluster"), "h", "vec_id", "h div 1000000", "rk")
+      .withColumn("kept", (col("rk") <= quota).cast("long"))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum("kept").as("n_kept"),
+        max(when(col("kept") === 1L, col("h"))).as("waterline_h"),
+        count_distinct(when(col("kept") === 1L, col("label")))
+          .as("labels_kept"))
+      .orderBy("cluster")
+  }
+
+  /** Oracle for [[sampleClusterBalanced]]: shared Lloyd chain → argmin
+    * assignment → the identical hash order, equal-share cut, rollup.
+    */
+  def sampleClusterBalancedOracleSql(k: Int = K, iters: Int = Iters): String =
+    oracleChain(k, iters) + s""",
+       |df2 AS (
+       | SELECT x.vec_id, c.cluster, sum((x.xq - c.c) * (x.xq - c.c)) AS dist
+       | FROM x JOIN c$iters c ON x.dim = c.dim GROUP BY 1, 2),
+       |fa2 AS (
+       | SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+       |  FROM df2) WHERE rn = 1),
+       |hh AS (
+       | SELECT fa2.vec_id, fa2.cluster,
+       |  (fa2.vec_id * 2654435761) % 1000000007 AS h,
+       |  CAST(e.label AS BIGINT) AS label
+       | FROM fa2 JOIN embeddings e USING (vec_id)),
+       |tot AS (SELECT count(*) AS n FROM hh),
+       |r2 AS (
+       | SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY h, vec_id) AS rk
+       | FROM hh),
+       |sel AS (
+       | SELECT *, CASE WHEN rk <= (SELECT n FROM tot) // $k THEN 1 ELSE 0 END AS kept
+       | FROM r2)
+       |SELECT CAST(cluster AS BIGINT) AS cluster,
+       | count(*) AS n_vecs,
+       | CAST(sum(kept) AS BIGINT) AS n_kept,
+       | CAST(max(CASE WHEN kept = 1 THEN h END) AS BIGINT) AS waterline_h,
+       | CAST(count(DISTINCT CASE WHEN kept = 1 THEN label END) AS BIGINT) AS labels_kept
+       |FROM sel GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** Oracle: shared Lloyd chain → final assignment → the identical
     * (cluster, label) contingency and majority ranking.
     */

@@ -73,6 +73,20 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-balanced sampling: equal-share cap, conservation, waterline sanity") {
+    import graft.operators.LloydOps
+    val rows = LloydOps.sampleClusterBalanced(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    val quota = total / LloydOps.K
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_kept"))
+      assert(kept == math.min(n, quota)) // exact equal-share cut
+      assert(r.getAs[Long]("labels_kept") >= 1L)
+      assert(r.getAs[Long]("waterline_h") >= 0L)
+    }
+  }
+
   test("SQ8 ANN: near-lossless recall and exact-cosine output contract") {
     import graft.operators.{AnnOps, BinaryAnnOps}
     val rec = BinaryAnnOps.annRecallSq8(spark, sf).collect()
