@@ -874,6 +874,14 @@ object Registry {
     q("l_diversity_audit", PiiOps.LDiversityOracleSql)(
       PiiOps.lDiversityAudit),
 
+    // ...and t-closeness, the triad's third rung: l bounds bare VARIETY,
+    // t bounds distribution SHIFT (a 3-diverse class still leaks "these
+    // people are overwhelmingly high-balance"). Ordered-attribute EMD
+    // per class vs the global distribution, exact integers over the
+    // common denominator, ppm ladder readout.
+    q("t_closeness_audit", PiiOps.TClosenessOracleSql)(
+      PiiOps.tClosenessAudit),
+
     // C4-style normalized dedup: case/punct/whitespace-insensitive digest
     // groups — same shuffle contract as dedup_exact.
     q("dedup_normalized", TextOps.DedupNormalizedOracleSql)(TextOps.dedupNormalized),

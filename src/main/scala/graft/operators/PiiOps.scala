@@ -212,6 +212,119 @@ object PiiOps {
       .orderBy("l")
   }
 
+  /** The t ladder (ppm) audited by [[tClosenessAudit]]. */
+  val ClosenessTsPpm: Seq[Long] = Seq(50000L, 100000L, 200000L)
+
+  /** t-closeness release audit — the third rung of the privacy triad
+    * (k bounds re-identification, l bounds bare attribute VARIETY,
+    * t bounds attribute DISTRIBUTION shift: a class can be 50-anonymous
+    * and 3-diverse yet still reveal "these people are overwhelmingly
+    * high-balance" if its balance distribution sits far from the
+    * corpus's). Per QI class (nation, segment), the Earth-Mover's
+    * Distance of its ordered balance-bucket distribution from the
+    * GLOBAL one (Li et al. 2007's ordered-attribute EMD:
+    * `Σ|cumulative p−q| / (m−1)`), computed EXACTLY over the common
+    * denominator — cum_i = Σ_{j≤i} (class_cnt_j·N − global_cnt_j·sz) in
+    * DECIMAL(38,0) (cnt·N passes 2⁶³ around a billion rows) — then the
+    * ppm ladder readout: per t, classes above, rows inside them,
+    * suppression ppm a release at that t pays.
+    *
+    * Scale shape: cell counts are (|QI classes| × |buckets|)-bounded
+    * map-side-combined aggregates; the cumulative window runs over the
+    * ≤12-row bucket domain per class, never the corpus; the ladder is a
+    * broadcast of 3 literals.
+    */
+  def tClosenessAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.customer(s, dir)
+      .select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("b"))
+    val global = rows.groupBy("b").agg(count(lit(1)).as("gc"))
+    val cells = rows.groupBy("nation", "segment", "b")
+      .agg(count(lit(1)).as("cc"))
+    val sizes = rows.groupBy("nation", "segment").agg(count(lit(1)).as("sz"))
+    // Dense (class x bucket) grid: every class sees the FULL ordered
+    // bucket domain (missing cells are zero mass on that side).
+    val grid = sizes.crossJoin(broadcast(global))
+      .join(cells, Seq("nation", "segment", "b"), "left")
+      .na.fill(0L, Seq("cc"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("nation", "segment").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = grid
+      .withColumn("nTot", sum("gc").over(
+        Window.partitionBy("nation", "segment")))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy("nation", "segment")))
+      .withColumn("cum",
+        sum(expr("CAST(cc AS DECIMAL(38,0)) * nTot - CAST(gc AS DECIMAL(38,0)) * sz"))
+          .over(w))
+      .groupBy("nation", "segment")
+      .agg(
+        max("sz").as("sz"),
+        max("nTot").as("nTot"),
+        max("m").as("m"),
+        sum(abs(col("cum"))).as("sum_abs_cum"))
+      .select(col("nation"), col("segment"), col("sz"),
+        expr("""CAST((1000000 * sum_abs_cum)
+               | div ((m - 1) * CAST(sz AS DECIMAL(38,0)) * nTot) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("emd_ppm"))
+    val ts = ClosenessTsPpm.toDF("t_ppm")
+      .select(col("t_ppm").cast("long").as("t_ppm"))
+    totals
+      .join(broadcast(ts))
+      .groupBy("t_ppm")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("emd_ppm") > col("t_ppm"), 1L).otherwise(0L))
+          .as("classes_above"),
+        sum(when(col("emd_ppm") > col("t_ppm"), col("sz")).otherwise(0L))
+          .as("rows_above"),
+        sum(col("sz")).as("n_rows"))
+      .select(col("t_ppm"), col("n_classes"), col("classes_above"),
+        col("rows_above"),
+        expr("(1000000 * rows_above) div n_rows").as("suppress_ppm"))
+      .orderBy("t_ppm")
+  }
+
+  /** DuckDB oracle for [[tClosenessAudit]]. */
+  val TClosenessOracleSql: String =
+    s"""WITH r0 AS (
+       | SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+       |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+       | FROM customer),
+       |g AS (SELECT b, CAST(count(*) AS HUGEINT) AS gc FROM r0 GROUP BY b),
+       |cl AS (SELECT nation, segment, count(*) AS sz FROM r0 GROUP BY 1, 2),
+       |ce AS (SELECT nation, segment, b, CAST(count(*) AS HUGEINT) AS cc
+       |       FROM r0 GROUP BY 1, 2, 3),
+       |grid AS (
+       | SELECT cl.nation, cl.segment, cl.sz, g.b, g.gc, coalesce(ce.cc, 0) AS cc
+       | FROM cl CROSS JOIN g
+       | LEFT JOIN ce ON ce.nation = cl.nation AND ce.segment = cl.segment AND ce.b = g.b),
+       |cum AS (
+       | SELECT nation, segment, sz,
+       |  sum(gc) OVER (PARTITION BY nation, segment) AS nTot,
+       |  count(*) OVER (PARTITION BY nation, segment) AS m,
+       |  sum(cc * (SELECT CAST(count(*) AS HUGEINT) FROM r0)
+       |      - gc * CAST(sz AS HUGEINT))
+       |   OVER (PARTITION BY nation, segment ORDER BY b
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+       | FROM grid),
+       |emd AS (
+       | SELECT nation, segment, max(sz) AS sz,
+       |  CAST((1000000 * sum(abs(c)))
+       |   // ((max(m) - 1) * CAST(max(sz) AS HUGEINT) * max(nTot)) AS BIGINT) AS emd_ppm
+       | FROM cum GROUP BY 1, 2),
+       |ts AS (SELECT CAST(t AS BIGINT) AS t_ppm FROM (VALUES ${ClosenessTsPpm.map(t => s"($t)").mkString(", ")}) t(t))
+       |SELECT t_ppm,
+       | count(*) AS n_classes,
+       | CAST(sum(CASE WHEN emd_ppm > t_ppm THEN 1 ELSE 0 END) AS BIGINT) AS classes_above,
+       | CAST(sum(CASE WHEN emd_ppm > t_ppm THEN sz ELSE 0 END) AS BIGINT) AS rows_above,
+       | CAST((1000000 * sum(CASE WHEN emd_ppm > t_ppm THEN sz ELSE 0 END)) // sum(sz) AS BIGINT) AS suppress_ppm
+       |FROM emd, ts GROUP BY t_ppm ORDER BY t_ppm""".stripMargin
+
   /** DuckDB oracle for [[lDiversityAudit]]. */
   val LDiversityOracleSql: String =
     s"""WITH cls AS (

@@ -73,6 +73,20 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t-closeness: ladder monotone, suppression bounded, rows conserved") {
+    import graft.operators.PiiOps
+    val rows = PiiOps.tClosenessAudit(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("t_ppm")).toSeq == PiiOps.ClosenessTsPpm)
+    val above = rows.map(_.getAs[Long]("classes_above"))
+    // Raising t can only shrink the violating set.
+    assert(above.zip(above.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("classes_above") <= r.getAs[Long]("n_classes"))
+      val supp = r.getAs[Long]("suppress_ppm")
+      assert(supp >= 0L && supp <= 1000000L)
+    }
+  }
+
   test("cluster-balanced sampling: equal-share cap, conservation, waterline sanity") {
     import graft.operators.LloydOps
     val rows = LloydOps.sampleClusterBalanced(spark, sf).collect()
