@@ -1009,6 +1009,17 @@ object Registry {
       graft.streaming.StreamingReplay.DedupReplayOracleSql)(
       (s, d) => graft.streaming.StreamingReplay.dedupReplay(s, d)),
 
+    // ...and two more: the windowed-HLL register state (max-monoid, the
+    // Aggregator's finish is the batch SQL's exact integer estimator)
+    // and the fixed-grid quantile sketch (count addition — the purest
+    // monoid in the tier). Both complete-mode snapshots are batch-equal
+    // by algebra, so plain SQL gates the streaming executions.
+    q("streaming_hll_replay", HllOps.windowedOracleSql())(
+      (s, d) => graft.streaming.StreamingReplay.hllReplay(s, d)),
+    q("streaming_sketch_replay",
+      graft.streaming.StreamingReplay.SketchReplayOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.sketchReplay(s, d)),
+
     // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
     q("multimodal_meta",
       """SELECT doc_id,

@@ -88,6 +88,27 @@ object HllOps {
       s"THEN ($Buckets * ($lnCase)) $idiv 1000 ELSE $raw END"
   }
 
+  /** DuckDB oracle for the streaming windowed-HLL replay gate
+    * ([[graft.streaming.StreamingReplay.hllReplay]]): the per-type chain
+    * re-keyed by tumbling window start in epoch micros — the estimator
+    * expression is the identical integer chain the streaming
+    * Aggregator's [[estimateRegisters]] finish step runs.
+    */
+  def windowedOracleSql(windowUs: Long = 600000000L): String =
+    s"""WITH h AS (
+       | SELECT (epoch_us(ts) // $windowUs) * $windowUs AS window_us,
+       |  ((user_id % $P) * $K) % $P AS h FROM events),
+       |low AS (
+       | SELECT window_us, h % $Buckets AS b,
+       |  CASE WHEN h // $Buckets = 0 THEN $ZeroSentinel
+       |   ELSE (h // $Buckets) & -(h // $Buckets) END AS low
+       | FROM h),
+       |g AS (SELECT window_us, b, max(low) AS maxlow FROM low GROUP BY 1, 2),
+       |gs AS (SELECT window_us, count(*) AS np,
+       |  sum($HarmonicOne // (2 * maxlow)) AS sp FROM g GROUP BY window_us)
+       |SELECT window_us, CAST(${estSql("//")} AS BIGINT) AS est_distinct
+       |FROM gs ORDER BY window_us""".stripMargin
+
   /** The identical estimator as driver/executor-side Scala over a raw
     * register array (index = bucket, value = max lowbit, 0 = empty) —
     * used by the streaming twin's typed Aggregator

@@ -129,6 +129,62 @@ object StreamingReplay {
       .orderBy("bucket")
   }
 
+  /** A streaming events source with a normalized TIMESTAMP `ts` (the
+    * [[hourlyTypeCounts]] read-schema branch, then micros → timestamp).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_us", tsUs)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** [[StreamingHll]] under the replay gate: the windowed 64-register
+    * HLL state (a typed Aggregator whose buffer IS the registers, max-
+    * merged in the state store) drained over the finite events replay.
+    * Registers are a max-monoid and the finish estimator is the same
+    * integer chain as the batch SQL, so the complete-mode snapshot is
+    * batch-equal and [[HllOps.windowedOracleSql]] gates the whole
+    * streaming execution. Window starts exported as epoch micros (a
+    * timestamp column would hash on engine-specific rendering).
+    */
+  def hllReplay(s: SparkSession, dir: String): DataFrame =
+    drain(s,
+      StreamingHll.windowedDistinctUsers(
+        eventsStream(s, dir).select(col("ts"), col("user_id"))),
+      "graft_streaming_hll", "complete")
+      .select(unix_micros(col("window_start")).as("window_us"),
+        col("est_distinct"))
+      .orderBy("window_us")
+
+  /** [[StreamingQuantileSketch]] under the replay gate: the live
+    * (event_type, bucket) grid state — plain count addition on a
+    * data-independent grid, the purest monoid in the streaming tier —
+    * drained complete-mode; the snapshot is exactly the batch grid.
+    */
+  def sketchReplay(s: SparkSession, dir: String): DataFrame =
+    drain(s,
+      StreamingQuantileSketch.sketch(
+        eventsStream(s, dir).select(col("event_type"), col("value"))),
+      "graft_streaming_sketch", "complete")
+      .orderBy("event_type", "bucket")
+
+  /** Oracle for [[sketchReplay]]: the identical signed fixed grid. */
+  val SketchReplayOracleSql: String =
+    """SELECT event_type,
+      | CAST(floor(CAST(floor(value * 1000 + 0.5) AS DOUBLE) / 250) AS BIGINT) AS bucket,
+      | count(*) AS c
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Oracle for [[dedupReplay]]: distinct sha256 digests, same bucket
     * rollup and poly-hash digest mass.
     */
