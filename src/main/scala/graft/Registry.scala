@@ -342,6 +342,18 @@ object Registry {
     q("trend_by_type", StatsOps.trendOracleSql())(
       (s, d) => StatsOps.trendByType(s, d)),
 
+    // EWMA daily smoothing, alpha = 1/8 in exact milli fixed-point: the
+    // genuinely-sequential recurrence folds each type's bounded day
+    // series with one higher-order aggregate; recursive-CTE oracle.
+    q("ewma_daily", TemporalOps.ewmaDailyOracleSql())(
+      (s, d) => TemporalOps.ewmaDaily(s, d)),
+
+    // Theil-Sen robust trend: exact lower median of the pairwise daily
+    // slopes — pair stage quadratic in DAYS (the time-span domain), not
+    // rows; the robust rung beside the OLS normal equations.
+    q("trend_theil_sen", StatsOps.theilSenOracleSql())(
+      (s, d) => StatsOps.theilSenTrend(s, d)),
+
     // Equi-width 20-bucket histogram export of events.value; edges from
     // one broadcast min/max scalar pair, integer output.
     q("value_histogram", StatsOps.valueHistogramOracleSql())(
@@ -882,6 +894,12 @@ object Registry {
     q("t_closeness_audit", PiiOps.TClosenessOracleSql)(
       PiiOps.tClosenessAudit),
 
+    // The privacy family's RELEASE rung: small-cell suppression + the
+    // derandomized binomial mechanism (seeded PolyHash noise draw) over
+    // the (type, day) cell grid; true counts never leave the operator.
+    q("dp_release_counts", PiiOps.DpReleaseOracleSql)(
+      (s, d) => PiiOps.dpReleaseCounts(s, d)),
+
     // C4-style normalized dedup: case/punct/whitespace-insensitive digest
     // groups — same shuffle contract as dedup_exact.
     q("dedup_normalized", TextOps.DedupNormalizedOracleSql)(TextOps.dedupNormalized),
@@ -1019,6 +1037,20 @@ object Registry {
     q("streaming_sketch_replay",
       graft.streaming.StreamingReplay.SketchReplayOracleSql)(
       (s, d) => graft.streaming.StreamingReplay.sketchReplay(s, d)),
+
+    // ...and three more: the stateless RAG chunker (append-mode rows ==
+    // the batch chunk frame), semantic decontamination at ingest (the
+    // frozen eval cohort is a plan literal; the snapshot rollup is the
+    // batch rollup verbatim), and live IVF index ingest (per-list
+    // monoid manifests over frozen centroids). Each shares its batch
+    // twin's oracle, closing the loop the r15 verdict asked to widen.
+    q("streaming_chunks_replay", TextOps.chunkDocumentsOracleSql())(
+      (s, d) => graft.streaming.StreamingReplay.chunksReplay(s, d)),
+    q("streaming_semantic_decon_replay",
+      AnnOps.decontaminationSemanticOracleSql())(
+      (s, d) => graft.streaming.StreamingReplay.semanticDeconReplay(s, d)),
+    q("streaming_ivf_ingest_replay", LloydOps.ivfIngestManifestOracleSql())(
+      (s, d) => graft.streaming.StreamingReplay.ivfIngestReplay(s, d)),
 
     // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
     q("multimodal_meta",
@@ -1668,6 +1700,13 @@ object Registry {
     // BM25-ranked disjunctive retrieval: tf saturation + length
     // normalization in milli fixed-point, odds-ratio integer idf — the
     // standard lexical ranker beside the conjunctive tf-idf path.
+    // Retrieval-quality eval: nDCG@10 of the BM25 ranking against the
+    // deterministic term-coverage relevance grade; discounts are integer
+    // literals so no transcendental log crosses the oracle boundary, and
+    // IDCG comes from the grade histogram, never a corpus sort.
+    q("ndcg_bm25_audit", TfIdfOps.ndcgOracleSql())(
+      (s, d) => TfIdfOps.ndcgAudit(s, d)),
+
     q("keyword_search_bm25", TfIdfOps.bm25OracleSql())(
       (s, d) => TfIdfOps.bm25Search(s, d)),
 
@@ -1708,6 +1747,13 @@ object Registry {
     // the data-skipping half of the layout story next to zorder_plan.
     q("zonemap_audit", LayoutOps.ZoneMapOracleSql)(
       (s, d) => LayoutOps.zoneMapAudit(s, d)),
+
+    // The curve-family DECISION readout: simulated footer pruning of one
+    // 2-D box under xsort vs zorder vs hilbert at a file cut that
+    // straddles quad boundaries — prices the two plans against each
+    // other (measured sf0.01: hilbert 1 file, zorder 2, xsort 6).
+    q("curve_layout_audit", LayoutOps.curveLayoutOracleSql())(
+      (s, d) => LayoutOps.curveLayoutAudit(s, d)),
 
     // Same write→read-back fidelity gate through the ORC path (second
     // columnar format; the oracle digest of the ORIGINAL table is

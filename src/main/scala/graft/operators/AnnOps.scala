@@ -876,7 +876,15 @@ object AnnOps {
       evalN: Int = SemanticEvalN, tauMilli: Int = SemanticTauMilli): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val evalVecs = evalCohort(emb, evalN)
-    semanticFlags(emb.filter(col("vec_id") >= evalN), evalVecs, tauMilli)
+    semanticRollup(
+      semanticFlags(emb.filter(col("vec_id") >= evalN), evalVecs, tauMilli))
+  }
+
+  /** The per-label rollup over a flags frame — shared with the streaming
+    * replay gate so the snapshot readout is the batch rollup verbatim.
+    */
+  private[graft] def semanticRollup(flags: DataFrame): DataFrame =
+    flags
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_corpus"),
@@ -885,7 +893,6 @@ object AnnOps {
       .withColumn("flagged_ppm", expr("(n_flagged * 1000000) div n_corpus"))
       .select("label", "n_corpus", "n_flagged", "flagged_ppm", "max_cos_milli")
       .orderBy("label")
-  }
 
   /** The shared per-row projection (corpus frame -> flag columns): also
     * run verbatim by the streaming twin, so streamed flags are pinned

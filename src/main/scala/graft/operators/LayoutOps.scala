@@ -196,6 +196,153 @@ object LayoutOps {
        |FROM h${levels.length} GROUP BY 1 ORDER BY file_id""".stripMargin
   }
 
+  /** The fixed 2-D probe box for [[curveLayoutAudit]]: `[64, 96)²` on
+    * the 256-bucket grid — a 1/8 × 1/8 box, the selective two-column
+    * predicate space-filling-curve layouts exist to serve.
+    */
+  val CurveBoxLo = 64L
+  val CurveBoxHi = 96L
+
+  /** File count for [[curveLayoutAudit]]: deliberately NOT a divisor of
+    * the quadtree cell count — at 64 files every file is one aligned
+    * 32×32 quad and BOTH curves prune identically (measured: 1 file
+    * each); at 48 the cuts straddle quad boundaries and the walks
+    * separate (measured at sf0.01: hilbert 1 file / zorder 2 / xsort 6
+    * — the Hilbert-beats-Z headline the plans exist to earn).
+    */
+  val CurveFiles = 48
+
+  /** Layout DECISION readout for the curve family: simulated zone-map
+    * pruning of one 2-D box predicate under the three write layouts the
+    * repo plans — `xsort` (1-D sort on x: perfect x pruning, none on y),
+    * `zorder` ([[zorderPlan]]'s interleave), `hilbert` ([[hilbertPlan]]'s
+    * walk). Same file-cut width for all three; a file is read iff its
+    * (x, y) bucket min/max box intersects the probe — parquet footer
+    * skipping, simulated. `read_amp_bp` (rows read per row matched, in
+    * bp) is the number a platform team reads to pick the layout: rows
+    * 69/187 PLAN the layouts, this row prices them against each other —
+    * Hilbert's neighbor-only walk should post the tightest boxes.
+    *
+    * Scale shape: one fact scan through the shared normalize/curve
+    * Column algebra, `stack` emits the three assignments (3× narrow
+    * intermediate, still one scan), then two bounded aggregations
+    * (3·files keys, then 3). Nothing row-bounded after the first agg.
+    */
+  def curveLayoutAudit(
+      s: SparkSession,
+      dir: String,
+      bits: Int = DefaultBits,
+      files: Int = CurveFiles): DataFrame = {
+    val m = (1L << bits) - 1
+    val cells = 1L << (2 * bits)
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey").cast("long").as("x"),
+      col("l_suppkey").cast("long").as("y"))
+    val stats = li.agg(
+      min("x").as("xmin"), max("x").as("xmax"),
+      min("y").as("ymin"), max("y").as("ymax"))
+    val bucketed = li.crossJoin(broadcast(stats))
+      .select(
+        expr(s"((x - xmin) * $m) div greatest(xmax - xmin, 1)").as("xb"),
+        expr(s"((y - ymin) * $m) div greatest(ymax - ymin, 1)").as("yb"))
+    val indexed = withHilbertIndex(bucketed, "xb", "yb", bits)
+      .withColumn("z", expr(interleave("xb", "yb", bits, "div")))
+    indexed.selectExpr(
+        s"stack(3, 'hilbert', hd * $files div $cells, " +
+          s"'xsort', (xb * $files) div ${m + 1}, " +
+          s"'zorder', z * $files div $cells) as (layout, file_id)",
+        "xb", "yb")
+      .groupBy(col("layout"), col("file_id"))
+      .agg(
+        count(lit(1)).as("rows"),
+        min("xb").as("x_min"), max("xb").as("x_max"),
+        min("yb").as("y_min"), max("yb").as("y_max"),
+        sum(when(
+          col("xb") >= CurveBoxLo && col("xb") < CurveBoxHi &&
+            col("yb") >= CurveBoxLo && col("yb") < CurveBoxHi, 1L)
+          .otherwise(0L)).as("match_rows"))
+      .withColumn("is_read",
+        (col("x_min") < CurveBoxHi && col("x_max") >= CurveBoxLo &&
+          col("y_min") < CurveBoxHi && col("y_max") >= CurveBoxLo)
+          .cast("long"))
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("files_total"),
+        sum(col("is_read")).as("files_read"),
+        sum(col("rows")).as("rows_total"),
+        sum(col("is_read") * col("rows")).as("rows_read"),
+        sum(col("match_rows")).as("rows_match"))
+      .withColumn("read_amp_bp",
+        expr("(rows_read * 10000) div greatest(rows_match, 1)"))
+      .orderBy("layout")
+  }
+
+  /** DuckDB oracle for [[curveLayoutAudit]]: the [[hilbertOracleSql]]
+    * level chain carrying (xb, yb), the interleave inline, then the
+    * identical per-file / per-layout rollup.
+    */
+  def curveLayoutOracleSql(
+      bits: Int = DefaultBits, files: Int = CurveFiles): String = {
+    val m = (1L << bits) - 1
+    val n = 1L << bits
+    val cells = 1L << (2 * bits)
+    val levels = Iterator.iterate(n / 2)(_ / 2).takeWhile(_ > 0).toSeq
+    val ctes = levels.zipWithIndex.map { case (s, i) =>
+      s"""h${i + 1} AS (
+         | SELECT xb, yb, hd + ${s * s} * xor(3 * rx, ry) AS hd,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hy ELSE hy END)
+         |   ELSE hx END AS hx,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${n - 1} - hx ELSE hx END)
+         |   ELSE hy END AS hy
+         | FROM (
+         |  SELECT *, CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |   CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM h$i) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       | SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+       | FROM lineitem),
+       |st AS (
+       | SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+       | FROM d),
+       |h0 AS (
+       | SELECT
+       |  ((x - xmin) * $m) // greatest(xmax - xmin, 1) AS xb,
+       |  ((y - ymin) * $m) // greatest(ymax - ymin, 1) AS yb,
+       |  CAST(0 AS BIGINT) AS hd, xb AS hx, yb AS hy
+       | FROM d CROSS JOIN st),
+       |$ctes,
+       |assigned AS (
+       | SELECT 'hilbert' AS layout, hd * $files // $cells AS file_id, xb, yb
+       | FROM h${levels.length}
+       | UNION ALL
+       | SELECT 'xsort', (xb * $files) // ${m + 1}, xb, yb FROM h0
+       | UNION ALL
+       | SELECT 'zorder', (${interleave("xb", "yb", bits, "//")}) * $files // $cells,
+       |  xb, yb FROM h0),
+       |perfile AS (
+       | SELECT layout, file_id, count(*) AS rows,
+       |  min(xb) AS x_min, max(xb) AS x_max,
+       |  min(yb) AS y_min, max(yb) AS y_max,
+       |  CAST(sum(CASE WHEN xb >= $CurveBoxLo AND xb < $CurveBoxHi
+       |    AND yb >= $CurveBoxLo AND yb < $CurveBoxHi THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS match_rows
+       | FROM assigned GROUP BY layout, file_id),
+       |flags AS (
+       | SELECT *, CAST(x_min < $CurveBoxHi AND x_max >= $CurveBoxLo
+       |   AND y_min < $CurveBoxHi AND y_max >= $CurveBoxLo AS BIGINT) AS is_read
+       | FROM perfile)
+       |SELECT layout,
+       | count(*) AS files_total,
+       | CAST(sum(is_read) AS BIGINT) AS files_read,
+       | CAST(sum(rows) AS BIGINT) AS rows_total,
+       | CAST(sum(is_read * rows) AS BIGINT) AS rows_read,
+       | CAST(sum(match_rows) AS BIGINT) AS rows_match,
+       | CAST((sum(is_read * rows) * 10000) // greatest(sum(match_rows), 1) AS BIGINT)
+       |  AS read_amp_bp
+       |FROM flags GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   /** Default context length for [[packSequences]] (tokens per training
     * sequence) and the carry-bucket width (docs per prefix-sum bucket).
     */

@@ -325,6 +325,64 @@ object PiiOps {
        | CAST((1000000 * sum(CASE WHEN emd_ppm > t_ppm THEN sz ELSE 0 END)) // sum(sz) AS BIGINT) AS suppress_ppm
        |FROM emd, ts GROUP BY t_ppm ORDER BY t_ppm""".stripMargin
 
+  /** Release-policy small-cell floor and the binomial noise half-width
+    * (bits in the hash window; noise = popcount − Bits/2 ∈ [−15, 15]).
+    */
+  val DpSuppressK = 10L
+  private val DpBits = 30
+
+  /** Differentially-private-STYLE noisy count release — the privacy
+    * family's fourth rung: rows 234/263/281 AUDIT a release, this one
+    * PERFORMS it. Per (event_type, day) cell: cells under the
+    * [[DpSuppressK]] floor are suppressed outright (the small-cell rule
+    * every statistical agency applies before noise), surviving counts
+    * get additive binomial noise `popcount(h) − 15` where h is the
+    * engine-portable PolyHash of the cell key — the BINOMIAL MECHANISM
+    * (Dwork et al. 2006) with n=30, p=½ (σ ≈ 2.74), DERANDOMIZED: a real
+    * deployment draws the noise from a DP sampler; here the draw is a
+    * deterministic hash so the whole release replays bit-exactly in the
+    * oracle (the same trade every gated sketch in this repo makes —
+    * SEEDED noise, honest mechanics). True counts never appear in the
+    * output. Scale shape: one map-side-combined aggregate over the
+    * bounded (type × day) cell domain, then per-cell constant hash work.
+    */
+  def dpReleaseCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= DpSuppressK)
+      .withColumn("h", graft.functions.GraftFunctions.poly_hash(
+        concat(col("event_type"), lit(":"), col("day").cast("string"),
+          lit(":dp1")),
+        31, 1000000007L))
+      .select(col("event_type"), col("day"),
+        greatest(lit(0L),
+          col("n") + expr(s"cast(bit_count(h) as bigint) - ${DpBits / 2}"))
+          .as("n_released"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB oracle for [[dpReleaseCounts]]: identical cell fold, floor,
+    * PolyHash draw, and popcount noise.
+    */
+  val DpReleaseOracleSql: String =
+    s"""WITH c AS (
+       | SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+       | FROM events GROUP BY 1, 2),
+       |h AS (
+       | SELECT event_type, day, n,
+       |  list_reduce(
+       |   list_prepend(0::BIGINT,
+       |    list_transform(
+       |     regexp_extract_all(event_type || ':' || CAST(day AS VARCHAR) || ':dp1', '(?s).'),
+       |     ch -> unicode(ch)::BIGINT)),
+       |   (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       | FROM c WHERE n >= $DpSuppressK)
+       |SELECT event_type, day,
+       | CAST(greatest(0, n + (CAST(bit_count(h) AS BIGINT) - ${DpBits / 2})) AS BIGINT)
+       |  AS n_released
+       |FROM h ORDER BY event_type, day""".stripMargin
+
   /** DuckDB oracle for [[lDiversityAudit]]. */
   val LDiversityOracleSql: String =
     s"""WITH cls AS (

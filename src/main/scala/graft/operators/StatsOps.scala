@@ -522,6 +522,77 @@ object StatsOps {
       |   CAST(n * sxx - sx * sx AS DOUBLE)) + 0.5) AS BIGINT) AS slope_e4
       |FROM g ORDER BY event_type""".stripMargin
 
+  /** Per-type Theil–Sen (median-of-pairwise-slopes) trend — the robust
+    * twin of [[trendByType]]: one wild day cannot move the estimate the
+    * way it drags OLS. The series is first collapsed to the DAILY grain
+    * (exact milli sums), so the pair stage is quadratic in DAYS — the
+    * time-span domain, not the row count: at 100 TB a three-year corpus
+    * is ~1000 days ⇒ ≤ 500k pairs per type, regardless of per-day row
+    * volume, and the daily frame itself is |types|·|days| rows after one
+    * map-side-combined aggregate. Each pair slope quantizes by the
+    * engine-portable `floor(x·10⁴ + 0.5)` IEEE chain; the median is the
+    * exact lower-median rank select (the histogram-cum machinery, ties
+    * collapsed before the window so the sort domain is distinct slopes).
+    */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val daily = ev
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(sum(expr("cast(floor(value * 1000 + 0.5) as long)"))
+        .cast("decimal(38,0)").as("y"))
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("""cast(floor(10000.0 *
+            (cast(b.y - a.y as double) / cast(b.day - a.day as double))
+            + 0.5) as long)""").as("slope_e4"))
+    val counts = pairs.groupBy("event_type", "slope_e4")
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("event_type").orderBy("slope_e4")))
+      .withColumn("n_pairs",
+        sum("c").over(Window.partitionBy("event_type")))
+    cum.filter(col("cum") >= expr("(n_pairs + 1) div 2"))
+      .groupBy("event_type")
+      .agg(min("slope_e4").as("sen_slope_e4"), max("n_pairs").as("n_pairs"))
+      .join(nDays, Seq("event_type"))
+      .select("event_type", "n_days", "n_pairs", "sen_slope_e4")
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[theilSenTrend]]: identical daily collapse, pair
+    * slopes, and lower-median rank select.
+    */
+  def theilSenOracleSql(): String =
+    """WITH d AS (
+      | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |  sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS y
+      | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      |nd AS (SELECT event_type, count(*) AS n_days FROM d GROUP BY 1),
+      |p AS (
+      | SELECT a.event_type,
+      |  CAST(floor(10000.0 *
+      |   (CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE))
+      |   + 0.5) AS BIGINT) AS slope_e4
+      | FROM d a JOIN d b
+      |  ON a.event_type = b.event_type AND a.day < b.day),
+      |h AS (SELECT event_type, slope_e4, count(*) AS c FROM p GROUP BY 1, 2),
+      |cm AS (
+      | SELECT event_type, slope_e4,
+      |  sum(c) OVER (PARTITION BY event_type ORDER BY slope_e4) AS cum,
+      |  sum(c) OVER (PARTITION BY event_type) AS n_pairs
+      | FROM h),
+      |sen AS (
+      | SELECT event_type, min(slope_e4) AS sen_slope_e4,
+      |  CAST(max(n_pairs) AS BIGINT) AS n_pairs
+      | FROM cm WHERE cum >= (n_pairs + 1) // 2 GROUP BY event_type)
+      |SELECT s.event_type, nd.n_days, s.n_pairs, s.sen_slope_e4
+      |FROM sen s JOIN nd USING (event_type)
+      |ORDER BY s.event_type""".stripMargin
+
   /** Equi-width 20-bucket histogram of `events.value` — the distribution
     * export a profiler draws. Bucket edges derive from the global
     * min/max scalar pair (broadcast); the bucket index arithmetic is a

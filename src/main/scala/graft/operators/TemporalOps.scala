@@ -623,4 +623,68 @@ object TemporalOps {
        | CAST(CASE WHEN abs(cusum_milli) > thr THEN 1 ELSE 0 END AS BIGINT)
        |  AS drift_flag
        |FROM r ORDER BY epoch_day""".stripMargin
+
+  /** EWMA smoothing of daily per-type volume, α = 1/8, in exact milli
+    * fixed-point: `s₁ = 1000·n₁`, `sₜ = (7·sₜ₋₁ + 1000·nₜ) div 8` over
+    * the ZERO-FILLED day grid — every operand non-negative, so Spark's
+    * truncating `div` and DuckDB's floor `//` agree, and no float ever
+    * crosses the oracle. A linear recurrence with truncation is
+    * GENUINELY sequential (no window-function form), so each type's
+    * bounded day series collapses to one sorted array and the trace is
+    * one higher-order `aggregate` fold — per-type state is |days| rows
+    * (the time-span domain: ~1000 at three 100 TB years), never event
+    * rows; the corpus is touched exactly once by the counting aggregate.
+    * The smoothing every volume-anomaly monitor keeps beside the raw
+    * series ([[StreamingAnomaly]]'s batch-side reference curve).
+    */
+  def ewmaDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val counts = ev
+      .groupBy(expr(s"ts_us div $DayUs").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daySpine(ev)
+      .crossJoin(ev.select("event_type").distinct())
+      .join(broadcast(counts), Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    grid.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("xs"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(xs,
+          |  cast(array() as array<struct<day:bigint, n:bigint, s:bigint>>),
+          |  (acc, x) -> array_append(acc, named_struct(
+          |    'day', x.day, 'n', x.n,
+          |    's', case when size(acc) = 0 then 1000 * x.n
+          |         else (7 * element_at(acc, -1).s + 1000 * x.n) div 8
+          |         end)))""".stripMargin)).as("t"))
+      .select(col("event_type"), col("t.day").as("epoch_day"),
+        col("t.n").as("events"), col("t.s").as("ewma_milli"))
+      .orderBy("event_type", "epoch_day")
+  }
+
+  /** DuckDB oracle for [[ewmaDaily]]: the identical integer recurrence
+    * as a day-indexed recursive CTE over the zero-filled grid.
+    */
+  def ewmaDailyOracleSql(): String =
+    """WITH RECURSIVE b AS (
+      | SELECT min(epoch_us(ts) // 86400000000) AS d0,
+      |  max(epoch_us(ts) // 86400000000) AS d1 FROM events),
+      |spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |c AS (
+      | SELECT epoch_us(ts) // 86400000000 AS day, event_type, count(*) AS n
+      | FROM events GROUP BY 1, 2),
+      |g AS (
+      | SELECT s.day, t.event_type, coalesce(c.n, 0) AS n,
+      |  row_number() OVER (PARTITION BY t.event_type ORDER BY s.day) AS i
+      | FROM spine s CROSS JOIN t
+      | LEFT JOIN c ON c.day = s.day AND c.event_type = t.event_type),
+      |r AS (
+      | SELECT event_type, i, day, n, 1000 * n AS s FROM g WHERE i = 1
+      | UNION ALL
+      | SELECT g.event_type, g.i, g.day, g.n, (7 * r.s + 1000 * g.n) // 8
+      | FROM g JOIN r ON g.event_type = r.event_type AND g.i = r.i + 1)
+      |SELECT event_type, CAST(day AS BIGINT) AS epoch_day,
+      | CAST(n AS BIGINT) AS events, CAST(s AS BIGINT) AS ewma_milli
+      |FROM r ORDER BY event_type, epoch_day""".stripMargin
 }

@@ -281,6 +281,146 @@ object TfIdfOps {
        |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** nDCG@10 position discounts `round(10⁶ / log2(i+1))` as integer
+    * LITERALS (computed once offline), so no transcendental log ever
+    * crosses the oracle boundary — the same reason [[bm25Search]] uses
+    * the linear odds idf. Index 0 is a 0 pad so `W_CUM(p)` is a plain
+    * 1-based prefix-sum lookup for p in 0..10.
+    */
+  private val NdcgWCumE6: Seq[Long] = Seq(
+    0L, 1000000L, 1630930L, 2130930L, 2561607L, 2948460L,
+    3304667L, 3638000L, 3953465L, 4254495L, 4543560L)
+
+  /** Retrieval-quality audit: nDCG@10 of the [[bm25Search]] ranking
+    * against a deterministic graded relevance — rel(q, doc) =
+    * `least(4, (Σ_t tf(doc, t)) div 3)` over the query's matched terms:
+    * raw term-occurrence mass bucketed to 5 grades (0..4), grade 4 held
+    * by a handful of docs per query. Deliberately NOT the
+    * quantity BM25 optimizes (BM25 saturates tf and weighs terms by
+    * idf), so the metric is non-trivial — term-coverage grades measured
+    * a constant 1.000 here because any full-match doc was ideal.
+    * Gain is 2^rel − 1; the ideal DCG comes
+    * from the full matching set's grade HISTOGRAM (grades desc, each
+    * grade filling positions `(cum−c, min(cum,10)]`, its discount mass a
+    * prefix-sum difference of the literal weight table) — so IDCG needs
+    * only |grades| ≤ |query terms| rows per query, never a corpus sort.
+    * Everything downstream of the postings join is exact integers;
+    * `ndcg_ppm = (10⁶·dcg) div idcg`.
+    *
+    * Scale shape: rides the one postings build ([[bm25Search]]'s own
+    * plan) plus a second (qid, doc) rollup of the same term-hit rows;
+    * the audit frames after that are queries×grades-sized. The metric
+    * itself is the eval harness a retrieval stack ships with — ranking
+    * changes surface as a gated ppm delta, not an eyeball diff.
+    */
+  def ndcgAudit(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    require(k == 10, "discount literals are tabulated for k = 10")
+    val wcumArr = s"array(${NdcgWCumE6.mkString("L, ")}L)"
+    def wcum(p: String) = s"element_at($wcumArr, cast($p as int) + 1)"
+    // Per-(query, doc) grade over ALL matching docs (not only top-k).
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val queries = {
+      import s.implicits._
+      QuerySet.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("qid", "token")
+    }
+    val rels = tf.join(broadcast(queries), Seq("token"))
+      .groupBy("qid", "doc_id")
+      .agg(expr("least(4L, sum(tf) div 3)").as("rel"))
+    val top = bm25Search(s, dir, k)
+      .select(col("qid"), col("rank"), col("doc_id"))
+    val dcg = top
+      .join(rels, Seq("qid", "doc_id"))
+      .withColumn("gain", expr("shiftleft(1L, cast(rel as int)) - 1"))
+      .withColumn("w_e6",
+        expr(s"${wcum("rank")} - ${wcum("rank - 1")}"))
+      .groupBy("qid")
+      .agg(sum(expr("gain * w_e6")).as("dcg_e6"))
+    val grades = rels.groupBy("qid", "rel").agg(count(lit(1)).as("c"))
+    val wG = Window.partitionBy("qid")
+      .orderBy(col("rel").desc)
+    val idcg = grades
+      .withColumn("cum", sum("c").over(wG))
+      .withColumn("lo", expr("least(cum - c, 10L)"))
+      .withColumn("hi", expr("least(cum, 10L)"))
+      .withColumn("gain", expr("shiftleft(1L, cast(rel as int)) - 1"))
+      .withColumn("seg",
+        expr(s"gain * (${wcum("hi")} - ${wcum("lo")})"))
+      .groupBy("qid")
+      .agg(sum("seg").as("idcg_e6"),
+        sum("c").cast("long").as("matching_docs"))
+    dcg.join(idcg, Seq("qid"))
+      .select(col("qid"), col("matching_docs"), col("dcg_e6"),
+        col("idcg_e6"),
+        expr("(1000000 * dcg_e6) div idcg_e6").as("ndcg_ppm"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB oracle for [[ndcgAudit]]: the [[bm25OracleSql]] CTE chain
+    * re-stated, then the identical literal-discount DCG/IDCG algebra.
+    */
+  def ndcgOracleSql(k: Int = 10): String = {
+    require(k == 10)
+    val qvals = QuerySet
+      .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val wcumList = s"[${NdcgWCumE6.mkString(", ")}]"
+    def wcum(p: String) = s"$wcumList[CAST($p AS BIGINT) + 1]"
+    s"""WITH x AS (
+       | SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+       | FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM x GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_tokens FROM tf GROUP BY 1),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |ad AS (SELECT sum(doc_tokens) // count(*) AS avgdl FROM dl),
+       |q(qid, token) AS (VALUES $qvals),
+       |sc AS (
+       | SELECT q.qid, tf.doc_id,
+       |  CAST(least(4, sum(tf.tf) // 3) AS BIGINT) AS rel,
+       |  CAST(sum(
+       |   (((1000 * (2 * n.n - 2 * df.df + 1)) // (2 * df.df + 1))
+       |   * ((1000 * tf.tf * (${Bm25K1Milli} + 1000))
+       |      // (1000 * tf.tf + (${Bm25K1Milli}
+       |          * (1000 - ${Bm25BMilli}
+       |             + (${Bm25BMilli} * dl.doc_tokens) // ad.avgdl)) // 1000)))
+       |   // 1000
+       |  ) AS BIGINT) AS score_milli
+       | FROM tf JOIN q ON tf.token = q.token
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN df ON tf.token = df.token CROSS JOIN n CROSS JOIN ad
+       | GROUP BY 1, 2),
+       |r AS (
+       | SELECT qid, rel,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |   ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+       | FROM sc),
+       |dcg AS (
+       | SELECT qid, sum(((1::BIGINT << rel) - 1)
+       |   * (${wcum("rank")} - ${wcum("rank - 1")})) AS dcg_e6
+       | FROM r WHERE rank <= $k GROUP BY qid),
+       |g AS (SELECT qid, rel, count(*) AS c FROM sc GROUP BY 1, 2),
+       |gc AS (
+       | SELECT qid, rel, c,
+       |  sum(c) OVER (PARTITION BY qid ORDER BY rel DESC) AS cum
+       | FROM g),
+       |idcg AS (
+       | SELECT qid,
+       |  sum(((1::BIGINT << rel) - 1)
+       |   * (${wcum("least(cum, 10)")} - ${wcum("least(cum - c, 10)")})) AS idcg_e6,
+       |  CAST(sum(c) AS BIGINT) AS matching_docs
+       | FROM gc GROUP BY qid)
+       |SELECT CAST(d.qid AS BIGINT) AS qid, i.matching_docs,
+       | CAST(d.dcg_e6 AS BIGINT) AS dcg_e6,
+       | CAST(i.idcg_e6 AS BIGINT) AS idcg_e6,
+       | CAST((1000000 * d.dcg_e6) // i.idcg_e6 AS BIGINT) AS ndcg_ppm
+       |FROM dcg d JOIN idcg i ON d.qid = i.qid
+       |ORDER BY qid""".stripMargin
+  }
+
   /** Fixed two-token phrases for [[phraseSearch]]. */
   val PhraseSet: Seq[(String, String, String)] = Seq(
     ("hash join", "hash", "join"),

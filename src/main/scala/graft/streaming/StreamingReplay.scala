@@ -185,6 +185,64 @@ object StreamingReplay {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** A streaming embeddings source for replay gates: the file source
+    * over the sf directory glob-filtered to the embeddings table.
+    */
+  private def embStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
+  /** [[StreamingChunks]] under the replay gate: the stateless RAG
+    * chunker drained append-mode over the documents replay. Chunking is
+    * per-row projection with no state store, so the drained rows equal
+    * the batch `chunk_documents` frame row-for-row and the same oracle
+    * gates the streaming execution path (source listing → generator
+    * explode → sink commit).
+    */
+  def chunksReplay(s: SparkSession, dir: String): DataFrame =
+    drain(s, StreamingChunks.chunks(docsStream(s, dir)),
+      "graft_streaming_chunks", "append")
+      .orderBy("doc_id", "chunk_idx")
+
+  /** [[StreamingSemanticDecon]] under the replay gate: arriving corpus
+    * vectors flagged against the frozen eval cohort (collected ONCE from
+    * the batch side, a plan literal in the streaming projection), drained
+    * append-mode, then rolled up with the batch operator's OWN rollup —
+    * flagging is stateless per vector, so the snapshot rollup equals
+    * `decontamination_semantic` under the identical oracle.
+    */
+  def semanticDeconReplay(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnOps
+    val evalVecs = AnnOps.evalCohort(
+      graft.Tables.embeddings(s, dir), AnnOps.SemanticEvalN)
+    val flags = StreamingSemanticDecon.flags(
+      embStream(s, dir).filter(col("vec_id") >= AnnOps.SemanticEvalN),
+      evalVecs)
+    AnnOps.semanticRollup(
+      drain(s, flags, "graft_streaming_semdecon", "append"))
+  }
+
+  /** [[StreamingIvfIngest]] under the replay gate: vectors filed into
+    * their nearest FROZEN Lloyd list as they land, the per-list manifest
+    * state (count, id range, exact decimal digest — all commutative
+    * monoids) drained complete-mode. The snapshot equals the batch
+    * `ivf_ingest_manifest` fold under any micro-batch decomposition, so
+    * the identical oracle gates live index maintenance end to end.
+    */
+  def ivfIngestReplay(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LloydOps
+    val emb = graft.Tables.embeddings(s, dir)
+    val (cents, _) = LloydOps.frozenCentroids(
+      s, dir, LloydOps.listsFor(emb.count()))
+    drain(s, StreamingIvfIngest.manifests(embStream(s, dir), cents),
+      "graft_streaming_ivf_ingest", "complete")
+      .orderBy("list")
+  }
+
   /** Oracle for [[dedupReplay]]: distinct sha256 digests, same bucket
     * rollup and poly-hash digest mass.
     */

@@ -166,6 +166,59 @@ class R16OpsSpec extends AnyFunSuite {
     assert(buckets.map(_.getAs[Long]("n_docs")).sum == nDistinct)
   }
 
+  test("streaming chunks / semantic-decon / IVF-ingest replays equal their batch twins") {
+    import graft.streaming.StreamingReplay
+    import graft.operators.{AnnOps, LloydOps, TextOps}
+    val chunksB = TextOps.chunkDocuments(spark, sf).collect().map(_.toSeq).toSeq
+    val chunksS = StreamingReplay.chunksReplay(spark, sf).collect().map(_.toSeq).toSeq
+    assert(chunksS == chunksB)
+    val semB = AnnOps.decontaminationSemantic(spark, sf).collect().map(_.toSeq).toSeq
+    val semS = StreamingReplay.semanticDeconReplay(spark, sf).collect().map(_.toSeq).toSeq
+    assert(semS == semB)
+    val ivfB = LloydOps.ivfIngestManifest(spark, sf).collect().map(_.toSeq).toSeq
+    val ivfS = StreamingReplay.ivfIngestReplay(spark, sf).collect().map(_.toSeq).toSeq
+    assert(ivfS == ivfB)
+  }
+
+  test("Theil-Sen slope equals the Scala recomputation (daily collapse, lower median)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.StatsOps
+    val daily = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(sum(expr("cast(floor(value * 1000 + 0.5) as long)")).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = daily.map { case (t, rows) =>
+      val pts = rows.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield math.floor(10000.0 * ((pts(j)._2 - pts(i)._2).toDouble /
+        (pts(j)._1 - pts(i)._1).toDouble) + 0.5).toLong).sorted
+      t -> (pts.length.toLong, slopes.length.toLong,
+        slopes((slopes.length + 1) / 2 - 1))
+    }
+    val got = StatsOps.theilSenTrend(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
+  test("nDCG audit: bounded, exactly-normalized, and non-trivial on this corpus") {
+    import graft.operators.TfIdfOps
+    val rows = TfIdfOps.ndcgAudit(spark, sf).collect()
+    assert(rows.length == TfIdfOps.QuerySet.length)
+    rows.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dcg > 0 && dcg <= idcg)
+      assert(ndcg == (1000000L * dcg) / idcg)
+    }
+    // The tf-mass grade is deliberately not what BM25 optimizes: if every
+    // query read 1.000 the audit would be degenerate (the term-coverage
+    // grade's failure mode this replaced).
+    assert(rows.exists(_.getLong(4) < 1000000L))
+  }
+
   test("landmark betweenness: exact Brandes values on a planted path") {
     import spark.implicits._
     import graft.operators.GraphOps
