@@ -38,6 +38,7 @@ object Registry {
     "scc_components",
     "kcore", "kcore_conv", "ppr_seeded", "bfs_hops", "sssp_weighted",
     "harmonic_centrality", "betweenness_landmark",
+    "graph_distance_histogram", "percolation_audit",
     // AssocOps entity resolution (persists the match-edge frame).
     "entity_clusters", "entity_clusters_conv",
     // LloydOps NN-descent family (localCheckpoints the base IVF graph).
@@ -259,6 +260,11 @@ object Registry {
     // Consecutive-event transition matrix (deterministic lead window).
     q("event_transitions", FunnelOps.TransitionsOracleSql)(
       FunnelOps.eventTransitions),
+
+    // Top-1 next-event predictability: the chain's in-sample mode
+    // hit-rate — the headroom readout before training a sequence model.
+    q("markov_top1_accuracy", FunnelOps.MarkovTop1OracleSql)(
+      (s, d) => FunnelOps.markovTop1Accuracy(s, d)),
 
     // ---- Complex joins (reference: analysis/etl_spark.py:52 op list) ----
     q("join_nation_revenue",
@@ -681,6 +687,12 @@ object Registry {
     q("decontamination_semantic", AnnOps.decontaminationSemanticOracleSql())(
       (s, d) => AnnOps.decontaminationSemantic(s, d)),
 
+    // Greedy k-center (Gonzalez) diversity seeds: 7 literal-seed scans,
+    // each reduced by one associative max(struct) argmax — farthest-point
+    // exemplar selection with the covering-radius sequence as output.
+    q("kcenter_seeds", AnnOps.kCenterOracleSql())(
+      (s, d) => AnnOps.kCenterSeeds(s, d)),
+
     // Sub-document span duplication map: positional 8-token spans shared
     // with another doc, per-doc boilerplate fraction in bp.
     q("span_dedup", TextOps.SpanDedupOracleSql)(
@@ -1051,6 +1063,16 @@ object Registry {
       (s, d) => graft.streaming.StreamingReplay.semanticDeconReplay(s, d)),
     q("streaming_ivf_ingest_replay", LloydOps.ivfIngestManifestOracleSql())(
       (s, d) => graft.streaming.StreamingReplay.ivfIngestReplay(s, d)),
+
+    // ...and two more: the stream-static digest anti-join (stateless per
+    // row, batch rollup shared with decontamination_stats) and the
+    // flatMapGroupsWithState upsert store read out decomposition-proof
+    // (per-key max over every emitted changelog row == the final state).
+    q("streaming_decontaminate_replay", TextOps.decontaminationOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.decontaminateReplay(s, d)),
+    q("streaming_upsert_replay",
+      graft.streaming.StreamingReplay.UpsertReplayOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.upsertReplay(s, d)),
 
     // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
     q("multimodal_meta",
@@ -1528,6 +1550,18 @@ object Registry {
     // the bfs_hops relaxation with seed as an extra state key.
     q("harmonic_centrality", GraphOps.harmonicCentralityOracleSql())(
       (s, d) => GraphOps.harmonicCentrality(s, d)),
+
+    // Landmark distance histogram: the neighborhood-function /
+    // effective-diameter readout, exact on the fixed cohort — pooled
+    // per-hop pair counts with cumulative ppm shares.
+    q("graph_distance_histogram", GraphOps.graphDistanceHistogramOracleSql())(
+      (s, d) => GraphOps.graphDistanceHistogram(s, d)),
+
+    // Hub-percolation robustness: CC before/after removing the top-8
+    // degree hubs — the targeted-attack fragility readout; two
+    // exchange-free CC loops, hub set an 8-row broadcast frame.
+    q("percolation_audit", GraphOps.percolationOracleSql())(
+      (s, d) => GraphOps.percolationAudit(s, d)),
 
     // Approximate betweenness from the same landmark cohort (Brandes &
     // Pich style): per seed, level-synchronous path counts over the

@@ -858,6 +858,96 @@ object AnnOps {
       .map(_.getSeq[Float](0))
       .toSeq
 
+  /** Seed count for [[kCenterSeeds]] — fixed so the oracle unrolls. */
+  val KCenterK = 8
+
+  /** Greedy k-center (Gonzalez 1985) diversity seeds — the
+    * farthest-point selection a curation pipeline uses to pick maximally
+    * SPREAD exemplars (prompt-seed selection, eval-panel picking,
+    * coverage anchors): start from the lowest vec_id, then k−1 times
+    * take the vector FARTHEST (min cosine-distance in milli, 1000 −
+    * max-cos) from everything selected so far, ties to the lowest id.
+    * The classic 2-approximation of the k-center cover; the emitted
+    * `dist_milli` sequence is non-increasing and its last entry is
+    * (half of) the corpus covering-radius bound.
+    *
+    * Scale shape: k − 1 scans, each a no-join pass against ≤ k literal
+    * seed vectors ([[maxEvalCosine]]'s shape) reduced by an
+    * associative max(struct) — driver state is the k seed rows (the
+    * BpeOps limit(1)-per-round precedent). k is a constant: 8 scans at
+    * any corpus size, each embarrassingly parallel.
+    */
+  def kCenterSeeds(
+      s: SparkSession, dir: String, k: Int = KCenterK): DataFrame =
+    kCenterSeedsOf(s, Tables.embeddings(s, dir), k)
+
+  /** [[kCenterSeeds]] over an arbitrary (vec_id, embedding) frame — the
+    * planted-geometry spec seam.
+    */
+  private[graft] def kCenterSeedsOf(
+      s: SparkSession, embIn: DataFrame, k: Int): DataFrame = {
+    require(k >= 2)
+    val emb = embIn.select(col("vec_id"), col("embedding"))
+    val first = emb.orderBy("vec_id").limit(1).collect()(0)
+    var seeds = Vector[(Long, Seq[Float])](
+      (first.getLong(0), first.getSeq[Float](1)))
+    var out = Vector[(Long, Long, Long)]((1L, seeds.head._1, 0L))
+    for (i <- 2 to k) {
+      // argmax(dist, then min id) as one associative max(struct) —
+      // partial-aggregated, never a global sort.
+      val best = emb
+        .filter(!col("vec_id").isInCollection(seeds.map(_._1)))
+        .withColumn("cosmax", maxEvalCosine(seeds.map(_._2)))
+        .withColumn("dist_milli",
+          expr("1000 - cast(round(cosmax * 1000) as bigint)"))
+        .agg(max(struct(col("dist_milli"), (-col("vec_id")).as("nid"),
+          col("embedding"))).as("m"))
+        .select(expr("m.dist_milli"), expr("-m.nid"), expr("m.embedding"))
+        .collect()(0)
+      val (d, id, v) = (best.getLong(0), best.getLong(1), best.getSeq[Float](2))
+      seeds :+= ((id, v))
+      out :+= ((i.toLong, id, d))
+    }
+    import s.implicits._
+    out.toDF("seed_idx", "vec_id", "dist_milli").orderBy("seed_idx")
+  }
+
+  /** DuckDB oracle for [[kCenterSeeds]]: the k−1 rounds unrolled, each
+    * scoring against the union of prior pick CTEs with the identical
+    * rounded cosine chain.
+    */
+  def kCenterOracleSql(k: Int = KCenterK): String = {
+    def cos(e: String, sv: String): String =
+      s"""round(
+         | list_sum(list_transform(list_zip($e, $sv),
+         |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         | / (sqrt(list_sum(list_transform($e, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))
+         |    * sqrt(list_sum(list_transform($sv, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))), 6)""".stripMargin
+    val sb = new StringBuilder
+    sb.append(
+      """WITH p1 AS (
+        | SELECT vec_id, embedding, CAST(0 AS BIGINT) AS dist_milli
+        | FROM embeddings ORDER BY vec_id LIMIT 1)""".stripMargin)
+    for (i <- 2 to k) {
+      val prior = (1 until i).map(j => s"SELECT vec_id, embedding FROM p$j")
+        .mkString(" UNION ALL ")
+      sb.append(s""",
+        |p$i AS (
+        | SELECT e.vec_id, e.embedding,
+        |  CAST(1000 - round(max(${cos("e.embedding", "sd.embedding")}) * 1000)
+        |   AS BIGINT) AS dist_milli
+        | FROM embeddings e CROSS JOIN ($prior) sd
+        | WHERE e.vec_id NOT IN (${(1 until i).map(j => s"SELECT vec_id FROM p$j").mkString(" UNION ALL ")})
+        | GROUP BY e.vec_id, e.embedding
+        | ORDER BY dist_milli DESC, e.vec_id LIMIT 1)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS seed_idx, vec_id, dist_milli FROM p$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY seed_idx"))
+    sb.toString
+  }
+
   /** Semantic (embedding-space) decontamination audit: for every corpus
     * vector outside the fixed eval carve, the max cosine against the eval
     * cohort; per-label counts of vectors above the flag threshold — the

@@ -214,6 +214,66 @@ object FunnelOps {
       |  AS BIGINT) AS share_permille
       |FROM g ORDER BY from_type, to_type""".stripMargin
 
+  /** Top-1 next-event predictability audit — the EVAL readout of the
+    * [[eventTransitions]] chain: for each from-type, the single most
+    * likely next type (max transition count, lexicographically-smallest
+    * tie-break) and the in-sample hit rate a "predict the mode" baseline
+    * achieves. The number a sequence-model team reads before training
+    * anything: a 900 ‰ top-1 chain has no headroom for a model, a 300 ‰
+    * chain does. In-sample by design (fit strength of the chain itself,
+    * not generalization — the split machinery in rows 119/267 is the
+    * holdout seam). Scale shape: the same one corpus collapse to the
+    * ≤|types|² matrix as its siblings; everything after is
+    * metadata-sized.
+    */
+  def markovTop1Accuracy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("t"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    // Mode per from-type: a row-number window is fine HERE because it
+    // runs over the collapsed ≤|types|² matrix, never event rows.
+    val mode = pairs
+      .withColumn("rn", row_number().over(Window.partitionBy("from_type")
+        .orderBy(col("transitions").desc, col("to_type"))))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"),
+        col("transitions").as("top1_hits"))
+    pairs.groupBy("from_type")
+      .agg(sum("transitions").as("n_pairs"))
+      .join(mode, Seq("from_type"))
+      .select(col("from_type"), col("predicted"), col("n_pairs"),
+        col("top1_hits"),
+        expr("(1000 * top1_hits) div n_pairs").as("top1_permille"))
+      .orderBy("from_type")
+  }
+
+  val MarkovTop1OracleSql: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+      |p AS (
+      | SELECT event_type AS from_type,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type
+      | FROM e),
+      |g AS (
+      | SELECT from_type, to_type, count(*) AS transitions FROM p
+      | WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (
+      | SELECT from_type, to_type AS predicted, transitions AS top1_hits,
+      |  row_number() OVER (PARTITION BY from_type
+      |   ORDER BY transitions DESC, to_type) AS rn
+      | FROM g),
+      |t AS (SELECT from_type, sum(transitions) AS n_pairs FROM g GROUP BY 1)
+      |SELECT t.from_type, m.predicted, CAST(t.n_pairs AS BIGINT) AS n_pairs,
+      | m.top1_hits,
+      | CAST((1000 * m.top1_hits) // t.n_pairs AS BIGINT) AS top1_permille
+      |FROM t JOIN m ON t.from_type = m.from_type AND m.rn = 1
+      |ORDER BY t.from_type""".stripMargin
+
   /** Stationary distribution of the event-type Markov chain: power
     * iteration of the ppm transition matrix from the uniform start —
     * "where does a user's behavior settle long-run". The corpus

@@ -545,6 +545,154 @@ object GraphOps {
     (iter, labels.orderBy("node"))
   }
 
+  /** Hub-percolation robustness audit: connected components BEFORE and
+    * AFTER removing the top-`nHubs` highest-degree nodes (degree desc,
+    * node asc — fully deterministic) — the classic scale-free
+    * "robust to random failure, fragile to targeted attack" readout
+    * (Albert–Jeong–Barabási 2000): per variant the node/edge counts,
+    * component count, giant-component size and its ppm share. The
+    * infrastructure question a platform team asks of a co-occurrence or
+    * dependency graph: what fractures if the hubs go.
+    *
+    * Runs on the THINNED high-quantity co-purchase graph (l_quantity ≥
+    * 45, undirected; the [[sccEdges]] precedent one notch sharper): the
+    * full graph is so dense that removing even 64 hubs moves nothing
+    * (measured: giant stays 1000000 ppm), which audits nothing; at ≥ 45
+    * the graph has the giant-plus-periphery shape where a 32-hub
+    * targeted attack visibly fragments (sf0.01: giant 828k → 696k ppm,
+    * components 103 → 134). Both variants CONVERGE min-label
+    * propagation with change detection (the components_conv shape —
+    * the thinned diameter grows with SF, so no fixed round count is
+    * honest); the oracle is an INDEPENDENT recursive-reachability
+    * closure (true components, the clusters_conv precedent), so a
+    * round-count bug fails the gate rather than being mirrored. The hub
+    * set is a 32-row broadcast frame derived declaratively — no driver
+    * collect. Scale: two node-bounded CC loops + one degree aggregate;
+    * the thinning keeps the graph metadata-sized next to the fact scan.
+    */
+  def percolationAudit(
+      s: SparkSession, dir: String,
+      nHubs: Int = 32, maxIters: Int = 64): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val und = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val hubs = deg.orderBy(col("degree").desc, col("node")).limit(nHubs)
+      .select("node")
+    def summary(edgesU: DataFrame, variant: String): DataFrame = {
+      val dirEdges = edgesU
+        .union(edgesU.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = dirEdges.select(col("src").as("node")).distinct()
+      val n = nodes.count()
+      var labels = truncate(s, nodes.withColumn("label", col("node")))
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        iter += 1
+        val neighborMin = dirEdges
+          .join(roundSide(labels.withColumnRenamed("node", "src"), n), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(min("label").as("nbr_label"))
+        val next = truncate(s, labels
+          .join(roundSide(neighborMin, n), Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label"),
+            col("label").as("prev_label")))
+        converged = next.filter(col("label") =!= col("prev_label")).isEmpty
+        labels = next.select("node", "label")
+      }
+      val comps = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("components"),
+          sum("sz").as("nodes"), max("sz").as("giant_nodes"))
+      comps.crossJoin(broadcast(edgesU.agg(count(lit(1)).as("edges"))))
+        .select(lit(variant).as("variant"), col("nodes"), col("edges"),
+          col("components"), col("giant_nodes"),
+          expr("(1000000 * giant_nodes) div nodes").as("giant_ppm"))
+    }
+    val perc = und
+      .join(broadcast(hubs.withColumnRenamed("node", "src")), Seq("src"), "left_anti")
+      .join(broadcast(hubs.withColumnRenamed("node", "dst")), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    summary(und, "full").union(summary(perc, "percolated"))
+      .orderBy("variant")
+  }
+
+  /** DuckDB oracle for [[percolationAudit]]: hub pick, then per variant
+    * `rounds` UNROLLED min-label levels with headroom over the measured
+    * fixpoints (32 synchronous rounds at sf0.1/sf1, 27 at sf0.01 — the
+    * scc/entity_conv headroom pattern; rounds past the fixpoint are
+    * identity, so the converged Spark side matches iff it truly
+    * converged). A recursive-reachability closure would be the fully
+    * independent oracle (the clusters_conv precedent) but is
+    * giant²-sized: at sf1 the 10× 11,915-node giants make ~1.4e9
+    * closure pairs and DuckDB 1.0 has no keyed recursion — each
+    * unrolled level here is only node-sized at any SF.
+    */
+  def percolationOracleSql(nHubs: Int = 32, rounds: Int = 40): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH und AS MATERIALIZED (
+         | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         | FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         | WHERE a.l_quantity >= 45 AND b.l_quantity >= 45),
+         |deg AS MATERIALIZED (
+         | SELECT node, count(*) AS degree FROM (
+         |  SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+         | GROUP BY node),
+         |hubs AS MATERIALIZED (
+         | SELECT node FROM deg ORDER BY degree DESC, node LIMIT $nHubs),
+         |undp AS MATERIALIZED (
+         | SELECT src, dst FROM und
+         | WHERE src NOT IN (SELECT node FROM hubs)
+         |  AND dst NOT IN (SELECT node FROM hubs))""".stripMargin)
+    for (v <- Seq("f", "p")) {
+      val base = if (v == "f") "und" else "undp"
+      sb.append(s""",
+        |edges_$v AS MATERIALIZED (
+        | SELECT src, dst FROM $base
+        | UNION ALL SELECT dst AS src, src AS dst FROM $base),
+        |l${v}0 AS MATERIALIZED (
+        | SELECT DISTINCT src AS node, src AS label FROM edges_$v)""".stripMargin)
+      for (i <- 1 to rounds) {
+        sb.append(s""",
+          |l$v$i AS MATERIALIZED (
+          | SELECT n.node, least(n.label, coalesce(m.nbr_label, n.label)) AS label
+          | FROM l$v${i - 1} n LEFT JOIN (
+          |  SELECT e.dst AS node, min(p.label) AS nbr_label
+          |  FROM edges_$v e JOIN l$v${i - 1} p ON e.src = p.node
+          |  GROUP BY e.dst) m ON n.node = m.node)""".stripMargin)
+      }
+      sb.append(s""",
+        |lab_$v AS MATERIALIZED (
+        | SELECT node, label FROM l$v$rounds),
+        |sum_$v AS (
+        | SELECT '${if (v == "f") "full" else "percolated"}' AS variant,
+        |  CAST(sum(sz) AS BIGINT) AS nodes,
+        |  (SELECT count(*) FROM $base) AS edges,
+        |  count(*) AS components,
+        |  CAST(max(sz) AS BIGINT) AS giant_nodes,
+        |  CAST((1000000 * max(sz)) // sum(sz) AS BIGINT) AS giant_ppm
+        | FROM (SELECT label, count(*) AS sz FROM lab_$v GROUP BY label))""".stripMargin)
+    }
+    sb.append(
+      """
+        |SELECT * FROM sum_f UNION ALL SELECT * FROM sum_p ORDER BY variant""".stripMargin)
+    sb.toString
+  }
+
   /** DuckDB oracle for [[connectedComponents]]: identical unrolled
     * min-label propagation. Every chained CTE is MATERIALIZED — each
     * level references the previous one twice, and DuckDB inlines plain
@@ -1266,11 +1414,13 @@ object GraphOps {
     * within `rounds` drop out (the bfs drop-out contract); a seed's own
     * hops=0 row is excluded from its centrality (standard harmonic).
     */
-  def harmonicCentrality(
-      s: SparkSession,
-      dir: String,
-      rounds: Int = 4,
-      nSeeds: Int = 8): DataFrame = {
+  /** The truncated landmark BFS frame (node, seed, hops) shared by
+    * [[harmonicCentrality]] and [[graphDistanceHistogram]]: exact
+    * per-landmark min-hop distances to `rounds`, cached edge frame
+    * exchange-free across rounds.
+    */
+  private def landmarkDistances(
+      s: SparkSession, dir: String, rounds: Int, nSeeds: Int): DataFrame = {
     val dirEdges = directedEdges(s, dir).repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dirEdges.select(col("src").as("node")).distinct()
@@ -1288,12 +1438,66 @@ object GraphOps {
       dist = truncate(s, dist.union(relaxed)
         .groupBy("node", "seed").agg(min("hops").as("hops")))
     }
-    dist.filter(col("hops") > 0L)
+    dist
+  }
+
+  def harmonicCentrality(
+      s: SparkSession,
+      dir: String,
+      rounds: Int = 4,
+      nSeeds: Int = 8): DataFrame =
+    landmarkDistances(s, dir, rounds, nSeeds)
+      .filter(col("hops") > 0L)
       .groupBy("node")
       .agg(
         count(lit(1)).as("n_reached"),
         sum(expr("1000000 div hops")).as("harmonic_micro"))
       .orderBy("node")
+
+  /** Landmark distance histogram — the neighborhood-function /
+    * effective-diameter readout (the number HyperANF estimates with HLL
+    * counters; exact here on the fixed landmark cohort): pooled over
+    * the nSeeds truncated BFS frames, one row per hop count with the
+    * cumulative share of reached (landmark, node) pairs in ppm. The
+    * effective diameter d_eff(q) reads off as the first hop whose
+    * cum_ppm ≥ q; `rounds` truncates honestly — pairs beyond the
+    * horizon are absent, NOT folded into the last bucket, so the
+    * histogram is exact on what it covers. Scale shape: the BFS loop's
+    * k·rounds bounded passes, then a ≤rounds-row rollup.
+    */
+  def graphDistanceHistogram(
+      s: SparkSession,
+      dir: String,
+      rounds: Int = 4,
+      nSeeds: Int = 8): DataFrame = {
+    val byHop = landmarkDistances(s, dir, rounds, nSeeds)
+      .filter(col("hops") > 0L)
+      .groupBy("hops").agg(count(lit(1)).as("pairs"))
+    byHop
+      .withColumn("cum_pairs", sum("pairs").over(
+        org.apache.spark.sql.expressions.Window.orderBy("hops")))
+      .crossJoin(broadcast(byHop.agg(sum("pairs").as("total"))))
+      .select(col("hops"), col("pairs"), col("cum_pairs"),
+        expr("(1000000 * cum_pairs) div total").as("cum_ppm"))
+      .orderBy("hops")
+  }
+
+  /** DuckDB oracle for [[graphDistanceHistogram]]: the
+    * [[harmonicCentralityOracleSql]] BFS chain, pooled per hop.
+    */
+  def graphDistanceHistogramOracleSql(
+      rounds: Int = 4, nSeeds: Int = 8): String = {
+    val chain = harmonicCentralityOracleSql(rounds, nSeeds)
+    val cut = chain.lastIndexOf("SELECT node, count(*)")
+    chain.substring(0, cut).stripTrailing() + ",\n" +
+      s"""h AS (
+         | SELECT hops, count(*) AS pairs FROM d$rounds
+         | WHERE hops > 0 GROUP BY hops)
+         |SELECT hops, pairs,
+         | CAST(sum(pairs) OVER (ORDER BY hops) AS BIGINT) AS cum_pairs,
+         | CAST((1000000 * sum(pairs) OVER (ORDER BY hops))
+         |  // (SELECT sum(pairs) FROM h) AS BIGINT) AS cum_ppm
+         |FROM h ORDER BY hops""".stripMargin
   }
 
   def harmonicCentralityOracleSql(rounds: Int = 4, nSeeds: Int = 8): String = {
@@ -1865,6 +2069,20 @@ object GraphOps {
     import org.apache.spark.sql.DataFrame
     val allEdges = edgesIn.select("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // TWO pre-partitioned copies of the edge cache — the pagerank
+    // exchange-free-loop idiom, doubled because SCC's phases aggregate
+    // on BOTH ends: trim's out-node distinct and backward's (src, f)
+    // mark-hit distinct cluster by src; trim's in-node distinct and
+    // forward's min-label groupBy cluster by dst. Every per-round node
+    // frame rides a size-guarded broadcast (roundSide), which preserves
+    // the cached layout, so no loop round ever exchanges edge-sized
+    // data: the two edge repartitions are paid once per query. (An
+    // aggregation by (src, f) is satisfied by hash-partitioning on src
+    // alone — equal keys are necessarily colocated.)
+    val aeS = allEdges.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val aeD = allEdges.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Node-sized loop frames ride 8 partitions: the loops launch ~50
     // small jobs and 32-way task fan-out on 10^4-row frames is pure
     // scheduler overhead at this scale; on a real cluster the same
@@ -1896,12 +2114,23 @@ object GraphOps {
       val trimStart = active
       var trimming = true
       while (trimming) {
-        val cur = allEdges
-          .join(roundSide(active.withColumnRenamed("node", "src"), n), "src")
-          .join(roundSide(active.withColumnRenamed("node", "dst"), n), "dst")
+        // One checkpointed round per count — UNBATCHED deliberately: a
+        // trim round forks TWO broadcast branches (outN, inN) off the
+        // node frame, so chaining k rounds unmaterialized re-executes
+        // the chain 2^k-ish times (measured: batch=3 DOUBLED the query;
+        // FW/BW batch safely because each round adds one branch).
+        val actS = roundSide(active.withColumnRenamed("node", "src"), n)
+        val actD = roundSide(active.withColumnRenamed("node", "dst"), n)
+        // Out-nodes from the src-partitioned cache, in-nodes from the
+        // dst-partitioned one: each distinct finds its clustering
+        // already satisfied — zero edge exchanges per trim round.
+        val outN = aeS.join(actS, "src").join(actD, "dst")
+          .select(col("src").as("node")).distinct()
+        val inN = aeD.join(actS, "src").join(actD, "dst")
+          .select(col("dst").as("node")).distinct()
         val keep = narrow(active
-          .join(cur.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
-          .join(cur.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi"))
+          .join(roundSide(outN, n), Seq("node"), "left_semi")
+          .join(roundSide(inN, n), Seq("node"), "left_semi"))
         val kn = keep.count()
         trimming = kn < n
         active = keep
@@ -1913,11 +2142,17 @@ object GraphOps {
       addAssigned(trimStart.join(active, Seq("node"), "left_anti")
         .withColumn("scc", col("node")))
       if (n > 0) {
-        // Post-trim active edge frame, cached once for both loops,
-        // partitioned by the propagation keys' join side.
-        val ae = allEdges
-          .join(roundSide(active.withColumnRenamed("node", "src"), n), "src")
-          .join(roundSide(active.withColumnRenamed("node", "dst"), n), "dst")
+        // Post-trim active edge frames, cached once per outer round —
+        // one per loop, each inheriting the partitioning its loop's
+        // aggregation needs (broadcast joins preserve the cached
+        // layout): aeF (dst) feeds forward's min-label groupBy, aeB
+        // (src) feeds backward's mark-hit distinct.
+        val actS = roundSide(active.withColumnRenamed("node", "src"), n)
+        val actD = roundSide(active.withColumnRenamed("node", "dst"), n)
+        val aeF = aeD.join(actS, "src").join(actD, "dst")
+          .select("src", "dst")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val aeB = aeS.join(actS, "src").join(actD, "dst")
           .select("src", "dst")
           .persist(StorageLevel.MEMORY_AND_DISK)
         // FORWARD: min-ancestor label to a fixpoint, `batch` synchronous
@@ -1929,12 +2164,12 @@ object GraphOps {
           var cur = f
           for (_ <- 1 to batch) {
             inner += 1
-            val nbrMin = ae
+            val nbrMin = aeF
               .join(roundSide(cur.select(col("node").as("src"), col("f")), n),
                 "src")
               .groupBy(col("dst").as("node"))
               .agg(min("f").as("nbr"))
-            cur = cur.join(nbrMin, Seq("node"), "left")
+            cur = cur.join(roundSide(nbrMin, n), Seq("node"), "left")
               .select(col("node"),
                 least(col("f"), coalesce(col("nbr"), col("f"))).as("f"))
           }
@@ -1954,14 +2189,14 @@ object GraphOps {
           var cur = b
           for (_ <- 1 to batch) {
             inner += 1
-            val hits = ae
+            val hits = aeB
               .join(roundSide(
                 cur.filter(col("mark") === 1L)
                   .select(col("node").as("dst"), col("f").as("fu")), n), "dst")
               .select(col("src").as("node"), col("fu"))
               .distinct()
             cur = cur.as("x")
-              .join(hits.as("h"),
+              .join(roundSide(hits, n).as("h"),
                 col("x.node") === col("h.node") && col("x.f") === col("h.fu"),
                 "left")
               .select(col("x.node").as("node"), col("x.f").as("f"),
@@ -1976,10 +2211,13 @@ object GraphOps {
         }
         addAssigned(b.filter(col("mark") === 1L).select(col("node"), col("f").as("scc")))
         active = narrow(b.filter(col("mark") === 0L).select("node"))
-        ae.unpersist(false)
+        aeF.unpersist(false)
+        aeB.unpersist(false)
       }
     }
     allEdges.unpersist(false)
+    aeS.unpersist(false)
+    aeD.unpersist(false)
     assigned.get
       .groupBy("scc")
       .agg(count(lit(1)).as("n_members"),

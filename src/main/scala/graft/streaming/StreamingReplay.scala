@@ -238,10 +238,86 @@ object StreamingReplay {
     val emb = graft.Tables.embeddings(s, dir)
     val (cents, _) = LloydOps.frozenCentroids(
       s, dir, LloydOps.listsFor(emb.count()))
-    drain(s, StreamingIvfIngest.manifests(embStream(s, dir), cents),
+    // The replay's source is ONE small parquet file → one input
+    // partition, which serializes the O(n·√n·d) assignment scan (the
+    // row-group-starvation trap the batch twin solves with
+    // Tables.parallelized; measured 30 s at sf1 vs 3.6 at sf0.1 before
+    // this). A production ingest's parallelism comes from its source;
+    // the replay restores it with one stateless repartition.
+    val stream = embStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    drain(s, StreamingIvfIngest.manifests(stream, cents),
       "graft_streaming_ivf_ingest", "complete")
       .orderBy("list")
   }
+
+  /** [[StreamingDecontaminate]] under the replay gate: the stream–static
+    * digest anti-join drained append-mode over the documents replay, then
+    * the batch entry's own per-language rollup (kept from the drained
+    * survivors, totals from the batch scan) — the anti-join is stateless
+    * per row against the static eval carve, so the snapshot rollup equals
+    * `decontamination_stats` under the identical oracle.
+    */
+  def decontaminateReplay(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val evalSet = docs.filter(
+      graft.functions.GraftFunctions.poly_hash(
+        col("text"), 31, 1000000007L) % 10 === 0)
+    val kept = drain(s,
+      StreamingDecontaminate.clean(docsStream(s, dir), evalSet),
+      "graft_streaming_decon", "append")
+      .groupBy("lang").agg(count(lit(1)).as("kept"))
+    docs.groupBy("lang").agg(count(lit(1)).as("total"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("total"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        (col("total") - coalesce(col("kept"), lit(0L))).as("removed"))
+      .orderBy("lang")
+  }
+
+  /** [[StreamingUpsert]] under the replay gate: the
+    * flatMapGroupsWithState latest-state store drained append-mode over
+    * the events replay, read out DECOMPOSITION-PROOF — per key the
+    * (ts_us, event_id)-max over every emitted changelog row. Any batch
+    * decomposition emits the final state at the micro-batch where its
+    * row arrives (as insert or update), and every stale_update re-emits
+    * the retained row ≤ that state, so the per-key max over emissions IS
+    * the final store row — which is the batch latest-per-key under the
+    * same (ts_us, event_id) order. Null-valued events are excluded on
+    * both sides (the typed UpsertEvent seam carries a primitive Double).
+    */
+  def upsertReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = eventsStream(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[UpsertEvent]
+    val changes = StreamingUpsert.changelog(s, typed).toDF()
+    drain(s, changes, "graft_streaming_upsert", "append")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts_us").as("ts_us"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"),
+        col("m.value").as("value"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle for [[upsertReplay]]: latest-per-key over the non-null
+    * subset — [[graft.operators.TopKOps.LatestOracleSql]]'s window
+    * formulation with the value filter.
+    */
+  val UpsertReplayOracleSql: String =
+    """WITH r AS (
+      | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+      |  row_number() OVER (PARTITION BY user_id
+      |   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      | FROM events WHERE value IS NOT NULL)
+      |SELECT user_id, ts_us, event_id, event_type, value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** Oracle for [[dedupReplay]]: distinct sha256 digests, same bucket
     * rollup and poly-hash digest mass.

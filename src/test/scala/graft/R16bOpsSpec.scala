@@ -52,6 +52,69 @@ class R16bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-center seeds: farthest-point order on planted geometry") {
+    import spark.implicits._
+    import graft.operators.AnnOps
+    // 2-D directions (padded) at angles 0, 90, 45, 30 degrees (ids
+    // 0..3). From seed 0: farthest is 90 (dist 1000), then 45 (min-dist
+    // to {0, 90} = 1000 - cos45 = 293), then 30 (min-dist to {0, 90, 45}
+    // = 1000 - cos15 = 34).
+    val v = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0f, 1f)),
+      (2L, Seq(0.7071068f, 0.7071068f)),
+      (3L, Seq(0.8660254f, 0.5f))).toDF("vec_id", "embedding")
+    val out = AnnOps.kCenterSeedsOf(spark, v, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 1L, 1000L),
+      (3L, 2L, 293L), (4L, 3L, 34L)))
+  }
+
+  test("markov top-1: rates bounded and hits equal the modal transition count") {
+    import graft.operators.FunnelOps
+    val acc = FunnelOps.markovTop1Accuracy(spark, sf).collect()
+    val trans = FunnelOps.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    acc.foreach { r =>
+      val from = r.getString(0)
+      val rows = trans.filter(_._1 == from)
+      val maxC = rows.map(_._3).max
+      // Modal count and the lexicographic tie-break.
+      assert(r.getLong(3) == maxC)
+      assert(r.getString(1) == rows.filter(_._3 == maxC).map(_._2).min)
+      assert(r.getLong(2) == rows.map(_._3).sum)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000)
+    }
+  }
+
+  test("distance histogram pools exactly the harmonic frame's reached pairs") {
+    import graft.operators.GraphOps
+    val hist = GraphOps.graphDistanceHistogram(spark, sf).collect()
+    assert(hist.nonEmpty && hist.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 4))
+    // Cumulative column is a strict prefix sum ending at 1000000 ppm.
+    var cum = 0L
+    hist.foreach { r =>
+      cum += r.getLong(1)
+      assert(r.getLong(2) == cum)
+    }
+    assert(hist.last.getLong(3) == 1000000L)
+    val totalReached = GraphOps.harmonicCentrality(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(cum == totalReached)
+  }
+
+  test("percolation: removing hubs never grows the giant or shrinks the component count") {
+    import graft.operators.GraphOps
+    val rows = GraphOps.percolationAudit(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    val (fn, fe, fc, fg) = rows("full")
+    val (pn, pe, pc, pg) = rows("percolated")
+    assert(pn <= fn && pe < fe)
+    assert(pg <= fg)
+    assert(fc >= 1 && pc >= 1)
+  }
+
   test("curve layout audit: hilbert prunes at least as well as zorder, both beat xsort") {
     import graft.operators.LayoutOps
     val rows = LayoutOps.curveLayoutAudit(spark, sf).collect()
