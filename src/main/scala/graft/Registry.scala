@@ -354,6 +354,17 @@ object Registry {
     q("ewma_daily", TemporalOps.ewmaDailyOracleSql())(
       (s, d) => TemporalOps.ewmaDaily(s, d)),
 
+    // Quantile-transform lookup table: per type each distinct milli
+    // value -> min-rank quantile ppm; output is value-domain-bounded,
+    // the broadcastable normalization table a feature pipeline joins.
+    q("quantile_transform_table", StatsOps.quantileTransformOracleSql())(
+      (s, d) => StatsOps.quantileTransformTable(s, d)),
+
+    // Fano-factor burstiness of daily volumes (zero-filled): F=Var/mean
+    // in exact integers - 1000 milli is Poisson, above is bursty.
+    q("burstiness_fano", StatsOps.burstinessFanoOracleSql())(
+      (s, d) => StatsOps.burstinessFano(s, d)),
+
     // Theil-Sen robust trend: exact lower median of the pairwise daily
     // slopes — pair stage quadratic in DAYS (the time-span domain), not
     // rows; the robust rung beside the OLS normal equations.

@@ -593,6 +593,99 @@ object StatsOps {
       |FROM sen s JOIN nd USING (event_type)
       |ORDER BY s.event_type""".stripMargin
 
+  /** Quantile-transform lookup table — the rank-based feature
+    * normalization (sklearn QuantileTransformer shape) a training
+    * pipeline applies to heavy-tailed numerics: per event type, each
+    * DISTINCT milli-quantized value maps to its min-rank quantile in
+    * ppm, `q_ppm = 10⁶·(rank_min − 1) div (n − 1)` (min value → 0, max
+    * → 10⁶; ties share the row, so equal values always transform
+    * equally). Emitting the TABLE rather than transformed rows is the
+    * 100 TB shape: output is |types × distinct milli values| (the
+    * value-domain bound, same trick as the exact-median machinery), and
+    * the pipeline broadcast-joins it back wherever needed. One corpus
+    * collapse + a distinct-value-domain window.
+    */
+  def quantileTransformTable(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(floor(value * 1000 + 0.5) as long)").as("value_milli"))
+    ev.groupBy("event_type", "value_milli").agg(count(lit(1)).as("n_rows"))
+      .withColumn("cum",
+        sum("n_rows").over(Window.partitionBy("event_type")
+          .orderBy("value_milli")))
+      .withColumn("n",
+        sum("n_rows").over(Window.partitionBy("event_type")))
+      .select(col("event_type"), col("value_milli"), col("n_rows"),
+        expr("(1000000 * (cum - n_rows)) div greatest(n - 1, 1)")
+          .as("q_ppm"))
+      .orderBy("event_type", "value_milli")
+  }
+
+  def quantileTransformOracleSql(): String =
+    """WITH v AS (
+      | SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_milli
+      | FROM events WHERE value IS NOT NULL),
+      |g AS (
+      | SELECT event_type, value_milli, count(*) AS n_rows
+      | FROM v GROUP BY 1, 2),
+      |c AS (
+      | SELECT event_type, value_milli, n_rows,
+      |  sum(n_rows) OVER (PARTITION BY event_type ORDER BY value_milli) AS cum,
+      |  sum(n_rows) OVER (PARTITION BY event_type) AS n
+      | FROM g)
+      |SELECT event_type, value_milli, CAST(n_rows AS BIGINT) AS n_rows,
+      | CAST((1000000 * (cum - n_rows)) // greatest(n - 1, 1) AS BIGINT) AS q_ppm
+      |FROM c ORDER BY event_type, value_milli""".stripMargin
+
+  /** Fano-factor burstiness per event type over the zero-filled daily
+    * volume grid: `F = Var/mean` of daily counts — F ≈ 1000 milli is
+    * Poisson-like arrivals, above is bursty, below regular. Exact
+    * integers end to end via the normal-equation identity
+    * `n²·Var = n·Σc² − (Σc)²` and one truncating division:
+    * `fano_milli = 1000·(n·Σc² − S1²) div (n·S1)`. One
+    * map-side-combined daily aggregate + a |types|-row rollup; the day
+    * spine zero-fills so silent days count as variance, not absence.
+    */
+  def burstinessFano(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+    val spine = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val counts = ev.groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+    spine.crossJoin(ev.select("event_type").distinct())
+      .join(broadcast(counts), Seq("day", "event_type"), "left")
+      .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("c").as("s1"),
+        sum(expr("c * c")).as("s2"))
+      .select(col("event_type"), col("n_days"),
+        expr("(1000 * s1) div n_days").as("mean_milli"),
+        expr("(1000 * (n_days * s2 - s1 * s1)) div (n_days * s1)")
+          .as("fano_milli"))
+      .orderBy("event_type")
+  }
+
+  def burstinessFanoOracleSql(): String =
+    """WITH e AS (
+      | SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+      |t AS (SELECT DISTINCT event_type FROM e),
+      |c AS (SELECT day, event_type, count(*) AS c FROM e GROUP BY 1, 2),
+      |g AS (
+      | SELECT s.day, t.event_type, coalesce(c.c, 0) AS c
+      | FROM spine s CROSS JOIN t
+      | LEFT JOIN c ON c.day = s.day AND c.event_type = t.event_type),
+      |a AS (
+      | SELECT event_type, count(*) AS n_days, sum(c) AS s1, sum(c * c) AS s2
+      | FROM g GROUP BY event_type)
+      |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      | CAST((1000 * s1) // n_days AS BIGINT) AS mean_milli,
+      | CAST((1000 * (n_days * s2 - s1 * s1)) // (n_days * s1) AS BIGINT)
+      |  AS fano_milli
+      |FROM a ORDER BY event_type""".stripMargin
+
   /** Equi-width 20-bucket histogram of `events.value` — the distribution
     * export a profiler draws. Bucket edges derive from the global
     * min/max scalar pair (broadcast); the bucket index arithmetic is a

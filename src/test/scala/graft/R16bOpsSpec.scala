@@ -115,6 +115,53 @@ class R16bOpsSpec extends AnyFunSuite {
     assert(fc >= 1 && pc >= 1)
   }
 
+  test("quantile transform table: monotone, tie-consistent, spanning [0, 1e6]") {
+    import graft.operators.StatsOps
+    val rows = StatsOps.quantileTransformTable(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, ts) =>
+      val sorted = ts.sortBy(_._2)
+      assert(sorted.head._4 == 0L)
+      // Strictly increasing q over strictly increasing distinct values.
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 < b._2 && a._4 < b._4)
+        case _ =>
+      }
+      // Max value maps to exactly 1e6: cum - n_rows over the last row is
+      // n - n_rows_last, and (1e6 * (n-1)) div (n-1) when n_rows_last=1;
+      // with ties at the top it is still (1e6 * rank_min-1) div (n-1).
+      val n = ts.map(_._3).sum
+      val last = sorted.last
+      assert(last._4 == 1000000L * (n - last._3) / math.max(n - 1, 1))
+    }
+  }
+
+  test("fano factor flags the planted bursty series and clears the regular one") {
+    import graft.operators.StatsOps
+    val rows = StatsOps.burstinessFano(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(3) >= 0)
+      // Differential recomputation in Scala over the collected grid.
+    }
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(expr("ts_us div 86400000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val span = (daily.map(_._2).min to daily.map(_._2).max)
+    val byType = daily.groupBy(_._1)
+    rows.foreach { r =>
+      val cs = {
+        val m = byType(r.getString(0)).map(x => x._2 -> x._3).toMap
+        span.map(d => m.getOrElse(d, 0L))
+      }
+      val (n, s1, s2) = (cs.length.toLong, cs.sum, cs.map(c => c * c).sum)
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == (1000 * s1) / n)
+      assert(r.getLong(3) == (1000 * (n * s2 - s1 * s1)) / (n * s1))
+    }
+  }
+
   test("curve layout audit: hilbert prunes at least as well as zorder, both beat xsort") {
     import graft.operators.LayoutOps
     val rows = LayoutOps.curveLayoutAudit(spark, sf).collect()
