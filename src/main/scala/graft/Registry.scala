@@ -1085,6 +1085,13 @@ object Registry {
       graft.streaming.StreamingReplay.UpsertReplayOracleSql)(
       (s, d) => graft.streaming.StreamingReplay.upsertReplay(s, d)),
 
+    // ...and the stream-stream interval join: inner-join emission is
+    // decomposition-proof (watermarks bound state, not output), gated
+    // through a per-user pair-count + ts-mass rollup.
+    q("streaming_join_replay",
+      graft.streaming.StreamingReplay.JoinReplayOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.joinReplay(s, d)),
+
     // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
     q("multimodal_meta",
       """SELECT doc_id,

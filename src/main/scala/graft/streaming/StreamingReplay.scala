@@ -306,6 +306,53 @@ object StreamingReplay {
       .orderBy("user_id")
   }
 
+  /** [[StreamJoins]] under the replay gate: the watermarked
+    * stream-stream interval join (click followed by purchase within 4
+    * hours, per user) drained append-mode from two independent
+    * file-source streams over the same events replay. An INNER
+    * stream-stream join emits each matching pair exactly once whatever
+    * the micro-batch decomposition (watermarks only bound state
+    * eviction, never emission), so the drained pair SET is batch-equal;
+    * the gated readout rolls it up per user — pair count plus exact
+    * left/right epoch-micros mass — because the pair rows themselves
+    * have no unique sort key.
+    */
+  def joinReplay(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+    // 4-hour window: wide enough for a multi-pair-per-user gate (148
+    // pairs / 85 users at sf0.01; the 10-minute default matched 9).
+    val joined = StreamJoins.followedWithin(
+      clicks, purchases, windowSeconds = 14400L, watermarkDelay = "8 hours")
+    drain(s, joined, "graft_streaming_join", "append")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("pairs"),
+        sum(unix_micros(col("l_ts"))).as("l_us_mass"),
+        sum(unix_micros(col("r_ts"))).as("r_us_mass"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle for [[joinReplay]]: the identical interval join as batch
+    * SQL, rolled up per user.
+    */
+  val JoinReplayOracleSql: String =
+    """WITH c AS (
+      | SELECT user_id, epoch_us(ts) AS us FROM events
+      | WHERE event_type = 'click'),
+      |p AS (
+      | SELECT user_id, epoch_us(ts) AS us FROM events
+      | WHERE event_type = 'purchase'),
+      |j AS (
+      | SELECT c.user_id, c.us AS lus, p.us AS rus
+      | FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.us >= c.us AND p.us <= c.us + 14400000000)
+      |SELECT user_id, count(*) AS pairs,
+      | CAST(sum(lus) AS BIGINT) AS l_us_mass,
+      | CAST(sum(rus) AS BIGINT) AS r_us_mass
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Oracle for [[upsertReplay]]: latest-per-key over the non-null
     * subset — [[graft.operators.TopKOps.LatestOracleSql]]'s window
     * formulation with the value filter.

@@ -115,6 +115,26 @@ class R16bOpsSpec extends AnyFunSuite {
     assert(fc >= 1 && pc >= 1)
   }
 
+  test("stream-stream join replay equals the batch interval join rollup") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingReplay
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("lus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_us").as("rus"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("rus") >= col("lus") && col("rus") <= col("lus") + 14400000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("pairs"), sum("lus").as("l_us_mass"),
+        sum("rus").as("r_us_mass"))
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val streamed = StreamingReplay.joinReplay(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("quantile transform table: monotone, tie-consistent, spanning [0, 1e6]") {
     import graft.operators.StatsOps
     val rows = StatsOps.quantileTransformTable(spark, sf).collect()
