@@ -261,6 +261,11 @@ object Registry {
     q("event_transitions", FunnelOps.TransitionsOracleSql)(
       FunnelOps.eventTransitions),
 
+    // Time-budgeted funnel: each step within 4h of the previous (greedy
+    // earliest-completion, documented) - the windowed twin of funnel.
+    q("funnel_windowed", FunnelOps.funnelWindowedOracleSql())(
+      (s, d) => FunnelOps.funnelWindowed(s, d)),
+
     // Top-1 next-event predictability: the chain's in-sample mode
     // hit-rate — the headroom readout before training a sequence model.
     q("markov_top1_accuracy", FunnelOps.MarkovTop1OracleSql)(

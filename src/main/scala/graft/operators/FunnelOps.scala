@@ -214,6 +214,79 @@ object FunnelOps {
       |  AS BIGINT) AS share_permille
       |FROM g ORDER BY from_type, to_type""".stripMargin
 
+  /** Window budget for [[funnelWindowed]] (micros): 24 hours — tight
+    * enough to cut (sf0.01: 150 → 60 → 25 users vs the unbounded
+    * funnel's counts), loose enough that every stage carries mass (a
+    * 4-hour budget zeroed the purchase stage, gating nothing).
+    */
+  val FunnelWindowUs = 86400000000L
+
+  /** Time-budgeted ordered funnel — the windowed twin of [[funnel]]:
+    * each step must land within [[FunnelWindowUs]] of the PREVIOUS
+    * step's completion (first view → first click inside the budget →
+    * first purchase inside the budget), the product-analytics form
+    * where "converted three weeks later" does not count. GREEDY
+    * earliest-completion semantics, documented: the anchor is the
+    * user's FIRST view; a click reachable only from a later view is
+    * not credited (the oracle replays the same greedy choice). Same
+    * scale shape as [[funnel]]: three per-user min-reductions chained
+    * by broadcast-sized user frames, counts roll up to 3 rows.
+    */
+  def funnelWindowed(
+      s: SparkSession, dir: String, windowUs: Long = FunnelWindowUs): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("t") > col("t1") && col("t") <= col("t1") + windowUs)
+      .groupBy("user_id").agg(min("t").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("t") > col("t2") && col("t") <= col("t2") + windowUs)
+      .groupBy("user_id").agg(min("t").as("t3"))
+    val n = v.agg(count(lit(1)).as("n1"))
+      .crossJoin(c.agg(count(lit(1)).as("n2")))
+      .crossJoin(p.agg(count(lit(1)).as("n3")))
+    n.select(
+      lit(1L).as("stage"), lit("view").as("event_type"),
+      col("n1").as("users"), lit(1000L).as("conversion_permille"))
+      .union(n.select(
+        lit(2L), lit("click"), col("n2"),
+        expr("(1000 * n2) div greatest(n1, 1)")))
+      .union(n.select(
+        lit(3L), lit("purchase"), col("n3"),
+        expr("(1000 * n3) div greatest(n2, 1)")))
+      .orderBy("stage")
+  }
+
+  def funnelWindowedOracleSql(windowUs: Long = FunnelWindowUs): String =
+    s"""WITH e AS (
+       | SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       |v AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+       |c AS (
+       | SELECT e.user_id, min(t) AS t2 FROM e JOIN v USING (user_id)
+       | WHERE event_type = 'click' AND t > t1 AND t <= t1 + $windowUs
+       | GROUP BY 1),
+       |p AS (
+       | SELECT e.user_id, min(t) AS t3 FROM e JOIN c USING (user_id)
+       | WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + $windowUs
+       | GROUP BY 1),
+       |n AS (
+       | SELECT (SELECT count(*) FROM v) AS n1,
+       |  (SELECT count(*) FROM c) AS n2,
+       |  (SELECT count(*) FROM p) AS n3)
+       |SELECT 1 AS stage, 'view' AS event_type, CAST(n1 AS BIGINT) AS users,
+       | 1000 AS conversion_permille FROM n
+       |UNION ALL
+       |SELECT 2, 'click', CAST(n2 AS BIGINT),
+       | CAST((1000 * n2) // greatest(n1, 1) AS BIGINT) FROM n
+       |UNION ALL
+       |SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       | CAST((1000 * n3) // greatest(n2, 1) AS BIGINT) FROM n
+       |ORDER BY stage""".stripMargin
+
   /** Top-1 next-event predictability audit — the EVAL readout of the
     * [[eventTransitions]] chain: for each from-type, the single most
     * likely next type (max transition count, lexicographically-smallest

@@ -115,6 +115,18 @@ class R16bOpsSpec extends AnyFunSuite {
     assert(fc >= 1 && pc >= 1)
   }
 
+  test("windowed funnel is dominated stage-wise by the unbounded funnel") {
+    import graft.operators.FunnelOps
+    val un = FunnelOps.funnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val wi = FunnelOps.funnelWindowed(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // Stage 1 shares the anchor; budgets only remove users downstream.
+    assert(wi(1L) == un(1L))
+    assert(wi(2L) <= un(2L) && wi(3L) <= un(3L))
+    assert(wi(3L) <= wi(2L) && wi(2L) <= wi(1L))
+  }
+
   test("stream-stream join replay equals the batch interval join rollup") {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingReplay
