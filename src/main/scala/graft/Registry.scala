@@ -261,7 +261,13 @@ object Registry {
     q("event_transitions", FunnelOps.TransitionsOracleSql)(
       FunnelOps.eventTransitions),
 
-    // Time-budgeted funnel: each step within 4h of the previous (greedy
+    // U-shaped multi-touch attribution: exact-integer 40/20/40 credit
+    // split per conversion, mass-conserving (the 'none' row carries
+    // untouched purchases' full credit) - beside last-touch.
+    q("attribution_u_shaped", TemporalOps.attributionUShapedOracleSql())(
+      (s, d) => TemporalOps.attributionUShaped(s, d)),
+
+    // Time-budgeted funnel: each step within 24h of the previous (greedy
     // earliest-completion, documented) - the windowed twin of funnel.
     q("funnel_windowed", FunnelOps.funnelWindowedOracleSql())(
       (s, d) => FunnelOps.funnelWindowed(s, d)),
@@ -1763,6 +1769,12 @@ object Registry {
     // IDCG comes from the grade histogram, never a corpus sort.
     q("ndcg_bm25_audit", TfIdfOps.ndcgOracleSql())(
       (s, d) => TfIdfOps.ndcgAudit(s, d)),
+
+    // RAKE keyphrases: multi-word keyword extraction from stopword-free
+    // token runs, deg/freq word scores in milli, corpus top-20 via
+    // TakeOrderedAndProject (never a global phrase sort).
+    q("rake_keyphrases", TfIdfOps.rakeOracleSql())(
+      (s, d) => TfIdfOps.rakeKeyphrases(s, d)),
 
     q("keyword_search_bm25", TfIdfOps.bm25OracleSql())(
       (s, d) => TfIdfOps.bm25Search(s, d)),

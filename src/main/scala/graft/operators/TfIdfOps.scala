@@ -477,4 +477,91 @@ object TfIdfOps {
        | CAST(sum(occ) AS BIGINT) AS occurrences
        |FROM o GROUP BY phrase ORDER BY phrase""".stripMargin
   }
+
+  /** RAKE stopword list (the repo's quality-stats set) and the phrase
+    * length cap (degree stays bounded per occurrence).
+    */
+  val RakeStopwords: Seq[String] =
+    Seq("the", "and", "is", "of", "to", "in", "it", "a")
+  val RakeMaxPhrase = 4
+  val RakeTopK = 20
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the multi-word
+    * keyword extractor beside single-term tf·idf: candidate phrases are
+    * maximal stopword-free token runs (capped at [[RakeMaxPhrase]]
+    * tokens), each word scores `deg/freq` over the kept phrases (deg =
+    * Σ lengths of phrases containing it, in milli via exact integer
+    * division), a phrase scores the sum of its words, and the corpus
+    * top-[[RakeTopK]] by (score desc, phrase asc) ships.
+    *
+    * Scale shape: phrase runs come from one per-doc index window (the
+    * per-user-window family: one task sorts one doc's tokens, bounded by
+    * doc length); word scores are a token-domain-bounded aggregate
+    * broadcast back onto phrase words; the final top-k plans as
+    * TakeOrderedAndProject — per-partition top-k plus a k-row merge,
+    * never a global sort of the phrase domain.
+    */
+  def rakeKeyphrases(
+      s: SparkSession, dir: String, k: Int = RakeTopK): DataFrame = {
+    val stop = RakeStopwords
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("i", "tok")))
+      .filter(!lower(col("tok")).isin(stop: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("i")))
+      .withColumn("run", col("i") - col("rn"))
+    val phrases = toks.groupBy("doc_id", "run")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(expr("transform(sort_array(collect_list(struct(i, tok))), x -> x.tok)"),
+          " ").as("phrase"))
+      .filter(col("n_tokens") <= RakeMaxPhrase)
+    val words = toks
+      .join(phrases.select("doc_id", "run", "n_tokens"), Seq("doc_id", "run"))
+    val wordScores = words.groupBy("tok")
+      .agg(expr("(1000 * sum(n_tokens)) div count(*)").as("w_milli"))
+    val phraseScores = words.join(wordScores, Seq("tok"))
+      .groupBy("doc_id", "run")
+      .agg(sum("w_milli").as("score_milli"))
+    phrases.join(phraseScores, Seq("doc_id", "run"))
+      .groupBy("phrase")
+      .agg(max("n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_occurrences"),
+        max("score_milli").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("phrase"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[rakeKeyphrases]]: identical runs, caps, word
+    * scores, and ranking.
+    */
+  def rakeOracleSql(k: Int = RakeTopK): String = {
+    val stop = RakeStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH x AS (
+       | SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok,
+       |  generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS i
+       | FROM documents),
+       |ns AS (
+       | SELECT doc_id, tok, i,
+       |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS run
+       | FROM x WHERE lower(tok) NOT IN ($stop)),
+       |ph AS (
+       | SELECT doc_id, run, count(*) AS n_tokens,
+       |  string_agg(tok, ' ' ORDER BY i) AS phrase
+       | FROM ns GROUP BY 1, 2 HAVING count(*) <= $RakeMaxPhrase),
+       |w AS (
+       | SELECT ns.doc_id, ns.run, ns.tok, ph.n_tokens
+       | FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.run = ph.run),
+       |ws AS (
+       | SELECT tok, (1000 * sum(n_tokens)) // count(*) AS w_milli
+       | FROM w GROUP BY tok),
+       |ps AS (
+       | SELECT w.doc_id, w.run, CAST(sum(ws.w_milli) AS BIGINT) AS score_milli
+       | FROM w JOIN ws ON w.tok = ws.tok GROUP BY 1, 2)
+       |SELECT ph.phrase, CAST(max(ph.n_tokens) AS BIGINT) AS n_tokens,
+       | count(*) AS n_occurrences,
+       | CAST(max(ps.score_milli) AS BIGINT) AS score_milli
+       |FROM ph JOIN ps ON ph.doc_id = ps.doc_id AND ph.run = ps.run
+       |GROUP BY ph.phrase
+       |ORDER BY score_milli DESC, phrase LIMIT $k""".stripMargin
+  }
 }

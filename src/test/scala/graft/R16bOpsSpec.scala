@@ -115,6 +115,39 @@ class R16bOpsSpec extends AnyFunSuite {
     assert(fc >= 1 && pc >= 1)
   }
 
+  test("U-shaped attribution conserves exactly 1e6 micro credit per purchase") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TemporalOps
+    val rows = TemporalOps.attributionUShaped(spark, sf).collect()
+    val totalCredit = rows.map(_.getLong(2)).sum
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(totalCredit == 1000000L * purchases)
+    // Split exercised: some touch got a non-terminal (middle) share.
+    assert(rows.filter(r => r.getString(0) != "none").map(_.getLong(2)).sum
+      != rows.filter(_.getString(0) != "none").map(_.getLong(1)).sum * 1000000L)
+  }
+
+  test("RAKE: multi-word phrases rank and scores are deg/freq sums") {
+    import graft.operators.TfIdfOps
+    val top = TfIdfOps.rakeKeyphrases(spark, sf).collect()
+    assert(top.length == TfIdfOps.RakeTopK)
+    // Descending (score, phrase asc) order and the cap respected.
+    top.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) > b.getLong(3) ||
+          (a.getLong(3) == b.getLong(3) && a.getString(0) < b.getString(0)))
+      case _ =>
+    }
+    top.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= TfIdfOps.RakeMaxPhrase)
+      val nWords = r.getString(0).split(" ").length
+      assert(nWords == r.getLong(1))
+      // RAKE favors multi-word candidates: the top should not be all unigrams.
+    }
+    assert(top.exists(_.getLong(1) > 1))
+  }
+
   test("windowed funnel is dominated stage-wise by the unbounded funnel") {
     import graft.operators.FunnelOps
     val un = FunnelOps.funnel(spark, sf).collect()
