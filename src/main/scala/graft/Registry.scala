@@ -1485,6 +1485,13 @@ object Registry {
     q("embedding_pca_fp", PcaOps.pcaFpOracleSql())(
       (s, d) => PcaOps.embeddingPcaFp(s, d)),
 
+    // Whitening / axis-alignment audit: exact fp2 covariance summary
+    // (trace, off-diagonal mass + ppm share, worst cell, diag extremes)
+    // from the same one-pass moment buffer - all integers, so the
+    // covariance STRUCTURE hash-gates directly.
+    q("embedding_whitening_audit", PcaOps.whiteningOracleSql())(
+      (s, d) => PcaOps.embeddingWhiteningAudit(s, d)),
+
     // ---- Catalog profiling + cohort survival (ProfileOps) ----
     // Per-column stats row via ONE scan (Expand'd exact distincts +
     // stack fan-out) vs per-column UNION ALL scans in the oracle.

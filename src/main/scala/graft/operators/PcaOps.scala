@@ -413,4 +413,89 @@ object PcaOps {
       |ORDER BY component, dim""".stripMargin)
     sb.toString
   }
+
+  /** Embedding whitening / axis-alignment audit — the covariance
+    * STRUCTURE readout the code-budget decisions key on
+    * (`embedding_dim_stats` reads per-dim variance, `embedding_pca` the
+    * top directions; this prices how far the space is from axis-aligned,
+    * which is what PQ subspace splits and SQ8 per-vector scales assume):
+    * from the same one-pass exact e6 moment accumulation, the fp2-grid
+    * covariance cells `a_ij = (n·P_ij − S_i·S_j) div n²` (truncating - BigInt `/`, Spark `div`, DuckDB `//` all truncate toward zero; measured (-7)//2 = -3), rolled to
+    * exact-integer summary stats — trace, the off-diagonal |mass| and
+    * its ppm share of trace, the worst off-diagonal cell (|a| desc,
+    * (i, j) asc), and the diagonal max/min. All integers: the audit
+    * hash-gates where the eigensolve itself needed the fixed-point twin.
+    *
+    * Scale shape: identical to [[embeddingPca]] — one corpus pass into a
+    * 4 KB buffer, then a driver-side 64×64 fold.
+    */
+  def embeddingWhiteningAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new MomentAggregator().toColumn
+    val m = Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<float>"))
+      .as[Seq[Float]]
+      .select(agg)
+      .head()
+    val n = BigInt(m.buf(0))
+    val nn = n * n
+    val sums = Array.tabulate(Dims)(i => BigInt(m.buf(1 + i)))
+    val a = Array.ofDim[BigInt](Dims, Dims)
+    for (i <- 0 until Dims; j <- i until Dims) {
+      val cell = (n * productCell(m, i, j) - sums(i) * sums(j)) / nn
+      a(i)(j) = cell
+      a(j)(i) = cell
+    }
+    val trace = (0 until Dims).map(i => a(i)(i)).sum
+    val offPairs = for (i <- 0 until Dims; j <- (i + 1) until Dims)
+      yield (i, j, a(i)(j))
+    val offAbs = offPairs.map(_._3.abs).sum
+    val worst = offPairs.maxBy { case (i, j, v) => (v.abs, -i, -j) }
+    val diag = (0 until Dims).map(i => a(i)(i))
+    val rows = Seq(
+      ("diag_max_fp2", diag.max.toLong),
+      ("diag_min_fp2", diag.min.toLong),
+      ("max_offdiag_abs_fp2", worst._3.abs.toLong),
+      ("max_offdiag_i", worst._1.toLong),
+      ("max_offdiag_j", worst._2.toLong),
+      ("offdiag_abs_fp2", offAbs.toLong),
+      ("offdiag_trace_ppm", (offAbs * 1000000 / trace).toLong),
+      ("trace_fp2", trace.toLong))
+    rows.toDF("stat", "value").orderBy("stat")
+  }
+
+  /** DuckDB oracle for [[embeddingWhiteningAudit]]: the [[pcaFpOracleSql]]
+    * moment/cov CTEs, rolled to the identical summary stats.
+    */
+  def whiteningOracleSql(): String =
+    s"""WITH x AS MATERIALIZED (
+       | SELECT vec_id, t.i - 1 AS i,
+       |  CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS HUGEINT) AS xi
+       | FROM embeddings CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i) t),
+       |cnt AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+       |sv AS MATERIALIZED (SELECT i, sum(xi) AS si FROM x GROUP BY i),
+       |mom AS MATERIALIZED (
+       | SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS p
+       | FROM x a JOIN x b USING (vec_id) WHERE a.i <= b.i GROUP BY a.i, b.i),
+       |cov AS MATERIALIZED (
+       | SELECT m.i, m.j, (n * p - sa.si * sb.si) // (n * n) AS a
+       | FROM mom m JOIN sv sa ON m.i = sa.i JOIN sv sb ON m.j = sb.i
+       | CROSS JOIN cnt),
+       |tr AS (SELECT sum(a) AS trace FROM cov WHERE i = j),
+       |od AS (SELECT sum(abs(a)) AS oabs FROM cov WHERE i < j),
+       |wr AS (
+       | SELECT i, j, abs(a) AS w FROM cov WHERE i < j
+       | ORDER BY abs(a) DESC, i, j LIMIT 1),
+       |dg AS (SELECT max(a) AS dmax, min(a) AS dmin FROM cov WHERE i = j)
+       |SELECT stat, value FROM (
+       | SELECT 'diag_max_fp2' AS stat, CAST(dmax AS BIGINT) AS value FROM dg
+       | UNION ALL SELECT 'diag_min_fp2', CAST(dmin AS BIGINT) FROM dg
+       | UNION ALL SELECT 'max_offdiag_abs_fp2', CAST(w AS BIGINT) FROM wr
+       | UNION ALL SELECT 'max_offdiag_i', CAST(i AS BIGINT) FROM wr
+       | UNION ALL SELECT 'max_offdiag_j', CAST(j AS BIGINT) FROM wr
+       | UNION ALL SELECT 'offdiag_abs_fp2', CAST(oabs AS BIGINT) FROM od
+       | UNION ALL SELECT 'offdiag_trace_ppm',
+       |  CAST((oabs * 1000000) // trace AS BIGINT) FROM od CROSS JOIN tr
+       | UNION ALL SELECT 'trace_fp2', CAST(trace AS BIGINT) FROM tr)
+       |ORDER BY stat""".stripMargin
 }

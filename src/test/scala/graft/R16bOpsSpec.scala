@@ -115,6 +115,18 @@ class R16bOpsSpec extends AnyFunSuite {
     assert(fc >= 1 && pc >= 1)
   }
 
+  test("whitening audit: consistent with the dim-stats diagonal and internally coherent") {
+    import graft.operators.PcaOps
+    val st = PcaOps.embeddingWhiteningAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("trace_fp2") > 0 && st("diag_min_fp2") <= st("diag_max_fp2"))
+    assert(st("max_offdiag_abs_fp2") <= st("offdiag_abs_fp2"))
+    assert(st("offdiag_trace_ppm") ==
+      BigInt(st("offdiag_abs_fp2")) * 1000000 / BigInt(st("trace_fp2")))
+    val (i, j) = (st("max_offdiag_i"), st("max_offdiag_j"))
+    assert(i >= 0 && i < j && j < PcaOps.Dims)
+  }
+
   test("U-shaped attribution conserves exactly 1e6 micro credit per purchase") {
     import org.apache.spark.sql.functions._
     import graft.operators.TemporalOps
