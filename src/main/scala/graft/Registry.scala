@@ -1103,6 +1103,14 @@ object Registry {
       graft.streaming.StreamingReplay.JoinReplayOracleSql)(
       (s, d) => graft.streaming.StreamingReplay.joinReplay(s, d)),
 
+    // ...and the FULL curation composition (quality filter -> PII scrub
+    // -> watermark digest dedup) as one real streaming execution, with
+    // planted PII so the scrub genuinely rewrites before digesting;
+    // survivor-set readout (the dedupReplay shape).
+    q("streaming_curation_replay",
+      graft.streaming.StreamingReplay.CurationReplayOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.curationReplay(s, d)),
+
     // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
     q("multimodal_meta",
       """SELECT doc_id,

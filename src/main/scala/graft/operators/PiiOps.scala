@@ -63,7 +63,7 @@ object PiiOps {
   /** The deterministic PII-bearing text the registered query audits:
     * corpus text + planted contact lines keyed off doc_id.
     */
-  private def plantedPii: Column = concat(
+  private[graft] def plantedPii: Column = concat(
     col("text"),
     lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com"),
     when(col("doc_id") % 3 === 0,

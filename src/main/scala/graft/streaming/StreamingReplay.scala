@@ -334,6 +334,79 @@ object StreamingReplay {
       .orderBy("user_id")
   }
 
+  /** [[StreamingCuration]] under the replay gate: the WHOLE curation
+    * composition — quality filter → PII scrub → watermark digest dedup —
+    * as one real streaming execution over the documents replay, with
+    * deterministic PII planted (the `pii_redact` probe, shared
+    * expressions) so the scrub stage genuinely rewrites text before
+    * digesting. Survivor choice per digest is arrival-order dependent;
+    * the surviving digest SET is not (the dedupReplay readout: count +
+    * poly-hash mass per 2-hex bucket). Event time gets the same +1 day
+    * base as [[dedupReplay]] (the epoch-equals-initial-watermark edge).
+    */
+  def curationReplay(s: SparkSession, dir: String): DataFrame = {
+    // Same one-file-source parallelism restoration as [[ivfIngestReplay]]:
+    // the regex scrub is the hot tier and must not inherit 1 partition
+    // (measured 14 s at sf1 serialized, 2.9 s restored).
+    val planted = docsStream(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("text", graft.operators.PiiOps.plantedPii)
+      .withColumn("ts",
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    val survivors = drain(s, StreamingCuration.curateDigests(planted),
+      "graft_streaming_curation", "append")
+    val fp = graft.functions.GraftFunctions.poly_hash(
+      col("clean_hash"), 31, 1000000007L)
+    survivors
+      .groupBy(substring(col("clean_hash"), 1, 2).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(fp).as("digest_fp"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle for [[curationReplay]]: identical planting, quality rules,
+    * ordered replacements, then the distinct-digest bucket rollup.
+    */
+  val CurationReplayOracleSql: String = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phone = """\b555-[0-9]{4}\b"""
+    val ip = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+    s"""WITH p AS (
+       | SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |  || CASE WHEN doc_id % 3 = 0
+       |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |  || CASE WHEN doc_id % 7 = 0
+       |      THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |       || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+       |       || '.' || CAST((doc_id // 65536) % 256 AS VARCHAR) ELSE '' END AS pii_text
+       | FROM documents),
+       |t AS (
+       | SELECT doc_id, pii_text,
+       |  CAST(len(regexp_extract_all(pii_text, '\\S+')) AS BIGINT) AS n_tokens,
+       |  CAST(length(regexp_replace(pii_text, '\\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+       |  CAST(len(regexp_extract_all(pii_text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       |  CAST(len(regexp_extract_all(pii_text, '\\b(the|and|is|of|to|in|it|a)\\b')) AS BIGINT) AS n_stopwords
+       | FROM p),
+       |kp AS (
+       | SELECT doc_id, pii_text FROM t
+       | WHERE n_tokens >= 20
+       |  AND (1000 * n_chars_nows) // greatest(n_tokens, 1) BETWEEN 3000 AND 5000
+       |  AND n_stopwords > 0
+       |  AND (1000 * n_punct) // greatest(n_tokens, 1) <= 200),
+       |r AS (
+       | SELECT regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |  '$email', '[EMAIL]', 'g'),
+       |  '$phone', '[PHONE]', 'g'),
+       |  '$ip', '[IP]', 'g') AS clean
+       | FROM kp),
+       |d AS (SELECT DISTINCT sha256(clean) AS h FROM r)
+       |SELECT substr(h, 1, 2) AS bucket, count(*) AS n_docs,
+       | CAST(sum(list_reduce(
+       |  list_prepend(0::BIGINT,
+       |   list_transform(regexp_extract_all(h, '(?s).'), c -> unicode(c)::BIGINT)),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS digest_fp
+       |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   /** Oracle for [[joinReplay]]: the identical interval join as batch
     * SQL, rolled up per user.
     */

@@ -115,6 +115,20 @@ class R16bOpsSpec extends AnyFunSuite {
     assert(fc >= 1 && pc >= 1)
   }
 
+  test("streaming curation replay keeps exactly the batch clean-digest set mass") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingReplay
+    import graft.operators.{PiiOps, TextOps}
+    val batchSet = TextOps.qualityFlags(
+        Tables.documents(spark, sf)
+          .withColumn("text", PiiOps.plantedPii))
+      .filter(col("keep") === 1)
+      .select(sha2(PiiOps.redact(col("text")), 256).as("h"))
+      .distinct().count()
+    val streamed = StreamingReplay.curationReplay(spark, sf).collect()
+    assert(streamed.map(_.getLong(1)).sum == batchSet)
+  }
+
   test("whitening audit: consistent with the dim-stats diagonal and internally coherent") {
     import graft.operators.PcaOps
     val st = PcaOps.embeddingWhiteningAudit(spark, sf).collect()
