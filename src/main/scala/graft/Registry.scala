@@ -288,6 +288,13 @@ object Registry {
         | JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)(JoinOps.nationRevenue),
 
+    // Canonical TPC-H trio (Q3's shape is star_ship_priority): the
+    // classic OLAP completeness check - pushed-down date filters,
+    // broadcast dimension legs, exact decimal money math.
+    q("tpch_q1", TpchOps.Q1OracleSql)((s, d) => TpchOps.q1(s, d)),
+    q("tpch_q5", TpchOps.Q5OracleSql)((s, d) => TpchOps.q5(s, d)),
+    q("tpch_q6", TpchOps.Q6OracleSql)((s, d) => TpchOps.q6(s, d)),
+
     q("join_orders_rollup",
       """SELECT o_orderstatus, o_orderpriority, count(*) AS orders,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE), 2) AS total_price

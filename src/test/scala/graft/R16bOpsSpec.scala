@@ -115,6 +115,23 @@ class R16bOpsSpec extends AnyFunSuite {
     assert(fc >= 1 && pc >= 1)
   }
 
+  test("tpch trio: q6 filters reach the scan; q1 groups the full domain") {
+    import graft.operators.TpchOps
+    val plan = TpchOps.q6(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(l_shipdate)"))
+    val q1 = TpchOps.q1(spark, sf).collect()
+    assert(q1.length == 6) // 3 returnflags x 2 linestatuses
+    q1.foreach { r =>
+      // charge >= discounted e2 >= base e4 once unit-aligned, all positive.
+      assert(r.getLong(3) > 0 &&
+        r.getLong(4) >= r.getLong(3) * 90 &&
+        r.getLong(5) >= r.getLong(4) * 100)
+    }
+    val q6 = TpchOps.q6(spark, sf).collect()
+    assert(q6.head.getLong(0) > 0 && q6.head.getDouble(1) > 0)
+  }
+
   test("streaming curation replay keeps exactly the batch clean-digest set mass") {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingReplay
