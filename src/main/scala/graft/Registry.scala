@@ -1118,6 +1118,13 @@ object Registry {
       graft.streaming.StreamingReplay.CurationReplayOracleSql)(
       (s, d) => graft.streaming.StreamingReplay.curationReplay(s, d)),
 
+    // ...and the continuous extract/load path: exactly-once partitioned
+    // parquet FILE SINK drained AvailableNow, read back through
+    // partition discovery, digested with the sink_roundtrip fidelity
+    // rollup under the same format-independent oracle.
+    q("streaming_ingest_replay", sinks.ParquetSink.roundtripOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.ingestReplay(s, d)),
+
     // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
     q("multimodal_meta",
       """SELECT doc_id,

@@ -363,6 +363,40 @@ object StreamingReplay {
       .orderBy("bucket")
   }
 
+  /** [[StreamingIngest]] under the replay gate: the continuous
+    * extract/load path — file source → exactly-once partitioned parquet
+    * FILE SINK (commit log + checkpoint) — drained with AvailableNow,
+    * then the written table read back through partition discovery and
+    * digested with the [[graft.sinks.ParquetSink.roundtripAudit]]
+    * fidelity rollup against the SAME oracle: any sink-path loss
+    * (dropped rows, partition mangling, string corruption, uncommitted
+    * files leaking) breaks the hash. Scratch dirs are PID-suffixed and
+    * wiped per run so a stale checkpoint can never skip the write.
+    */
+  def ingestReplay(s: SparkSession, dir: String): DataFrame = {
+    val scratch =
+      s"/tmp/graft-streaming-ingest/${new java.io.File(dir).getName}-" +
+        s"${ProcessHandle.current().pid()}"
+    val hconf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    p.getFileSystem(hconf).delete(p, true)
+    val q = StreamingIngest.toPartitionedParquet(
+      docsStream(s, dir), s"$scratch/table", s"$scratch/ckpt",
+      partitionBy = Seq("lang"))
+    q.awaitTermination()
+    def fp(c: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.poly_hash(c, 31, 1000000007L)
+    s.read.parquet(s"$scratch/table")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_doc_id"),
+        sum("n_chars").as("sum_n_chars"),
+        sum(fp(col("text"))).as("sum_text_fp"),
+        sum(fp(col("source"))).as("sum_source_fp"))
+      .orderBy("lang")
+  }
+
   /** Oracle for [[curationReplay]]: identical planting, quality rules,
     * ordered replacements, then the distinct-digest bucket rollup.
     */
