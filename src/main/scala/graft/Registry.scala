@@ -288,6 +288,12 @@ object Registry {
         | JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)(JoinOps.nationRevenue),
 
+    // Dataset card: the one-page release data sheet (volumes, diversity,
+    // dup mass, quality survival, decon removal) as (stat, value) rows,
+    // each line reusing a gated family's expressions verbatim.
+    q("dataset_card", ProfileOps.DatasetCardOracleSql)(
+      (s, d) => ProfileOps.datasetCard(s, d)),
+
     // Canonical TPC-H trio (Q3's shape is star_ship_priority): the
     // classic OLAP completeness check - pushed-down date filters,
     // broadcast dimension legs, exact decimal money math.

@@ -136,4 +136,97 @@ object ProfileOps {
        | CAST(surviving AS BIGINT) AS surviving,
        | CAST((1000000 * surviving) // cohort AS BIGINT) AS surviving_ppm
        |FROM s ORDER BY days_active""".stripMargin
+
+  /** Dataset card — the one-page data sheet a corpus release ships
+    * (Datasheets for Datasets, Gebru et al. 2018): corpus volumes,
+    * language/source diversity, exact-dup mass, quality-filter survival,
+    * and the eval-decontamination removal, as (stat, value) rows. A
+    * capstone COMPOSITION readout: each line reuses a gated family's
+    * expressions verbatim (dedup_exact's digest distinct, quality_filter's
+    * rules, decontamination_stats' fingerprint carve), so the card can
+    * never drift from the pipelines it summarizes.
+    *
+    * Scale shape: three scans (volumes + digest distinct, quality rules,
+    * decon anti-join) each collapsing to one row, crossJoined to the
+    * 11-row stat stack — the anti-join's eval side is the broadcast
+    * digest set, exactly the decontaminate plan.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.tokens).cast("long")).as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      countDistinct(sha2(col("text"), 256)).as("n_distinct"))
+    val qual = TextOps.qualityFlags(docs)
+      .agg(sum("keep").as("quality_kept"))
+    val evalSet = docs.filter(
+      graft.functions.GraftFunctions.poly_hash(
+        col("text"), 31, 1000000007L) % 10 === 0)
+    val deconKept = TextOps.decontaminate(docs, evalSet)
+      .agg(count(lit(1)).as("kept_decon"))
+    base.crossJoin(qual).crossJoin(deconKept)
+      .selectExpr(
+        """stack(11,
+          | 'decon_removed', n_docs - kept_decon,
+          | 'exact_dup_docs', n_docs - n_distinct,
+          | 'exact_dup_ppm', (1000000 * (n_docs - n_distinct)) div n_docs,
+          | 'mean_doc_tokens_milli', (1000 * n_tokens) div n_docs,
+          | 'n_chars', n_chars,
+          | 'n_docs', n_docs,
+          | 'n_langs', n_langs,
+          | 'n_sources', n_sources,
+          | 'n_tokens', n_tokens,
+          | 'quality_kept', quality_kept,
+          | 'quality_kept_ppm', (1000000 * quality_kept) div n_docs
+          |) as (stat, value)""".stripMargin)
+      .orderBy("stat")
+  }
+
+  /** DuckDB oracle for [[datasetCard]]: identical volumes, digest
+    * distinct, quality rules, and fingerprint carve.
+    */
+  val DatasetCardOracleSql: String =
+    """WITH base AS (
+      | SELECT count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  count(DISTINCT sha256(text)) AS n_distinct
+      | FROM documents),
+      |qual AS (
+      | SELECT CAST(sum(CASE WHEN n_tokens >= 20
+      |   AND (1000 * n_chars_nows) // greatest(n_tokens, 1) BETWEEN 3000 AND 5000
+      |   AND n_stopwords > 0
+      |   AND (1000 * n_punct) // greatest(n_tokens, 1) <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS quality_kept
+      | FROM (
+      |  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |   CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+      |   CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+      |   CAST(len(regexp_extract_all(text, '\b(the|and|is|of|to|in|it|a)\b')) AS BIGINT) AS n_stopwords
+      |  FROM documents)),
+      |ev AS (
+      | SELECT DISTINCT sha256(text) AS d FROM documents
+      | WHERE list_reduce(list_prepend(0::BIGINT,
+      |   list_transform(regexp_extract_all(text, '(?s).'), c -> unicode(c)::BIGINT)),
+      |  (acc, x) -> (acc * 31 + x) % 1000000007) % 10 = 0),
+      |dec AS (
+      | SELECT CAST(count(*) AS BIGINT) AS kept_decon FROM documents
+      | WHERE sha256(text) NOT IN (SELECT d FROM ev))
+      |SELECT stat, CAST(value AS BIGINT) AS value FROM (
+      | SELECT 'decon_removed' AS stat, (SELECT n_docs FROM base) - kept_decon AS value FROM dec
+      | UNION ALL SELECT 'exact_dup_docs', n_docs - n_distinct FROM base
+      | UNION ALL SELECT 'exact_dup_ppm', (1000000 * (n_docs - n_distinct)) // n_docs FROM base
+      | UNION ALL SELECT 'mean_doc_tokens_milli', (1000 * n_tokens) // n_docs FROM base
+      | UNION ALL SELECT 'n_chars', n_chars FROM base
+      | UNION ALL SELECT 'n_docs', n_docs FROM base
+      | UNION ALL SELECT 'n_langs', n_langs FROM base
+      | UNION ALL SELECT 'n_sources', n_sources FROM base
+      | UNION ALL SELECT 'n_tokens', n_tokens FROM base
+      | UNION ALL SELECT 'quality_kept', quality_kept FROM qual
+      | UNION ALL SELECT 'quality_kept_ppm', (1000000 * quality_kept) // (SELECT n_docs FROM base) FROM qual)
+      |ORDER BY stat""".stripMargin
 }
