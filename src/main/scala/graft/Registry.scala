@@ -943,7 +943,9 @@ object Registry {
 
     // The privacy family's RELEASE rung: small-cell suppression + the
     // derandomized binomial mechanism (seeded PolyHash noise draw) over
-    // the (type, day) cell grid; true counts never leave the operator.
+    // the (type, day) cell grid. True counts are not emitted directly,
+    // but the derandomized draw is publicly recomputable — this is a
+    // deterministic DEMO of the release shape with zero DP guarantee.
     q("dp_release_counts", PiiOps.DpReleaseOracleSql)(
       (s, d) => PiiOps.dpReleaseCounts(s, d)),
 
@@ -1621,9 +1623,9 @@ object Registry {
     q("graph_distance_histogram", GraphOps.graphDistanceHistogramOracleSql())(
       (s, d) => GraphOps.graphDistanceHistogram(s, d)),
 
-    // Hub-percolation robustness: CC before/after removing the top-8
+    // Hub-percolation robustness: CC before/after removing the top-32
     // degree hubs — the targeted-attack fragility readout; two
-    // exchange-free CC loops, hub set an 8-row broadcast frame.
+    // exchange-free CC loops, hub set a 32-row broadcast frame.
     q("percolation_audit", GraphOps.percolationOracleSql())(
       (s, d) => GraphOps.percolationAudit(s, d)),
 

@@ -1489,6 +1489,9 @@ object GraphOps {
       rounds: Int = 4, nSeeds: Int = 8): String = {
     val chain = harmonicCentralityOracleSql(rounds, nSeeds)
     val cut = chain.lastIndexOf("SELECT node, count(*)")
+    require(cut >= 0,
+      "harmonicCentralityOracleSql's final readout was reworded; " +
+        "update graphDistanceHistogramOracleSql's splice anchor to match")
     chain.substring(0, cut).stripTrailing() + ",\n" +
       s"""h AS (
          | SELECT hops, count(*) AS pairs FROM d$rounds

@@ -355,7 +355,10 @@ object TfIdfOps {
     dcg.join(idcg, Seq("qid"))
       .select(col("qid"), col("matching_docs"), col("dcg_e6"),
         col("idcg_e6"),
-        expr("(1000000 * dcg_e6) div idcg_e6").as("ndcg_ppm"))
+        // greatest(.., 1): a query whose matching docs all grade rel=0
+        // has idcg_e6 = 0 — the repo's div-by-zero convention keeps both
+        // engines on the same 0-ppm row instead of NULL-vs-error.
+        expr("(1000000 * dcg_e6) div greatest(idcg_e6, 1L)").as("ndcg_ppm"))
       .orderBy("qid")
   }
 
@@ -416,7 +419,7 @@ object TfIdfOps {
        |SELECT CAST(d.qid AS BIGINT) AS qid, i.matching_docs,
        | CAST(d.dcg_e6 AS BIGINT) AS dcg_e6,
        | CAST(i.idcg_e6 AS BIGINT) AS idcg_e6,
-       | CAST((1000000 * d.dcg_e6) // i.idcg_e6 AS BIGINT) AS ndcg_ppm
+       | CAST((1000000 * d.dcg_e6) // greatest(i.idcg_e6, 1) AS BIGINT) AS ndcg_ppm
        |FROM dcg d JOIN idcg i ON d.qid = i.qid
        |ORDER BY qid""".stripMargin
   }

@@ -53,9 +53,9 @@ object TpchOps {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("qty").as("sum_qty"),
-        sum("pc").cast("decimal(38,0)").as("sum_base_cents"),
-        sum(expr("pc * (100 - dc)")).cast("decimal(38,0)").as("sum_disc_e4"),
-        sum(expr("pc * (100 - dc) * (100 + tc)")).cast("decimal(38,0)")
+        sum(col("pc").cast("decimal(38,0)")).as("sum_base_cents"),
+        sum(expr("cast(pc as decimal(38,0)) * (100 - dc)")).as("sum_disc_e4"),
+        sum(expr("cast(pc as decimal(38,0)) * (100 - dc) * (100 + tc)"))
           .as("sum_charge_e6"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"),
