@@ -1133,6 +1133,28 @@ object Registry {
     q("streaming_ingest_replay", sinks.ParquetSink.roundtripOracleSql)(
       (s, d) => graft.streaming.StreamingReplay.ingestReplay(s, d)),
 
+    // ...r17: the remaining stateful tier graduates via the watermark
+    // SENTINEL (a far-future one-row file staged after the events file:
+    // the engine's no-data batch then finalizes append-mode session
+    // windows and fires event-time timeouts — the finite-replay analogue
+    // of a stream that keeps running). session_window emit-on-watermark,
+    // the custom fMGWS sessionizer (its NoTimeout contract: each user's
+    // final session stays open, the oracle excludes it), the buffered
+    // funnel ladder, and the as-of probe matcher — each against an
+    // independent lag/min-ladder/carry-forward SQL formulation.
+    q("streaming_sessionize_replay",
+      graft.streaming.StreamingReplay.SessionizeReplayOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.sessionizeReplay(s, d)),
+    q("streaming_sessions_state_replay",
+      graft.streaming.StreamingReplay.StatefulSessionsReplayOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.statefulSessionsReplay(s, d)),
+    q("streaming_funnel_replay",
+      graft.streaming.StreamingReplay.FunnelReplayOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.funnelReplay(s, d)),
+    q("streaming_asof_replay",
+      graft.streaming.StreamingReplay.AsofReplayOracleSql)(
+      (s, d) => graft.streaming.StreamingReplay.asofReplay(s, d)),
+
     // ---- LLM-pipeline: multimodal payload plumbing (SQL-checkable slice) ----
     q("multimodal_meta",
       """SELECT doc_id,

@@ -484,4 +484,264 @@ object StreamingReplay {
       |   list_transform(regexp_extract_all(h, '(?s).'), c -> unicode(c)::BIGINT)),
       |  (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS digest_fp
       |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** 2100-01-01T00:00Z in epoch micros: the watermark-sentinel event
+    * time, far beyond any replayed event plus any watermark delay.
+    */
+  private val SentinelUs = 4102444800000000L
+
+  /** An events replay WITH a watermark sentinel: the events file staged
+    * into a scratch dir beside a one-row far-future sentinel file
+    * (user_id/event_id −1, the given event_type, so readouts filter
+    * `user_id >= 0`). With `maxFilesPerTrigger=1` and mtime ordering the
+    * real data is batch 0 and the sentinel batch 1, so after batch 1 the
+    * watermark jumps past every real event and the engine's no-data
+    * batch finalizes every append-mode window and fires every event-time
+    * timeout — the finite-replay analogue of "the stream keeps running".
+    * Without this, append-mode sessions and pending fMGWS probes would
+    * sit in state forever and the drained table would be empty.
+    */
+  private def sentineledEventsStream(
+      s: SparkSession, dir: String, tag: String,
+      sentinelType: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val isLong = raw.schema("ts").dataType == LongType
+    val scratch =
+      s"/tmp/graft-replay-stage/${new java.io.File(dir).getName}-" +
+        s"${ProcessHandle.current().pid()}-$tag"
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    new java.io.File(scratch).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$scratch/0_events.parquet"))
+    val tsLit =
+      if (isLong) lit(SentinelUs * 1000L) // nanos flavor
+      else timestamp_micros(lit(SentinelUs))
+    val sentinel = raw.limit(1).select(raw.schema.fields.toSeq.map { f =>
+      (f.name match {
+        case "ts" => tsLit
+        case "event_id" | "user_id" => lit(-1L)
+        case "event_type" => lit(sentinelType)
+        case _ => lit(null)
+      }).cast(f.dataType).as(f.name)
+    }: _*)
+    val tmpOut = s"$scratch/_sentinel_tmp"
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no sentinel part file under $tmpOut"))
+    java.nio.file.Files.move(
+      part.toPath, java.nio.file.Paths.get(s"$scratch/1_sentinel.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmpOut), true)
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$scratch/0_events.parquet").setLastModified(now - 600000L)
+    new java.io.File(s"$scratch/1_sentinel.parquet").setLastModified(now)
+    val tsUs =
+      if (isLong) expr("ts div 1000")
+      else unix_micros(col("ts").cast("timestamp"))
+    s.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(scratch)
+      .withColumn("ts_us", tsUs)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** [[StreamingSessionize]] under the replay gate: `session_window` +
+    * watermark drained APPEND-mode — the first gate on the built-in
+    * session operator's emit-on-watermark path. The sentinel advances
+    * the watermark past every real session's end so all of them
+    * finalize; values ride a milli fixed-point long so the per-session
+    * sum is exact under any merge order. Session assembly inside the
+    * single data batch is the operator's own merge logic — which is
+    * exactly what the gate prices against the independent lag-based SQL.
+    */
+  def sessionizeReplay(s: SparkSession, dir: String): DataFrame = {
+    val staged = sentineledEventsStream(s, dir, "sessionize", "view")
+      .withColumn("value", expr("cast(floor(value * 1000 + 0.5) as long)"))
+    val sess = StreamingSessionize.sessions(staged)
+    drain(s, sess, "graft_streaming_sessionize", "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("events"),
+        col("value_sum").as("value_milli"))
+      .orderBy("user_id", "start_us")
+  }
+
+  /** Oracle for [[sessionizeReplay]]: lag-based gap sessionization on
+    * the session_window convention (a session closes only after
+    * STRICTLY more than the gap — split on `> 30 min`, end = last event
+    * + gap), an independent algorithm from the state-store merge.
+    */
+  val SessionizeReplayOracleSql: String =
+    """WITH e AS (
+      | SELECT user_id, epoch_us(ts) AS us,
+      |  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+      | FROM events),
+      |g AS (
+      | SELECT user_id, us, vm,
+      |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |    > 1800000000 THEN 1 ELSE 0 END AS ns
+      | FROM e),
+      |s AS (
+      | SELECT user_id, us, vm,
+      |  sum(ns) OVER (PARTITION BY user_id ORDER BY us
+      |   ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM g)
+      |SELECT user_id, min(us) AS start_us,
+      | max(us) + 1800000000 AS end_us,
+      | count(*) AS events, CAST(sum(vm) AS BIGINT) AS value_milli
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
+  /** [[StatefulSessions]] under the replay gate: the custom
+    * flatMapGroupsWithState sessionizer drained append-mode. NoTimeout
+    * semantics mean a user's FINAL session is never closed by the finite
+    * replay (only a later event closes a session), so the oracle excludes
+    * each user's last session — the honest contract of the component, not
+    * a gate workaround. Event time rides the typed seam's ms grid
+    * (`Timestamp.getTime`); values pre-quantized to milli fixed-point so
+    * the in-order double fold is exact.
+    */
+  def statefulSessionsReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = eventsStream(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"),
+        timestamp_millis(expr("ts_us div 1000")).as("ts"),
+        expr("cast(floor(value * 1000 + 0.5) as double)").as("value"))
+      .as[SessionEvent]
+    val closed = StatefulSessions.sessions(s, typed).toDF()
+    drain(s, closed, "graft_streaming_sessions_state", "append")
+      .select(col("user_id"),
+        expr("unix_micros(session_start) div 1000").as("start_ms"),
+        expr("unix_micros(session_end) div 1000").as("end_ms"),
+        col("events"),
+        col("value_sum").cast("long").as("value_milli"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  /** Oracle for [[statefulSessionsReplay]]: ms-grid gap sessionization
+    * over the value-non-null subset (the typed seam carries a primitive
+    * Double) on the component's `gap >= 30 min` split convention, minus
+    * each user's final (still-open) session.
+    */
+  val StatefulSessionsReplayOracleSql: String =
+    """WITH e AS (
+      | SELECT user_id, epoch_us(ts) // 1000 AS ms,
+      |  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm
+      | FROM events WHERE value IS NOT NULL),
+      |g AS (
+      | SELECT user_id, ms, vm,
+      |  CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+      |    >= 1800000 THEN 1 ELSE 0 END AS ns
+      | FROM e),
+      |s AS (
+      | SELECT user_id, ms, vm,
+      |  sum(ns) OVER (PARTITION BY user_id ORDER BY ms
+      |   ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM g),
+      |a AS (
+      | SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+      |  count(*) AS events, CAST(sum(vm) AS BIGINT) AS value_milli
+      | FROM s GROUP BY 1, 2)
+      |SELECT user_id, start_ms, end_ms, events, value_milli
+      |FROM a
+      |WHERE sid < (SELECT max(sid) FROM a a2 WHERE a2.user_id = a.user_id)
+      |ORDER BY user_id, start_ms""".stripMargin
+
+  /** [[StreamingFunnel]] under the replay gate: the event-time-buffered
+    * funnel state machine drained append-mode, sentinel-flushed (the
+    * far-future 'view' for user −1 advances the watermark so every
+    * pending event finalizes via the event-time timeout). The emitted
+    * (user, stage, ts) set is the first-reach ladder on the typed seam's
+    * ms grid, gated against the batch join-ladder SQL restated on ms.
+    */
+  def funnelReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = sentineledEventsStream(s, dir, "funnel", "view")
+      .select(col("user_id"),
+        timestamp_millis(expr("ts_us div 1000")).as("ts"),
+        col("event_type"))
+      .as[FunnelInput]
+    val stages = StreamingFunnel.stages(s, typed).toDF()
+    drain(s, stages, "graft_streaming_funnel", "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("stage"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"))
+      .orderBy("user_id", "stage")
+  }
+
+  /** Oracle for [[funnelReplay]]: the [[graft.operators.FunnelOps]]
+    * min-ladder per user on the ms grid, one row per reached stage.
+    */
+  val FunnelReplayOracleSql: String =
+    """WITH e AS (
+      | SELECT user_id, epoch_us(ts) // 1000 AS t, event_type FROM events),
+      |v AS (SELECT user_id, min(t) AS t1 FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(t) AS t2 FROM e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(t) AS t3 FROM e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+      |SELECT user_id, CAST(1 AS BIGINT) AS stage, t1 AS ts_ms FROM v
+      |UNION ALL SELECT user_id, 2, t2 FROM c
+      |UNION ALL SELECT user_id, 3, t3 FROM p
+      |ORDER BY user_id, stage""".stripMargin
+
+  /** [[StreamingAsof]] under the replay gate: each purchase matched to
+    * the user's latest click at or before it (ties: larger event_id),
+    * probes finalized by watermark + event-time timeout, sentinel-flushed
+    * (a far-future reference 'click' for user −1 — reference rows emit
+    * nothing themselves). Gated against the batch as-of union-window SQL
+    * restated on the typed seam's ms grid.
+    */
+  def asofReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = sentineledEventsStream(s, dir, "asof", "click")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        timestamp_millis(expr("ts_us div 1000")).as("ts"),
+        col("event_id"),
+        (col("event_type") === "purchase").as("is_left"))
+      .as[AsofInput]
+    val out = StreamingAsof.matches(s, typed).toDF()
+    drain(s, out, "graft_streaming_asof", "append")
+      .filter(col("user_id") >= 0)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts) div 1000").as("ts_ms"),
+        col("matched_id"),
+        expr("unix_micros(matched_ts) div 1000").as("matched_ts_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle for [[asofReplay]]: the [[graft.operators.AsofJoinOps]]
+    * union + running carry-forward window on the ms grid — deterministic
+    * tie handling (at equal ms: reference before probe, larger event_id
+    * wins among references) in both engines.
+    */
+  val AsofReplayOracleSql: String =
+    """WITH u AS (
+      | SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, 0 AS side, event_id
+      | FROM events WHERE event_type = 'click'
+      | UNION ALL
+      | SELECT user_id, epoch_us(ts) // 1000, 1, event_id
+      | FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      | SELECT user_id, ts_ms, side, event_id,
+      |  last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |   OVER win AS matched_id,
+      |  last_value(CASE WHEN side = 0 THEN ts_ms END IGNORE NULLS)
+      |   OVER win AS matched_ts_ms
+      | FROM u
+      | WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, side, event_id
+      |  ROWS UNBOUNDED PRECEDING))
+      |SELECT event_id, user_id, ts_ms, matched_id, matched_ts_ms
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 }
