@@ -300,6 +300,13 @@ object Registry {
     q("tpch_q1", TpchOps.Q1OracleSql)((s, d) => TpchOps.q1(s, d)),
     q("tpch_q5", TpchOps.Q5OracleSql)((s, d) => TpchOps.q5(s, d)),
     q("tpch_q6", TpchOps.Q6OracleSql)((s, d) => TpchOps.q6(s, d)),
+    // ...r17: the two remaining classic join shapes — Q18's
+    // group-HAVING-semi-join into a deterministic top-100 (the per-order
+    // rollup doubles as HAVING filter and output aggregate; no second
+    // lineitem read) and Q2's correlated min over a dimension subtree
+    // (window-min per part replaces the correlated subquery).
+    q("tpch_q18", TpchOps.Q18OracleSql)((s, d) => TpchOps.q18(s, d)),
+    q("tpch_q2", TpchOps.Q2OracleSql)((s, d) => TpchOps.q2(s, d)),
 
     q("join_orders_rollup",
       """SELECT o_orderstatus, o_orderpriority, count(*) AS orders,

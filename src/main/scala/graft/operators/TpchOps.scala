@@ -150,4 +150,117 @@ object TpchOps {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       | AND l_shipdate < TIMESTAMP '1997-01-01'
       | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Q18: large-volume customers — orders whose total quantity exceeds
+    * 300 (the canon's threshold; quantities ride the integer grid), top
+    * 100 by quantity, with customer and order detail. The classic
+    * group-HAVING-semi-join shape, planned the cheap way: the per-order
+    * quantity rollup (ONE map-side-combined shuffle on l_orderkey) IS
+    * both the HAVING filter and the output aggregate — the canon's
+    * second lineitem read is redundant and skipped — and the surviving
+    * order set (~0.1% of orders at any SF) broadcasts into orders, whose
+    * result then broadcasts into customer: zero large exchanges past the
+    * rollup. Rank ties break on o_orderkey so the top-100 carve is
+    * deterministic; money exported as exact cents.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        expr("cast(floor(l_quantity + 0.5) as long)").as("qty"))
+      .groupBy("l_orderkey")
+      .agg(sum("qty").as("sum_qty"))
+      .filter(col("sum_qty") > 300L)
+    val picked = Tables.orders(s, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+    picked
+      .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as long)")
+          .as("o_total_cents"),
+        col("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val Q18OracleSql: String =
+    """WITH q AS (
+      | SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty
+      | FROM lineitem GROUP BY 1 HAVING sum_qty > 300),
+      |t AS (
+      | SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, sum_qty
+      | FROM orders JOIN q ON o_orderkey = l_orderkey
+      | ORDER BY sum_qty DESC, o_orderkey LIMIT 100)
+      |SELECT c_custkey, c_name, o_orderkey,
+      | epoch_us(o_orderdate) AS o_date_us,
+      | CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_total_cents,
+      | sum_qty
+      |FROM t JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Q2-shaped correlated minimum: for every STANDARD-type part, the
+    * EUROPE-based supplier(s) whose cheapest observed line price for
+    * that part is the part's regional minimum — partsupp doesn't exist
+    * in this corpus, so the "supply cost" is the minimum line price in
+    * exact cents (the same correlated-min-over-a-dimension-subtree plan
+    * as the canon). Shape: the part subtree (type filter pushed to the
+    * footer) and the supplier⋈nation⋈region subtree both BROADCAST into
+    * lineitem; one shuffle groups (part, supplier) offers; the
+    * correlated min re-reads nothing — a per-part window min replaces
+    * the canon's correlated subquery. All ties at the minimum are kept
+    * (the canon's semantics) and the sort is unique on
+    * (p_partkey, s_suppkey).
+    */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_brand"))
+    val euroSupp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)").as("cents"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+      .agg(min("cents").as("cost_cents"))
+    offers
+      .withColumn("min_cents",
+        min("cost_cents").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")))
+      .filter(col("cost_cents") === col("min_cents"))
+      .select(
+        col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+        expr("cast(floor(s_acctbal * 100 + 0.5) as long)").as("s_acctbal_cents"),
+        col("n_name"), col("cost_cents"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  val Q2OracleSql: String =
+    """WITH es AS (
+      | SELECT s_suppkey, s_name, s_acctbal, n_name
+      | FROM supplier, nation, region
+      | WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'),
+      |o AS (
+      | SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+      |  min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
+      | FROM lineitem
+      | JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+      | JOIN es ON l_suppkey = s_suppkey
+      | GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT p_partkey, p_brand, s_suppkey, s_name,
+      | CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_cents,
+      | n_name, cost_cents
+      |FROM o
+      |WHERE cost_cents = (
+      | SELECT min(cost_cents) FROM o o2 WHERE o2.p_partkey = o.p_partkey)
+      |ORDER BY p_partkey, s_suppkey""".stripMargin
 }
