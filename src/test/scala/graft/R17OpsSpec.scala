@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** r17 additions: the Q18/Q2 join shapes (plan pins + invariants) and
+  * the four new streaming replay gates, each checked differentially
+  * against an independent batch formulation computed in Spark — the
+  * same equalities the driver's DuckDB oracles assert, pinned in CI.
+  */
+class R17OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("tpch_q18: rollup set broadcasts into orders; carve is unique, above threshold, bounded") {
+    import graft.operators.TpchOps
+    val df = TpchOps.q18(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+    assert(rows.length <= 100 && rows.nonEmpty)
+    assert(rows.forall(_.getLong(5) > 300L))
+    assert(rows.map(_.getLong(2)).distinct.length == rows.length)
+    assert(rows.forall(_.getLong(4) > 0L)) // exact cents positive
+  }
+
+  test("tpch_q2: part filter pushes to the scan; every row is its part's regional minimum") {
+    import graft.operators.TpchOps
+    val df = TpchOps.q2(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(p_type,STANDARD)"),
+      s"p_type filter not pushed in:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val minByPart = rows.groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(6)).min }
+    rows.foreach { r =>
+      assert(r.getLong(6) == minByPart(r.getLong(0)),
+        s"row ${r.getLong(0)}/${r.getLong(2)} is not the part minimum")
+    }
+  }
+
+  test("sessionize replay equals the lag-based batch sessionization (session_window convention)") {
+    import graft.streaming.StreamingReplay
+    val streamed = StreamingReplay.sessionizeReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    Tables.events(spark, sf).createOrReplaceTempView("r17_events")
+    val batch = spark.sql(
+      s"""WITH e AS (
+         | SELECT user_id, ts_us AS us FROM r17_events),
+         |g AS (
+         | SELECT user_id, us,
+         |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+         |    > 1800000000 THEN 1 ELSE 0 END AS ns
+         | FROM e),
+         |s AS (
+         | SELECT user_id, us,
+         |  sum(ns) OVER (PARTITION BY user_id ORDER BY us
+         |   ROWS UNBOUNDED PRECEDING) AS sid
+         | FROM g)
+         |SELECT user_id, min(us) AS start_us,
+         | max(us) + 1800000000 AS end_us, count(*) AS events
+         |FROM s GROUP BY user_id, sid""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} sessions vs batch ${batch.size}; " +
+        s"diff ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
+  test("stateful-sessions replay equals batch sessionization minus each user's open tail") {
+    import graft.streaming.StreamingReplay
+    val streamed = StreamingReplay.statefulSessionsReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    Tables.events(spark, sf).createOrReplaceTempView("r17_events")
+    val batch = spark.sql(
+      s"""WITH e AS (
+         | SELECT user_id, ts_us div 1000 AS ms
+         | FROM r17_events WHERE value IS NOT NULL),
+         |g AS (
+         | SELECT user_id, ms,
+         |  CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+         |    >= 1800000 THEN 1 ELSE 0 END AS ns
+         | FROM e),
+         |s AS (
+         | SELECT user_id, ms,
+         |  sum(ns) OVER (PARTITION BY user_id ORDER BY ms
+         |   ROWS UNBOUNDED PRECEDING) AS sid
+         | FROM g),
+         |a AS (
+         | SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+         |  count(*) AS events, max(sid) OVER (PARTITION BY user_id) AS last
+         | FROM s GROUP BY user_id, sid)
+         |SELECT user_id, start_ms, end_ms, events FROM a
+         |WHERE sid < last""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} closed sessions vs batch ${batch.size}")
+  }
+
+  test("funnel replay equals the batch first-reach ladder on the ms grid") {
+    import graft.streaming.StreamingReplay
+    val streamed = StreamingReplay.funnelReplay(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_us div 1000").as("t"),
+        col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("t") > col("t1"))
+      .groupBy("user_id").agg(min("t").as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("t") > col("t2"))
+      .groupBy("user_id").agg(min("t").as("t3"))
+    val batch = (v.select(col("user_id"), lit(1L).as("stage"), col("t1").as("ts_ms")) union
+      c.select(col("user_id"), lit(2L), col("t2")) union
+      p.select(col("user_id"), lit(3L), col("t3"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} stage rows vs batch ${batch.size}")
+  }
+
+  test("asof replay equals the batch as-of join on the ms grid") {
+    import graft.streaming.StreamingReplay
+    import graft.operators.AsofJoinOps
+    val streamed = StreamingReplay.asofReplay(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_ms", expr("ts_us div 1000"))
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+    val batch = AsofJoinOps
+      .asOfJoin(side("purchase"), side("click"), "user_id", "ts_ms", "event_id")
+      .select(col("event_id"),
+        coalesce(col("matched.event_id"), lit(-1L)).as("m_id"),
+        coalesce(col("matched.ts_ms"), lit(-1L)).as("m_ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} probes vs batch ${batch.size}")
+  }
+}
