@@ -394,12 +394,28 @@ object AssocOps {
         .agg(min("lab").as("nbr"))
       // Carry the previous label through the truncated frame so the
       // changed-label check is a filter over cached data.
+      // Pointer jump (shortcutting, the Rastogi et al. 2013 hash-to-min
+      // family) fused into the same round: lab ← min(neighbor-min,
+      // PREVIOUS round's lab(lab)). Jumping through the prior round's
+      // already-materialized frame keeps the round single-checkpoint
+      // (the per-round wall cost here IS the checkpoint job; see the
+      // percolation twin), while the one-round-stale forest still
+      // roughly halves distance-to-minimum per round — the r16
+      // exp-0.79 watch item was round growth with sf1's longer match
+      // chains. Final labels unchanged (the cluster min); convergence
+      // is detected on the full combined round.
       val next = GraphOps.truncate(s, lab
         .join(relaxed, Seq("node"), "left")
         .select(
           col("node"),
           least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"),
-          col("lab").as("prev_lab")))
+          col("lab").as("prev_lab"))
+        .join(lab.select(col("node").as("jn"), col("lab").as("jl")),
+          col("lab") === col("jn"), "left")
+        .select(
+          col("node"),
+          least(col("lab"), coalesce(col("jl"), col("lab"))).as("lab"),
+          col("prev_lab")))
       converged = next.filter(col("lab") =!= col("prev_lab")).isEmpty
       lab = next.select("node", "lab")
     }

@@ -604,12 +604,33 @@ object GraphOps {
           .join(roundSide(labels.withColumnRenamed("node", "src"), n), "src")
           .groupBy(col("dst").as("node"))
           .agg(min("label").as("nbr_label"))
+        // Pointer jump (shortcutting, the Rastogi et al. 2013
+        // hash-to-min family) fused into the same round: label ←
+        // min(neighbor-min, PREVIOUS round's label(label)). Jumping
+        // through the prior round's ALREADY-MATERIALIZED label frame
+        // keeps the round single-checkpoint (a fresh-jump variant
+        // measured round-count 64 → 31 but wall-flat: each round's cost
+        // here is the checkpoint job, so a second checkpoint for a
+        // fresher jump target is a wash — the one-round-stale forest
+        // still roughly halves distance-to-minimum per round). Every
+        // label IS a node id of the same component, so the jump stays
+        // in-component; final labels are unchanged (the component min —
+        // the unrolled min-label oracle still matches), and convergence
+        // is detected on the full combined round, so the no-change
+        // fixpoint argument holds.
+        val jumpSide = labels
+          .select(col("node").as("jnode"), col("label").as("jlabel"))
         val next = truncate(s, labels
           .join(roundSide(neighborMin, n), Seq("node"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_label"), col("label")))
               .as("label"),
-            col("label").as("prev_label")))
+            col("label").as("prev_label"))
+          .join(roundSide(jumpSide, n), col("label") === col("jnode"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("jlabel"), col("label")))
+              .as("label"),
+            col("prev_label")))
         converged = next.filter(col("label") =!= col("prev_label")).isEmpty
         labels = next.select("node", "label")
       }
