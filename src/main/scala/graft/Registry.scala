@@ -845,6 +845,13 @@ object Registry {
     q("manifest_drift", SampleOps.manifestDriftOracleSql())(
       (s, d) => SampleOps.manifestDrift(s, d)),
 
+    // Reshard-movement audit: mod-N vs rendezvous routing when the
+    // shard count grows 16 -> 17 — mod moves ~N/(N+1) of the corpus,
+    // rendezvous only the keys the new shard wins (~1/(N+1)); zero
+    // shuffles, one map-side global aggregate.
+    q("reshard_audit", SampleOps.reshardAuditOracleSql())(
+      SampleOps.reshardAuditQuery),
+
     // Fixed-size per-stratum sample via a bounded MinK typed Aggregator
     // (partial agg; the window-oracle formulation would serialize a head
     // stratum through one task at scale).

@@ -207,13 +207,27 @@ object DedupClusterOps {
       // Carry the previous label through the truncated frame so the
       // changed-label check is a filter over cached data, not a
       // per-round shuffle join of two node-sized frames (the
-      // [[GraphOps.connectedComponentsConverged]] stopping shape).
+      // [[GraphOps.connectedComponentsConverged]] stopping shape) —
+      // plus the fused stale pointer jump (cluster ← min(neighbor-min,
+      // previous round's cluster(cluster)); see
+      // [[GraphOps.percolationAudit]]): dup clusters are mostly dense
+      // cliques that converge in a few rounds anyway, but the jump
+      // bounds the adversarial chain-shaped case this converged twin
+      // exists for at ~log(chain) rounds, one checkpoint per round.
+      val jumpSide = labels
+        .select(col("doc_id").as("jn"), col("cluster").as("jl"))
       val next = GraphOps.truncate(s, labels
         .join(GraphOps.roundSide(nbrMin, n), Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
-          col("cluster").as("prev_cluster")))
+          col("cluster").as("prev_cluster"))
+        .join(GraphOps.roundSide(jumpSide, n),
+          col("cluster") === col("jn"), "left")
+        .select(
+          col("doc_id"),
+          least(col("cluster"), coalesce(col("jl"), col("cluster"))).as("cluster"),
+          col("prev_cluster")))
       converged = next.filter(col("cluster") =!= col("prev_cluster")).isEmpty
       labels = next.select("doc_id", "cluster")
     }

@@ -96,6 +96,91 @@ object SampleOps {
   def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame =
     manifestAgg(docs, nShards).orderBy("shard")
 
+  /** Reshard-movement audit: when the shard count grows `nFrom` →
+    * `nFrom + 1`, what fraction of keys MOVE under plain mod-N routing
+    * versus rendezvous (highest-random-weight) hashing — the ops
+    * question behind every shard-split at 100 TB, where "move" means
+    * re-copying payload bytes. Mod-N moves ~N/(N+1) of everything (the
+    * reshuffle that makes naive splits unaffordable); rendezvous moves
+    * exactly the keys the NEW shard wins, ~1/(N+1) — the minimal-
+    * disruption property (Thaler–Ravishankar 1998), quantified here on
+    * the corpus's own keys.
+    *
+    * Scale shape: ZERO shuffles before the 2-row output — per row the
+    * (N+1) per-shard ranks are an `array_max` over a generated literal
+    * array (each rank `poly_hash(key#shard)·64 + shard`, unique by
+    * construction so the argmax is deterministic without ties), and the
+    * whole audit is one map-side-combined global aggregate; the 2-row
+    * readout explodes from the single aggregate row rather than
+    * re-scanning per scheme.
+    */
+  def reshardAudit(docs: DataFrame, nFrom: Int = 16): DataFrame = {
+    val nTo = nFrom + 1
+    val key = col("doc_id").cast("string")
+    def rank(i: Int) =
+      GraftFunctions.poly_hash(
+        concat(key, lit("#"), lit(i.toString)), 31, 1000000007L) * 64L + i
+    val fromShard = array_max(array((0 until nFrom).map(rank): _*)) % 64
+    val toShard = array_max(array((0 until nTo).map(rank): _*)) % 64
+    docs
+      .select(
+        (col("doc_id") % nFrom =!= col("doc_id") % nTo)
+          .cast("long").as("mod_moved"),
+        (fromShard =!= toShard).cast("long").as("hrw_moved"))
+      .agg(count(lit(1)).as("docs"),
+        sum("mod_moved").as("mod_m"), sum("hrw_moved").as("hrw_m"))
+      .select(explode(array(
+        struct(lit("mod").as("scheme"), col("docs"),
+          col("mod_m").as("moved"),
+          expr("(1000000 * mod_m) div docs").as("moved_ppm")),
+        struct(lit("rendezvous").as("scheme"), col("docs"),
+          col("hrw_m").as("moved"),
+          expr("(1000000 * hrw_m) div docs").as("moved_ppm")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("r.docs").as("docs"),
+        col("r.moved").as("moved"), col("r.moved_ppm").as("moved_ppm"))
+      .orderBy("scheme")
+  }
+
+  def reshardAuditQuery(s: SparkSession, dir: String): DataFrame =
+    reshardAudit(Tables.documents(s, dir))
+
+  /** DuckDB oracle for [[reshardAudit]]: the identical poly-hash ranks
+    * via the repo's established list_reduce formulation, list_max over
+    * a list comprehension per shard count.
+    */
+  def reshardAuditOracleSql(nFrom: Int = 16): String = {
+    val nTo = nFrom + 1
+    def ph(expr: String) =
+      s"""list_reduce(list_prepend(0::BIGINT,
+         |   list_transform(regexp_extract_all($expr, '(?s).'),
+         |    c -> unicode(c)::BIGINT)),
+         |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    def best(n: Int) =
+      s"""list_max(list_transform(range($n),
+         |  sh -> ${ph("ks || '#' || CAST(sh AS VARCHAR)")} * 64 + sh)) % 64"""
+        .stripMargin
+    s"""WITH k AS (
+       | SELECT doc_id, CAST(doc_id AS VARCHAR) AS ks FROM documents),
+       |f AS (
+       | SELECT
+       |  CASE WHEN doc_id % $nFrom <> doc_id % $nTo THEN 1 ELSE 0 END
+       |   AS mod_moved,
+       |  CASE WHEN ${best(nFrom)} <> ${best(nTo)} THEN 1 ELSE 0 END
+       |   AS hrw_moved
+       | FROM k),
+       |a AS (
+       | SELECT count(*) AS docs,
+       |  CAST(sum(mod_moved) AS BIGINT) AS mod_m,
+       |  CAST(sum(hrw_moved) AS BIGINT) AS hrw_m
+       | FROM f)
+       |SELECT 'mod' AS scheme, docs, mod_m AS moved,
+       | (1000000 * mod_m) // docs AS moved_ppm FROM a
+       |UNION ALL
+       |SELECT 'rendezvous', docs, hrw_m,
+       | (1000000 * hrw_m) // docs FROM a
+       |ORDER BY scheme""".stripMargin
+  }
+
   /** The manifest aggregation without the final sort — every aggregate
     * here is mergeable (count/sum/min/max in a commutative monoid), which
     * is what lets [[graft.streaming.StreamingManifest]] run the IDENTICAL

@@ -31,8 +31,12 @@ class R16OpsSpec extends AnyFunSuite {
     assert(conv.head.getAs[Long]("n_members") == 7L)
     assert(conv.head.getAs[Long]("key_lo") == 1L)
     assert(conv.head.getAs[Long]("key_hi") == 7L)
-    // Path needs 6 propagation rounds + 1 no-change round to detect.
-    assert(iters >= 6 && iters <= 8)
+    // Plain min-label would need 6 propagation rounds + 1 no-change
+    // round; the r17 fused pointer jump (lab ← min(neighbor-min,
+    // prev-round lab(lab))) shortcuts the chain to ~log rounds —
+    // measured 4. Sub-chain-length convergence IS the property pinned:
+    // a regression that drops the jump fails the upper bound.
+    assert(iters >= 2 && iters < 6, s"iters=$iters")
   }
 
   test("entity clusters converged matches fixed form on the real table when 4 rounds suffice") {
