@@ -49,10 +49,16 @@ object StreamingReplay {
         min("ts_us").as("first_us"),
         max("ts_us").as("last_us"))
     s.catalog.dropTempView(ViewName)
-    val q = agg.writeStream.format("memory").queryName(ViewName)
-      .outputMode("complete").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // Same 8-partition state sizing as [[drain]] (complete-mode snapshot
+    // is partitioning-proof; conf restored after).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.format("memory").queryName(ViewName)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(ViewName)
       .select(col("hour_bucket"), col("event_type"), col("events"),
         col("first_us"), col("last_us"))
@@ -80,14 +86,27 @@ object StreamingReplay {
 
   /** Drain a streaming frame into a memory sink and return the final
     * snapshot table.
+    *
+    * The drain runs with `spark.sql.shuffle.partitions` dropped to 8:
+    * every stateful operator instantiates one state store PER shuffle
+    * partition PER micro-batch, and at replay scale (a few hundred
+    * thousand rows) 32 partitions are pure store-init/commit overhead —
+    * the gates' readouts are decomposition-proof by construction
+    * (monoid snapshots / set rollups), so state partitioning is free to
+    * differ from the batch side. A production deployment sizes this to
+    * its own throughput; the conf is restored after the drain.
     */
   private def drain(
       s: SparkSession, df: DataFrame, view: String, mode: String): DataFrame = {
     s.catalog.dropTempView(view)
-    val q = df.writeStream.format("memory").queryName(view)
-      .outputMode(mode).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(view)
+        .outputMode(mode).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(view)
   }
 
