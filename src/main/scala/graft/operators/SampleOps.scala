@@ -108,18 +108,29 @@ object SampleOps {
     *
     * Scale shape: ZERO shuffles before the 2-row output — per row the
     * (N+1) per-shard ranks are an `array_max` over a generated literal
-    * array (each rank `poly_hash(key#shard)·64 + shard`, unique by
-    * construction so the argmax is deterministic without ties), and the
-    * whole audit is one map-side-combined global aggregate; the 2-row
-    * readout explodes from the single aggregate row rather than
-    * re-scanning per scheme.
+    * array (each rank `(poly_hash(key#shard)² mod p)·64 + shard`,
+    * unique by construction so the argmax is deterministic without
+    * ties), and the whole audit is one map-side-combined global
+    * aggregate; the 2-row readout explodes from the single aggregate
+    * row rather than re-scanning per scheme.
+    *
+    * The SQUARING is load-bearing: a polynomial hash is AFFINE in any
+    * single changed character — `poly_hash(key#16)` and
+    * `poly_hash(key#15)` differ by a constant, so the raw hash is
+    * monotone in the shard digit and the highest shard wins EVERY key
+    * (measured: 100% movement — the differential spec caught it).
+    * `h² mod p` makes the difference depend on the key
+    * ((x+c)² − x² = 2xc + c²), restoring the per-key pseudo-random
+    * ordering rendezvous requires; measured movement ≈ 1/(N+1).
     */
   def reshardAudit(docs: DataFrame, nFrom: Int = 16): DataFrame = {
     val nTo = nFrom + 1
     val key = col("doc_id").cast("string")
-    def rank(i: Int) =
-      GraftFunctions.poly_hash(
-        concat(key, lit("#"), lit(i.toString)), 31, 1000000007L) * 64L + i
+    def rank(i: Int) = {
+      val h = GraftFunctions.poly_hash(
+        concat(key, lit("#"), lit(i.toString)), 31, 1000000007L)
+      (h * h % 1000000007L) * 64L + i
+    }
     val fromShard = array_max(array((0 until nFrom).map(rank): _*)) % 64
     val toShard = array_max(array((0 until nTo).map(rank): _*)) % 64
     docs
@@ -144,9 +155,11 @@ object SampleOps {
   def reshardAuditQuery(s: SparkSession, dir: String): DataFrame =
     reshardAudit(Tables.documents(s, dir))
 
-  /** DuckDB oracle for [[reshardAudit]]: the identical poly-hash ranks
-    * via the repo's established list_reduce formulation, list_max over
-    * a list comprehension per shard count.
+  /** DuckDB oracle for [[reshardAudit]]: the identical squared
+    * poly-hash ranks via the repo's established list_reduce formulation
+    * (the square as an explicit `h * h` product — DuckDB's `^` is a
+    * DOUBLE power, inexact past 2⁵³), list_max over a list
+    * comprehension per shard count.
     */
   def reshardAuditOracleSql(nFrom: Int = 16): String = {
     val nTo = nFrom + 1
@@ -155,10 +168,11 @@ object SampleOps {
          |   list_transform(regexp_extract_all($expr, '(?s).'),
          |    c -> unicode(c)::BIGINT)),
          |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
-    def best(n: Int) =
+    def best(n: Int) = {
+      val h = ph("ks || '#' || CAST(sh AS VARCHAR)")
       s"""list_max(list_transform(range($n),
-         |  sh -> ${ph("ks || '#' || CAST(sh AS VARCHAR)")} * 64 + sh)) % 64"""
-        .stripMargin
+         |  sh -> (($h) * ($h) % 1000000007) * 64 + sh)) % 64""".stripMargin
+    }
     s"""WITH k AS (
        | SELECT doc_id, CAST(doc_id AS VARCHAR) AS ks FROM documents),
        |f AS (

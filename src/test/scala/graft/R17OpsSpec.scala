@@ -41,6 +41,22 @@ class R17OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("reshard_audit: zero hash exchanges, and rendezvous moves ~1/(N+1) where mod moves ~N/(N+1)") {
+    import graft.operators.SampleOps
+    val df = SampleOps.reshardAuditQuery(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"reshard audit should not shuffle on any key:\n$plan")
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // mod-N reshard moves ~16/17 of keys (ppm ~941k); rendezvous ~1/17
+    // (~59k ppm). Wide tolerances — the pinned property is the ORDER OF
+    // MAGNITUDE separation, the exact ppm is hash-gated by the oracle.
+    assert(rows("mod") > 850000L, s"mod moved_ppm=${rows("mod")}")
+    assert(rows("rendezvous") < 150000L,
+      s"rendezvous moved_ppm=${rows("rendezvous")}")
+  }
+
   test("sessionize replay equals the lag-based batch sessionization (session_window convention)") {
     import graft.streaming.StreamingReplay
     val streamed = StreamingReplay.sessionizeReplay(spark, sf).collect()
