@@ -332,10 +332,49 @@ object StreamBench {
         StreamingChunks.chunks(in.toDF()).writeStream.outputMode("append"))
     }
 
+    // 10) Streaming funnel (event-time-buffered fMGWS ladder): rows
+    // buffer until the watermark passes them, so the drain prices
+    // buffer-insert + in-order finalize + stage emission together. A
+    // trailing far-future sentinel flushes the tail INSIDE the timed
+    // window (the replay-gate pattern), so the number covers the full
+    // state lifecycle, not just enqueue.
+    val funnel = component("funnel") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = 200000L
+      val stages = Array("view", "click", "purchase")
+      val in = MemoryStream[FunnelInput]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i => FunnelInput(i % 5000,
+          new Timestamp(t0 + i * 100), stages((i % 3).toInt))))
+      }
+      in.addData(Seq(FunnelInput(-1L,
+        new Timestamp(t0 + rows * 100 + 365L * 86400000L), "view")))
+      drain("funnel", rows,
+        StreamingFunnel.stages(s, in.toDS()).writeStream.outputMode("append"))
+    }
+
+    // 11) Streaming as-of matcher (the other event-time-buffered fMGWS):
+    // alternating reference/probe rows per key, same sentinel flush.
+    val asof = component("asof") { s =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = 200000L
+      val in = MemoryStream[AsofInput]
+      (0L until rows).grouped(chunk).foreach { ids =>
+        in.addData(ids.map(i => AsofInput(i % 5000,
+          new Timestamp(t0 + i * 100), i, is_left = i % 2 == 1)))
+      }
+      in.addData(Seq(AsofInput(-1L,
+        new Timestamp(t0 + rows * 100 + 365L * 86400000L), -1L, is_left = false)))
+      drain("asof", rows,
+        StreamingAsof.matches(s, in.toDS()).writeStream.outputMode("append"))
+    }
+
     val comps =
       Seq(curation, curationStateless, curationDigests, sessions, dedup,
         nearDup, nearDupDigest, agg, upsert, manifest, qsketch, ivfIngest,
-        chunking).flatten
+        chunking, funnel, asof).flatten
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"streaming_throughput","unit":"rows_per_sec","components":$comps,"cpus":$cpus}"""
