@@ -331,6 +331,13 @@ object AssocOps {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The match-edge frame here is TINY (windowed blocking keeps it a few
+    // K rows at sf0.1), so the loop deliberately carries NO broadcast
+    // hints: a forced per-round broadcast build is an extra blocking
+    // driver job per round, and with frames this small the unhinted plan
+    // (planner/AQE picks the build side from real cached-edge stats) is
+    // measurably cheaper — an A/B with roundSide hints measured the whole
+    // entity family ~2× slower (2.98 → 5.5 s at sf0.1).
     var lab = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node"))
     for (_ <- 1 to rounds) {
@@ -381,6 +388,9 @@ object AssocOps {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No broadcast hints in this loop — see [[entityClustersOf]]: the
+    // match-edge frame is tiny, and forced per-round broadcast builds
+    // measured the converged twin ~2× slower than the unhinted plan.
     var lab = GraphOps.truncate(s,
       edges.select(col("src").as("node")).distinct()
         .withColumn("lab", col("node")))
@@ -396,26 +406,21 @@ object AssocOps {
       // changed-label check is a filter over cached data.
       // Pointer jump (shortcutting, the Rastogi et al. 2013 hash-to-min
       // family) fused into the same round: lab ← min(neighbor-min,
-      // PREVIOUS round's lab(lab)). Jumping through the prior round's
-      // already-materialized frame keeps the round single-checkpoint
-      // (the per-round wall cost here IS the checkpoint job; see the
-      // percolation twin), while the one-round-stale forest still
-      // roughly halves distance-to-minimum per round — the r16
-      // exp-0.79 watch item was round growth with sf1's longer match
+      // PREVIOUS round's lab(lab)), chased [[GraphOps.JumpDepth]] steps
+      // through the prior round's already-materialized frame
+      // ([[GraphOps.staleJumps]]) — still one checkpoint per round (the
+      // per-round wall cost here IS the checkpoint job; see the
+      // percolation twin), with the deeper chase bounding the r16
+      // exp-0.79 watch item's round growth on sf1's longer match
       // chains. Final labels unchanged (the cluster min); convergence
       // is detected on the full combined round.
-      val next = GraphOps.truncate(s, lab
+      val next = GraphOps.truncate(s, GraphOps.staleJumps(lab
         .join(relaxed, Seq("node"), "left")
         .select(
           col("node"),
           least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"),
-          col("lab").as("prev_lab"))
-        .join(lab.select(col("node").as("jn"), col("lab").as("jl")),
-          col("lab") === col("jn"), "left")
-        .select(
-          col("node"),
-          least(col("lab"), coalesce(col("jl"), col("lab"))).as("lab"),
-          col("prev_lab")))
+          col("lab").as("prev_lab")),
+        lab, None, "node", "lab"))
       converged = next.filter(col("lab") =!= col("prev_lab")).isEmpty
       lab = next.select("node", "lab")
     }

@@ -123,7 +123,7 @@ object DedupClusterOps {
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
       // Same 2^iters plan re-expansion as connectedComponents: each level
       // references the previous labels twice; truncate keeps it linear.
-      labels = GraphOps.truncate(s, labels)
+      labels = GraphOps.narrowTruncate(s, labels, n)
     }
     // The final labels are truncated, so the pair-graph caches are no
     // longer reachable from the returned plan — release them here
@@ -195,7 +195,8 @@ object DedupClusterOps {
     val nodes = sym.select(col("src").as("doc_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // scalar: sizes the broadcast guard
-    var labels = GraphOps.truncate(s, nodes.withColumn("cluster", col("doc_id")))
+    var labels = GraphOps.narrowTruncate(s,
+      nodes.withColumn("cluster", col("doc_id")), n)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -209,25 +210,19 @@ object DedupClusterOps {
       // per-round shuffle join of two node-sized frames (the
       // [[GraphOps.connectedComponentsConverged]] stopping shape) —
       // plus the fused stale pointer jump (cluster ← min(neighbor-min,
-      // previous round's cluster(cluster)); see
+      // previous round's cluster(cluster)), chased
+      // [[GraphOps.JumpDepth]] steps via [[GraphOps.staleJumps]]; see
       // [[GraphOps.percolationAudit]]): dup clusters are mostly dense
       // cliques that converge in a few rounds anyway, but the jump
       // bounds the adversarial chain-shaped case this converged twin
       // exists for at ~log(chain) rounds, one checkpoint per round.
-      val jumpSide = labels
-        .select(col("doc_id").as("jn"), col("cluster").as("jl"))
-      val next = GraphOps.truncate(s, labels
+      val next = GraphOps.narrowTruncate(s, GraphOps.staleJumps(labels
         .join(GraphOps.roundSide(nbrMin, n), Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
-          col("cluster").as("prev_cluster"))
-        .join(GraphOps.roundSide(jumpSide, n),
-          col("cluster") === col("jn"), "left")
-        .select(
-          col("doc_id"),
-          least(col("cluster"), coalesce(col("jl"), col("cluster"))).as("cluster"),
-          col("prev_cluster")))
+          col("cluster").as("prev_cluster")),
+        labels, Some(n), "doc_id", "cluster"), n)
       converged = next.filter(col("cluster") =!= col("prev_cluster")).isEmpty
       labels = next.select("doc_id", "cluster")
     }

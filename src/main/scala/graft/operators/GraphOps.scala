@@ -57,6 +57,61 @@ object GraphOps {
   private[operators] def roundSide(df: DataFrame, n: Long): DataFrame =
     if (n <= BroadcastNodeLimit) broadcast(df) else df
 
+  /** Stale-jump depth for the converged min-label loops: how many times a
+    * round chases `label ← stale(label)` through the PREVIOUS round's
+    * already-materialized label frame. Measured on the percolation loop at
+    * sf0.01: depth 0 = 24 rounds, depth 1 = 15, depths 2 and 3 = 15 — the
+    * jumped-every-round stale forest stays ~2 deep by induction, so one
+    * chase per round already reaches its root and deeper chases are pure
+    * per-round join overhead. Depth 1 is the whole win.
+    */
+  private[graft] val JumpDepth = 1
+
+  /** Apply [[JumpDepth]]-deep fused stale pointer jumps: for each of
+    * `jumps` steps, `cur`'s `lab` column is replaced by
+    * `min(lab, stale_lab(lab))`, joining through the previous round's
+    * materialized `(key, lab)` frame `stale`. All other columns of `cur`
+    * (e.g. the carried prev-label) pass through untouched. Correctness:
+    * every stale label is an id of the SAME component (the min-label
+    * invariant), so jumping stays in-component and only decreases the
+    * label toward the component min — the fixpoint (and thus the gated
+    * output) is unchanged, and a no-change round of the COMBINED operator
+    * implies a no-change round of plain propagation (min(lab, nbr) = lab
+    * for every node), so convergence detection is still exact.
+    * `n = Some(count)` size-guards the jump side like every other
+    * per-round frame; `None` leaves join strategy to AQE (the
+    * entity-clusters loop style).
+    */
+  private[graft] def staleJumps(
+      cur: DataFrame, stale: DataFrame, n: Option[Long],
+      key: String, lab: String, jumps: Int = JumpDepth): DataFrame = {
+    val js0 = stale.select(col(key).as("__jn"), col(lab).as("__jl"))
+    val js = n.map(roundSide(js0, _)).getOrElse(js0)
+    var out = cur
+    for (_ <- 1 to jumps) {
+      out = out.join(js, out(lab) === col("__jn"), "left")
+        .withColumn(lab, least(col(lab), coalesce(col("__jl"), col(lab))))
+        .drop("__jn", "__jl")
+    }
+    out
+  }
+
+  /** Checkpoint a node-sized loop frame NARROW: when the frame sits
+    * inside the broadcast guard (n ≤ [[BroadcastNodeLimit]]) its next use
+    * is a broadcast build anyway, so 32-way task fan-out on a 10^4-row
+    * frame is pure scheduler overhead — coalesce to 8 tasks before
+    * materializing (the [[sccOf]] `narrow` idiom generalized to every
+    * converged/fixed loop; measured there as the difference between a
+    * ~50-job loop spending its wall on scheduling vs on work). Above the
+    * guard the frame keeps full parallelism — the same condition that
+    * switches the loop joins from broadcast to shuffle, so nothing is
+    * tuned to the local core count: the narrow path exists exactly while
+    * the frame is broadcast-sized.
+    */
+  private[operators] def narrowTruncate(
+      s: SparkSession, df: DataFrame, n: Long): DataFrame =
+    truncate(s, if (n <= BroadcastNodeLimit) df.coalesce(8) else df)
+
   /** Lineage truncation for iterative frames. With `graft.checkpoint.dir`
     * set, uses reliable `checkpoint()` — on a real cluster a lost executor
     * can replay from the checkpoint files, whereas `localCheckpoint` blocks
@@ -64,14 +119,21 @@ object GraphOps {
     * path. Unset (the default, right for single-JVM local mode where
     * replication buys nothing) it stays with `localCheckpoint()`.
     */
-  private[operators] def truncate(s: SparkSession, df: DataFrame): DataFrame =
-    s.conf.getOption("graft.checkpoint.dir") match {
+  private[operators] def truncate(s: SparkSession, df: DataFrame): DataFrame = {
+    val ck = s.conf.getOption("graft.checkpoint.dir") match {
       case Some(d) =>
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint()
     }
+    // Drop the carried origin-stats estimate: in iterative loops it
+    // compounds multiplicatively round-over-round into an unbounded
+    // BigInt whose arithmetic alone turns the driver superlinear in
+    // round count (measured: bit-length ×2 per round per prior-frame
+    // reference; see [[org.apache.spark.sql.graft.StatsSafeCheckpoint]]).
+    org.apache.spark.sql.graft.StatsSafeCheckpoint.dropOriginStats(ck)
+  }
 
   /** Entry-point cache hygiene: run `body`, materialize its result with
     * [[truncate]], then release every RDD `body` persisted that the
@@ -203,7 +265,7 @@ object GraphOps {
       // per node — materializing it each round is the cheap side of that
       // trade (measured: every-5 with shuffle joins 8.2s, every-1 with
       // broadcast joins ~5s at sf0.1).
-      if (i < iters) scores = truncate(s, scores)
+      if (i < iters) scores = narrowTruncate(s, scores, n)
     }
     scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
   }
@@ -264,7 +326,7 @@ object GraphOps {
         .select(
           col("node"),
           (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score"))
-      if (i < iters) scores = truncate(s, scores)
+      if (i < iters) scores = narrowTruncate(s, scores, n)
     }
     scores.select(col("node"), col("score").as("score_fp")).orderBy("node")
   }
@@ -331,9 +393,9 @@ object GraphOps {
       // rounds once instead of twice per propagation step.
       araw = eByP.join(roundSide(h, nC), "c")
         .groupBy("p").agg(sum("score").as("raw"))
-      if (i == iters) araw = truncate(s, araw) // final output reads it too
-      val hraw = truncate(s, eByC.join(roundSide(araw, nP), "p")
-        .groupBy("c").agg(sum("raw").as("raw")))
+      if (i == iters) araw = narrowTruncate(s, araw, nP) // final output reads it too
+      val hraw = narrowTruncate(s, eByC.join(roundSide(araw, nP), "p")
+        .groupBy("c").agg(sum("raw").as("raw")), nC)
       val hsum = hraw.agg(sum("raw").as("s"))
       h = hraw.crossJoin(broadcast(hsum))
         .select(col("c"), expr(s"(raw * $HitsScale) div s").as("score"))
@@ -427,7 +489,7 @@ object GraphOps {
     val n = nodes.count()
     val teleport = (15L * Scale) / (100L * n)
 
-    var scores = truncate(s, nodes.withColumn("score", lit(Scale / n)))
+    var scores = narrowTruncate(s, nodes.withColumn("score", lit(Scale / n)), n)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -443,13 +505,13 @@ object GraphOps {
       // `nodes`), carrying the old score along — the convergence delta
       // then reads the one truncated frame instead of shuffle-joining
       // two node-sized frames per round.
-      val next = truncate(s, scores
+      val next = narrowTruncate(s, scores
         .withColumnRenamed("score", "prev_score")
         .join(roundSide(contribs, n), Seq("node"), "left")
         .select(
           col("node"),
           (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("score"),
-          col("prev_score")))
+          col("prev_score")), n)
       // decimal(38,0): squared fp deltas can exceed Long range at small n
       val delta = next
         .select(
@@ -497,7 +559,7 @@ object GraphOps {
       // re-expands 2^iters times (same blowup the DuckDB oracle hit
       // before MATERIALIZED). Checkpointing the tiny per-node frame
       // every round keeps the plan linear.
-      if (i < iters) labels = truncate(s, labels)
+      if (i < iters) labels = narrowTruncate(s, labels, n)
     }
     labels.orderBy("node")
   }
@@ -522,7 +584,7 @@ object GraphOps {
     val nodes = dirEdges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // scalar: sizes the broadcast guard
-    var labels = truncate(s, nodes.withColumn("label", col("node")))
+    var labels = narrowTruncate(s, nodes.withColumn("label", col("node")), n)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -533,12 +595,17 @@ object GraphOps {
         .agg(min("label").as("nbr_label"))
       // Carry the previous label through the truncated frame so the
       // changed-label check is a filter over cached data, not a
-      // per-round shuffle join of two node-sized frames.
-      val next = truncate(s, labels
+      // per-round shuffle join of two node-sized frames — plus the
+      // [[JumpDepth]]-deep fused stale pointer jump ([[staleJumps]]):
+      // same single checkpoint per round, ~log-bounded round count on
+      // chain-shaped components (the 100×-scale case this converged
+      // mode exists for).
+      val next = narrowTruncate(s, staleJumps(labels
         .join(roundSide(neighborMin, n), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          col("label").as("prev_label")))
+          col("label").as("prev_label")),
+        labels, Some(n), "node", "label"), n)
       converged = next.filter(col("label") =!= col("prev_label")).isEmpty
       labels = next.select("node", "label")
     }
@@ -595,7 +662,7 @@ object GraphOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nodes = dirEdges.select(col("src").as("node")).distinct()
       val n = nodes.count()
-      var labels = truncate(s, nodes.withColumn("label", col("node")))
+      var labels = narrowTruncate(s, nodes.withColumn("label", col("node")), n)
       var iter = 0
       var converged = false
       while (iter < maxIters && !converged) {
@@ -606,31 +673,22 @@ object GraphOps {
           .agg(min("label").as("nbr_label"))
         // Pointer jump (shortcutting, the Rastogi et al. 2013
         // hash-to-min family) fused into the same round: label ←
-        // min(neighbor-min, PREVIOUS round's label(label)). Jumping
-        // through the prior round's ALREADY-MATERIALIZED label frame
-        // keeps the round single-checkpoint (a fresh-jump variant
-        // measured round-count 64 → 31 but wall-flat: each round's cost
-        // here is the checkpoint job, so a second checkpoint for a
-        // fresher jump target is a wash — the one-round-stale forest
-        // still roughly halves distance-to-minimum per round). Every
-        // label IS a node id of the same component, so the jump stays
-        // in-component; final labels are unchanged (the component min —
-        // the unrolled min-label oracle still matches), and convergence
-        // is detected on the full combined round, so the no-change
-        // fixpoint argument holds.
-        val jumpSide = labels
-          .select(col("node").as("jnode"), col("label").as("jlabel"))
-        val next = truncate(s, labels
+        // min(neighbor-min, PREVIOUS round's label(label)), chased
+        // [[JumpDepth]] steps through the prior round's
+        // ALREADY-MATERIALIZED label frame — the round stays
+        // single-checkpoint (a fresh-jump variant measured round-count
+        // 64 → 31 but wall-flat: each round's cost here is the
+        // checkpoint job, so a second checkpoint for a fresher jump
+        // target is a wash; a DEEPER chase through the same stale frame
+        // is the free lever instead — see [[staleJumps]] for the
+        // invariant/fixpoint argument).
+        val next = narrowTruncate(s, staleJumps(labels
           .join(roundSide(neighborMin, n), Seq("node"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nbr_label"), col("label")))
               .as("label"),
-            col("label").as("prev_label"))
-          .join(roundSide(jumpSide, n), col("label") === col("jnode"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("jlabel"), col("label")))
-              .as("label"),
-            col("prev_label")))
+            col("label").as("prev_label")),
+          labels, Some(n), "node", "label"), n)
         converged = next.filter(col("label") =!= col("prev_label")).isEmpty
         labels = next.select("node", "label")
       }
@@ -646,8 +704,25 @@ object GraphOps {
       .join(broadcast(hubs.withColumnRenamed("node", "src")), Seq("src"), "left_anti")
       .join(broadcast(hubs.withColumnRenamed("node", "dst")), Seq("dst"), "left_anti")
       .select("src", "dst")
-    summary(und, "full").union(summary(perc, "percolated"))
-      .orderBy("variant")
+    // The two variants' converged loops are INDEPENDENT (each drives its
+    // own edge cache and label frames) and each round is a small 8-task
+    // job that leaves most of local[32] idle — overlap them from a
+    // 2-thread pool (guide §2.6: submit independent jobs concurrently so
+    // one loop's tail back-fills the other's idle cores). Wall cost
+    // drops from sum(full, percolated) toward max(...); FIFO scheduling
+    // interleaves the per-round jobs without starving either loop. The
+    // result frames are built eagerly inside the futures (every loop
+    // round materializes via truncate), so the awaited union is cheap.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fFull = scala.concurrent.Future(summary(und, "full"))
+      val fPerc = scala.concurrent.Future(summary(perc, "percolated"))
+      val (a, b) = scala.concurrent.Await.result(
+        fFull.zip(fPerc), scala.concurrent.duration.Duration.Inf)
+      a.union(b).orderBy("variant")
+    } finally pool.shutdown()
   }
 
   /** DuckDB oracle for [[percolationAudit]]: hub pick, then per variant
@@ -796,7 +871,7 @@ object GraphOps {
         .select(col("node"),
           coalesce(col("nbr_label"), col("label")).as("label"))
       // Same 2^iters plan-blowup guard as [[connectedComponents]].
-      if (i < iters) labels = truncate(s, labels)
+      if (i < iters) labels = narrowTruncate(s, labels, n)
     }
     labels.orderBy("node")
   }
@@ -828,7 +903,7 @@ object GraphOps {
     val nodes = dirEdges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // scalar: sizes the broadcast guard
-    var labels = truncate(s, nodes.withColumn("label", col("node")))
+    var labels = narrowTruncate(s, nodes.withColumn("label", col("node")), n)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -844,11 +919,11 @@ object GraphOps {
       // Carry the previous label through the truncated frame so the
       // changed-label check is a filter over cached data (the
       // [[connectedComponentsConverged]] shape).
-      val next = truncate(s, labels
+      val next = narrowTruncate(s, labels
         .join(roundSide(picked, n), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("nbr_label"), col("label")).as("label"),
-          col("label").as("prev_label")))
+          col("label").as("prev_label")), n)
       converged = next.filter(col("label") =!= col("prev_label")).isEmpty
       labels = next.select("node", "label")
     }
@@ -1051,8 +1126,8 @@ object GraphOps {
         .agg(count(lit(1)).as("core_degree"))
     var alive = nodes
     for (_ <- 1 to iters)
-      alive = truncate(s,
-        survivorDegrees(alive).filter(col("core_degree") >= k).select("node"))
+      alive = narrowTruncate(s,
+        survivorDegrees(alive).filter(col("core_degree") >= k).select("node"), n)
     survivorDegrees(alive).orderBy("node")
   }
 
@@ -1077,14 +1152,14 @@ object GraphOps {
         .join(roundSide(alive.withColumnRenamed("node", "dst"), n), "dst")
         .groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("core_degree"))
-    var alive = truncate(s, nodes)
+    var alive = narrowTruncate(s, nodes, n)
     var size = alive.count()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       iter += 1
-      val next = truncate(s,
-        survivorDegrees(alive).filter(col("core_degree") >= k).select("node"))
+      val next = narrowTruncate(s,
+        survivorDegrees(alive).filter(col("core_degree") >= k).select("node"), n)
       val nextSize = next.count()
       converged = nextSize == size
       alive = next
@@ -1242,7 +1317,7 @@ object GraphOps {
           col("node"),
           (when(isSeed, lit(seedTeleport)).otherwise(lit(0L)) +
             coalesce(col("contrib"), lit(0L))).as("score"))
-      if (i < iters) scores = truncate(s, scores)
+      if (i < iters) scores = narrowTruncate(s, scores, n)
     }
     scores.filter(col("score") > 0L)
       .select(col("node"), col("score").as("score_fp"))
@@ -1312,8 +1387,8 @@ object GraphOps {
       val relaxed = dirEdges
         .join(roundSide(dist.withColumnRenamed("node", "src"), n), "src")
         .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
-      dist = truncate(s, dist.union(relaxed)
-        .groupBy("node").agg(min("hops").as("hops")))
+      dist = narrowTruncate(s, dist.union(relaxed)
+        .groupBy("node").agg(min("hops").as("hops")), n)
     }
     dist.select(col("node"), col("hops")).orderBy("node")
   }
@@ -1383,8 +1458,8 @@ object GraphOps {
       val relaxed = dirEdges
         .join(roundSide(dist.withColumnRenamed("node", "src"), n), "src")
         .select(col("dst").as("node"), (col("dist") + col("cost")).as("dist"))
-      dist = truncate(s, dist.union(relaxed)
-        .groupBy("node").agg(min("dist").as("dist")))
+      dist = narrowTruncate(s, dist.union(relaxed)
+        .groupBy("node").agg(min("dist").as("dist")), n)
     }
     dist.select(col("node"), col("dist")).orderBy("node")
   }
@@ -1495,8 +1570,8 @@ object GraphOps {
           "src")
         .select(col("dst").as("node"), col("seed"),
           (col("hops") + 1L).as("hops"))
-      dist = truncate(s, dist.union(relaxed)
-        .groupBy("node", "seed").agg(min("hops").as("hops")))
+      dist = narrowTruncate(s, dist.union(relaxed)
+        .groupBy("node", "seed").agg(min("hops").as("hops")), n * nSeeds)
     }
     dist
   }
@@ -1654,8 +1729,8 @@ object GraphOps {
             "src")
           .select(col("dst").as("node"), col("seed"),
             (col("hops") + 1L).as("hops"))
-        d = truncate(s, d.union(relaxed)
-          .groupBy("node", "seed").agg(min("hops").as("hops")))
+        d = narrowTruncate(s, d.union(relaxed)
+          .groupBy("node", "seed").agg(min("hops").as("hops")), n * nSeeds)
       }
       d
     }
@@ -1670,18 +1745,19 @@ object GraphOps {
         lit(1L).cast("decimal(38,0)").as("sigma")))
     for (l <- 1 to rounds) {
       val lvl = dist.filter(col("hops") === l.toLong).select("node", "seed")
-      sigByLevel(l) = truncate(s, dirEdges
+      sigByLevel(l) = narrowTruncate(s, dirEdges
         .join(roundSide(sigByLevel(l - 1)
           .select(col("node").as("src"), col("seed"), col("sigma")), n * nSeeds),
           "src")
         .select(col("dst").as("node"), col("seed"), col("sigma"))
         .join(lvl, Seq("node", "seed"), "left_semi")
-        .groupBy("node", "seed").agg(sum("sigma").as("sigma")))
+        .groupBy("node", "seed").agg(sum("sigma").as("sigma")), n * nSeeds)
     }
     // 3. dependencies, levels descending; delta(l) holds level-l rows.
     val deltaByLevel = new Array[DataFrame](rounds + 1)
-    deltaByLevel(rounds) = truncate(s,
-      sigByLevel(rounds).select(col("node"), col("seed"), lit(0L).as("delta")))
+    deltaByLevel(rounds) = narrowTruncate(s,
+      sigByLevel(rounds).select(col("node"), col("seed"), lit(0L).as("delta")),
+      n * nSeeds)
     for (l <- (rounds - 1) to 0 by -1) {
       val wSide = sigByLevel(l + 1)
         .join(deltaByLevel(l + 1), Seq("node", "seed"))
@@ -1691,12 +1767,13 @@ object GraphOps {
         .join(roundSide(wSide, n * nSeeds), "dst")
         .select(col("src").as("node"), col("seed"),
           col("w_sigma"), col("w_delta"))
-      deltaByLevel(l) = truncate(s, sigByLevel(l).as("v")
+      deltaByLevel(l) = narrowTruncate(s, sigByLevel(l).as("v")
         .join(contrib.as("c"), Seq("node", "seed"), "left")
         .groupBy(col("node"), col("seed"))
         .agg(coalesce(sum(expr(
           """CAST(sigma AS DECIMAL(38,0)) * (1000000 + w_delta)
-             div CAST(w_sigma AS DECIMAL(38,0))""")), lit(0L)).as("delta")))
+             div CAST(w_sigma AS DECIMAL(38,0))""")), lit(0L)).as("delta")),
+        n * nSeeds)
     }
     val all = deltaByLevel.reduce(_ union _)
     val out = all.filter(col("node") =!= col("seed"))
@@ -1928,7 +2005,7 @@ object GraphOps {
             col("cb"))).as("e"))
           .select(col("comp"), col("e.w").as("w"), col("e.src").as("src"),
             col("e.dst").as("dst"), col("e.ca").as("ca"), col("e.cb").as("cb"))
-        val pickT = truncate(s, pick)
+        val pickT = narrowTruncate(s, pick, nNodes)
         // The global min edge of a group is picked from both sides.
         picks += pickT.select("src", "dst", "w").distinct()
         // Contract: parent(c) = the other endpoint of c's picked edge.
@@ -1970,12 +2047,13 @@ object GraphOps {
           // Fixpoint probe compares the batch's LAST squaring against its
           // input: identity there means every pointer is at its root, so
           // a batch that converges mid-way exits after this single poll.
-          val next = truncate(s,
+          val next = narrowTruncate(s,
             stepped.join(
                 prev.select(col("node").as("pn"), col("par").as("prevPar")),
                 stepped("node") === col("pn"))
               .select(stepped("node").as("node"), stepped("par").as("par"),
-                (stepped("par") =!= col("prevPar")).cast("long").as("moved")))
+                (stepped("par") =!= col("prevPar")).cast("long").as("moved")),
+            nNodes)
           moved = next.agg(coalesce(sum("moved"), lit(0L)).as("m"))
             .first().getLong(0)
           ptr = next.select("node", "par")
@@ -2227,7 +2305,12 @@ object GraphOps {
           .select("src", "dst")
           .persist(StorageLevel.MEMORY_AND_DISK)
         // FORWARD: min-ancestor label to a fixpoint, `batch` synchronous
-        // rounds per checkpoint + convergence check.
+        // rounds per checkpoint + convergence check, each round chased
+        // [[JumpDepth]] further through the LAST CHECKPOINT's f frame
+        // ([[staleJumps]] — valid here too: f(v)=u means u reaches v,
+        // and f_checkpoint(u)=w means w reaches u, so w reaches v; the
+        // fixpoint is still min-reacher, which is what the backward
+        // phase and the unrolled oracle both assume).
         var f = narrow(active.withColumn("f", col("node")))
         var moving = true
         var inner = 0
@@ -2240,9 +2323,11 @@ object GraphOps {
                 "src")
               .groupBy(col("dst").as("node"))
               .agg(min("f").as("nbr"))
-            cur = cur.join(roundSide(nbrMin, n), Seq("node"), "left")
-              .select(col("node"),
-                least(col("f"), coalesce(col("nbr"), col("f"))).as("f"))
+            cur = staleJumps(
+              cur.join(roundSide(nbrMin, n), Seq("node"), "left")
+                .select(col("node"),
+                  least(col("f"), coalesce(col("nbr"), col("f"))).as("f")),
+              f, Some(n), "node", "f")
           }
           val next = narrow(cur
             .join(f.withColumnRenamed("f", "prev"), Seq("node"))
