@@ -98,6 +98,12 @@ object GraftFunctions {
       divisor: Long): Column =
     call_function(
       "cdc_cuts", payload, lit(window), lit(base), lit(mod), lit(divisor))
+
+  def pq_codes(qv: Column, cb: Column, subDim: Int): Column =
+    call_function("pq_codes", qv, cb, lit(subDim))
+
+  def pq_adist(dtab: Column, codes: Column): Column =
+    call_function("pq_adist", dtab, codes)
 }
 
 /** Session extension registering the engine's native functions; installed
@@ -174,5 +180,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             longArg("cdc_cuts base", children(2)),
             longArg("cdc_cuts mod", children(3)),
             longArg("cdc_cuts divisor", children(4)))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("pq_codes"),
+        new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+        (children: Seq[Expression]) =>
+          PqCodes(
+            children(0), children(1),
+            intArg("pq_codes subDim", children(2)))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("pq_adist"),
+        new ExpressionInfo(classOf[PqAdist].getName, "pq_adist"),
+        (children: Seq[Expression]) => PqAdist(children(0), children(1))))
   }
 }

@@ -92,19 +92,40 @@ object AnnOps {
       .orderBy("q_id", "rank")
   }
 
+  /** In-process frozen query-vector store for the exact baseline: the
+    * first `nQueries` (id, embedding) rows — a bounded constant-size
+    * carve (5×64 floats), the [[LloydOps.frozenCentroids]] pattern. The
+    * exact baseline re-runs inside EVERY recall audit (7 gated entries),
+    * and its query side is this constant: entering it as a typed literal
+    * removes a scan + broadcast build + nested-loop join per audit.
+    */
+  private val queryStore = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Float])]]()
+
+  private def frozenQueries(
+      s: SparkSession, dir: String, nQueries: Int): Seq[(Long, Seq[Float])] = {
+    val key = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString +
+      "#" + nQueries + "#" + Tables.contentToken(dir, "embeddings")
+    queryStore.computeIfAbsent(key, _ =>
+      Tables.embeddings(s, dir).filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+  }
+
   /** Exact top-k nearest neighbors (cosine) of the first `nQueries`
-    * vectors against the whole table, self-matches excluded.
+    * vectors against the whole table, self-matches excluded. The query
+    * set enters as a typed literal ([[frozenQueries]]), so scoring is a
+    * single corpus-scan projection (explode over the 5-element constant)
+    * feeding the bounded top-k aggregator — no join at all.
     */
   def annTopK(s: SparkSession, dir: String, k: Int = 10, nQueries: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val cand = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    val scored = cand
-      .crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        cosine(col("q_vec"), col("c_vec")).as("cosine_r6"))
+    val qLit = typedlit(frozenQueries(s, dir, nQueries))
+    val scored = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        explode(qLit).as("q"))
+      .filter(col("q._1") =!= col("c_id"))
+      .select(col("q._1").as("q_id"), col("c_id"),
+        cosine(col("q._2"), col("c_vec")).as("cosine_r6"))
     rankTopK(s, scored, k)
   }
 

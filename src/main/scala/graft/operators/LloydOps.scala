@@ -43,14 +43,21 @@ object LloydOps {
   val Iters = 4
   val Dims: Int = StatsOps.EmbedDims
 
+  /** The e6 fixed-point quantization as a column: floor(x·1e6 + 0.5) per
+    * component, BIGINT — exposed so consumers that need the Lloyd grid
+    * alongside other per-row columns (e.g. [[PqOps.annIvfPqTopK]]'s fused
+    * cluster+codes scan) derive it in the SAME projection instead of a
+    * second scan + id join.
+    */
+  private[graft] def quantizeCol(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
+
   /** e6-quantized coordinate arrays: (vec_id, xq Array[Long]). */
   private def quantized(embeddings: DataFrame): DataFrame =
     Tables.parallelized(embeddings)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5) as long))")
-          .as("xq"))
+      .select(col("vec_id"), quantizeCol(col("embedding")).as("xq"))
 
-  /** Points with their argmin cluster for the given centroid table.
+  /** Integer L2² distances of `xq` to every centroid, as an array column.
     *
     * The centroids enter as ONE typed literal array-of-arrays and the
     * distances as zip_with/aggregate lambdas — deliberately, instead of
@@ -61,14 +68,36 @@ object LloydOps {
     * constants live in the expression's references) and its interpreted
     * per-row cost is k·dims integer ops — noise next to the scan.
     */
-  private def assign(pts: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+  private def distsCol(cents: Array[Array[Long]])(xq: Column): Column = {
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    val dists = transform(centsLit, c =>
-      aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
+    transform(centsLit, c =>
+      aggregate(zip_with(xq, c, (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, v) => acc + v))
-    pts.select(col("vec_id"), col("xq"),
-      (array_position(dists, array_min(dists)) - 1L).as("cluster"))
   }
+
+  /** Argmin cluster id (lowest id on ties) for `xq` against the literal
+    * centroid table — the assignment column, exposed for fused scans.
+    */
+  private[graft] def clusterCol(cents: Array[Array[Long]])(xq: Column): Column = {
+    val dists = distsCol(cents)(xq)
+    array_position(dists, array_min(dists)) - 1L
+  }
+
+  /** The nprobe nearest cluster ids (by (distance, cluster-id)) for `xq`
+    * against the literal centroid table, as an array<long> column — the
+    * query-side probe set of [[ivfProbeFrames]] as a fused expression.
+    */
+  private[graft] def probeClustersCol(
+      cents: Array[Array[Long]], nprobe: Int)(xq: Column): Column = {
+    val z = array_sort(transform(distsCol(cents)(xq),
+      (d, i) => struct(d.as("dist"), i.as("cluster"))))
+    transform(slice(z, 1, nprobe), p => p.getField("cluster").cast("long"))
+  }
+
+  /** Points with their argmin cluster for the given centroid table. */
+  private def assign(pts: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    pts.select(col("vec_id"), col("xq"),
+      clusterCol(cents)(col("xq")).as("cluster"))
 
   /** Runs `iters` fixed-point Lloyd rounds; returns (final centroids,
     * last-assignment sizes). Exposed for the spec's convergence checks.
@@ -553,13 +582,20 @@ object LloydOps {
       s: SparkSession, dir: String,
       k: Int = 10, nQueries: Int = 5, nprobe: Int = IvfProbes): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val (asg, probes) = ivfProbeFrames(s, dir, nQueries, nprobe)
+    val (cents, _) = frozenCentroids(s, dir, K)
+    // Fused index side: the argmin list id derives from the literal
+    // centroid table IN the candidate projection (one corpus scan, no
+    // id join against a second assignment scan — the join carried the
+    // whole corpus through an exchange just to attach a column this
+    // expression computes in place). Same math, same lists.
     val cand = Tables.parallelized(emb)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      .join(asg, "c_id")
-    val qProbes = probes
-      .join(emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), "q_id")
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        clusterCol(cents)(quantizeCol(col("embedding"))).as("cluster"))
+    // Fused query side: probes + raw query vector from ONE tiny scan.
+    val qProbes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        explode(probeClustersCol(cents, nprobe)(
+          quantizeCol(col("embedding")))).as("cluster"))
     val scored = cand
       .join(broadcast(qProbes), Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
@@ -581,22 +617,12 @@ object LloydOps {
       : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
     val (cents, _) = frozenCentroids(s, dir, K)
-    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    val dists = transform(centsLit, c =>
-      aggregate(zip_with(col("xq"), c, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v))
     val pts = quantized(emb)
     val asg = assign(pts, cents).select(col("vec_id").as("c_id"),
       col("cluster"))
     val probes = pts.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), dists.as("ds"))
-      .select(col("q_id"), expr(
-        "array_sort(transform(ds, (d, i) -> struct(d AS dist, i AS cluster)))")
-        .as("z"))
-      .select(col("q_id"),
-        explode(expr(s"transform(slice(z, 1, $nprobe), p -> p.cluster)"))
-          .as("cl0"))
-      .select(col("q_id"), col("cl0").cast("long").as("cluster"))
+      .select(col("vec_id").as("q_id"),
+        explode(probeClustersCol(cents, nprobe)(col("xq"))).as("cluster"))
     (asg, probes)
   }
 

@@ -64,73 +64,98 @@ object PqOps {
   private val QvSql =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))"
 
-  /** Integer L2² between sub-space `m` of the row's `qv` and of codebook
-    * entry `e.cqv` — an 8-term fused fold, all BIGINT (components are
-    * ~2^20, so a sub-space distance is < 2^45: no overflow).
+  /** In-process frozen PQ-codebook store, keyed by the embeddings table's
+    * contents — the [[LloydOps.frozenCentroids]] pattern pointed at the
+    * exemplar codebook: the CodebookK quantized exemplar vectors are a
+    * CONSTANT-size artifact (16×64 longs), so they enter every encode /
+    * distance-table expression as a typed literal (a plan constant,
+    * exactly like the Lloyd centroid table) instead of a per-query
+    * collect_list aggregation + broadcast cross join. The build is one
+    * bounded 16-row collect; content-token keying invalidates on table
+    * rewrite. This removed 1-2 scans + a BroadcastNestedLoopJoin from
+    * EVERY query of the PQ family (8 gated entries) with byte-identical
+    * codes/tables.
     */
-  private def subDistSql(vec: String, cvec: String): String =
-    s"""aggregate(sequence(1, $SubDim), CAST(0 AS BIGINT),
-       | (a, d) -> a + (element_at($vec, m * $SubDim + d) - element_at($cvec, m * $SubDim + d))
-       |              * (element_at($vec, m * $SubDim + d) - element_at($cvec, m * $SubDim + d)))""".stripMargin
+  private val cbStore =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
 
-  /** The one-row broadcast codebook frame: `cb` = the CodebookK exemplar
-    * vectors' quantized copies, sorted by exemplar id so array position
-    * j+1 holds entry j (struct field order makes array_sort order by j).
+  private[graft] def frozenCodebook(
+      s: SparkSession, dir: String): Array[Array[Long]] = {
+    val key = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString +
+      "#" + Tables.contentToken(dir, "embeddings")
+    cbStore.computeIfAbsent(key, _ =>
+      quantized(s, dir).filter(col("vec_id") < CodebookK)
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Long](1).toArray))
+  }
+
+  private def cbLit(cb: Array[Array[Long]]): Column =
+    typedlit(cb.map(_.toSeq).toSeq)
+
+  /** Integer L2² between sub-space `m` (a 0-based int column) of `qv`
+    * and of codebook entry `cv` — an 8-term fused fold, all BIGINT
+    * (components are ~2^20, so a sub-space distance is < 2^45: no
+    * overflow). `slice(x, m·8+1, 8)` reads exactly the elements the
+    * element_at(m·8+d, d∈1..8) form did, in the same order.
     */
-  private def codebook(xq: DataFrame): DataFrame =
-    xq.filter(col("vec_id") < CodebookK)
-      .agg(array_sort(collect_list(struct(
-        col("vec_id").cast("int").as("j"), col("qv").as("cqv")))).as("cb"))
+  private def subDistCol(qv: Column, cv: Column, m: Column): Column =
+    aggregate(
+      zip_with(
+        slice(qv, m * SubDim + 1, lit(SubDim)),
+        slice(cv, m * SubDim + 1, lit(SubDim)),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** codes[m] = argmin_j of the sub-space-m distance to codebook entry j,
+    * lowest j on ties — the [[graft.functions.PqCodes]] codegen
+    * expression (an interpreted HOF fold here measured ~0.8 ms/row from
+    * slice allocation + boxing; the fused primitive loop is noise next
+    * to the scan, and PqSpec pins byte-identical codes vs the original
+    * construction).
+    */
+  private def codesCol(qv: Column, cb: Column): Column =
+    graft.functions.GraftFunctions.pq_codes(qv, cb, SubDim)
+
+  /** dtab[m][j] = the integer L2² between the query's sub-vector m and
+    * codebook entry j — M×K ints per query.
+    */
+  private def dtabCol(qv: Column, cb: Column): Column =
+    transform(sequence(lit(0), lit(SubSpaces - 1)), m =>
+      transform(cb, cv => subDistCol(qv, cv, m)))
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), expr(QvSql).as("qv"))
 
-  /** PQ-encode the corpus: (vec_id, codes) where codes[m] = argmin_j of
-    * the sub-space-m distance to codebook entry j, lowest j on ties.
-    * Zero shuffles — one broadcast cross join of the single-row codebook,
-    * then a codegen'd per-row fold.
+  /** PQ-encode the corpus: (vec_id, codes) with the frozen codebook as a
+    * plan literal — ONE scan, zero joins, zero shuffles.
     */
   def pqEncode(s: SparkSession, dir: String): DataFrame = {
-    val xq = quantized(s, dir)
-    val codesSql =
-      s"""transform(sequence(0, ${SubSpaces - 1}), m ->
-         | aggregate(
-         |  transform(cb, e -> named_struct(
-         |   'd', ${subDistSql("qv", "e.cqv")},
-         |   'j', e.j)),
-         |  named_struct('d', CAST(9223372036854775807 AS BIGINT), 'j', -1),
-         |  (acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END).j)""".stripMargin
-    xq.crossJoin(broadcast(codebook(xq)))
-      .select(col("vec_id"), expr(codesSql).as("codes"))
+    val cb = cbLit(frozenCodebook(s, dir))
+    quantized(s, dir)
+      .select(col("vec_id"), codesCol(col("qv"), cb).as("codes"))
   }
 
-  /** Per-query ADC distance tables: (q_id, dtab) with dtab[m][j] = the
-    * integer L2² between the query's sub-vector m and codebook entry j —
-    * M×K ints per query, broadcast-size for any real query batch.
+  /** Per-query ADC distance tables: (q_id, dtab), broadcast-size for any
+    * real query batch — one tiny scan off the literal codebook.
     */
   private def queryTables(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
-    val xq = quantized(s, dir)
-    val dtabSql =
-      s"""transform(sequence(0, ${SubSpaces - 1}), m ->
-         | transform(cb, e -> ${subDistSql("qv", "e.cqv")}))""".stripMargin
-    xq.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(codebook(xq)))
-      .select(col("vec_id").as("q_id"), expr(dtabSql).as("dtab"))
+    val cb = cbLit(frozenCodebook(s, dir))
+    quantized(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), dtabCol(col("qv"), cb).as("dtab"))
   }
-
-  /** ADC lookup sum for a row carrying `dtab` and `codes`. */
-  private val AdistSql =
-    s"""aggregate(sequence(0, ${SubSpaces - 1}), CAST(0 AS BIGINT),
-       | (a, m) -> a + element_at(element_at(dtab, m + 1), element_at(codes, m + 1) + 1))""".stripMargin
 
   /** Rank a (q_id, c_id, adist-expr-ready) frame: ADC distances fit in
     * 2^48 (< 2^53), so the double round-trip through the shared
     * (cosine-desc) ranking aggregator is exact; negate to turn its
-    * descending order into ascending distance.
+    * descending order into ascending distance. The lookup sum is the
+    * [[graft.functions.PqAdist]] codegen expression — same Σ_m
+    * dtab[m][codes[m]] integer fold the interpreted `aggregate` form
+    * computed, fused into the scoring stage.
     */
   private def rankByAdist(s: SparkSession, withCodes: DataFrame, k: Int): DataFrame = {
     val scored = withCodes.select(col("q_id"), col("c_id"),
-      (-expr(AdistSql)).cast("double").as("neg_adist"))
+      (-graft.functions.GraftFunctions.pq_adist(col("dtab"), col("codes")))
+        .cast("double").as("neg_adist"))
     AnnOps.rankTopK(s, scored, k)
       .select(col("q_id"), col("c_id"), col("rank"),
         (-col("cosine_r6")).cast("long").as("adist"))
@@ -219,11 +244,25 @@ object PqOps {
       k: Int = DefaultK,
       nQueries: Int = DefaultQueries,
       nprobe: Int = LloydOps.IvfProbes): DataFrame = {
-    val (asg, probes) = LloydOps.ivfProbeFrames(s, dir, nQueries, nprobe)
-    val coded = pqEncode(s, dir)
-      .withColumnRenamed("vec_id", "c_id")
-      .join(asg, "c_id")
-    val qside = probes.join(queryTables(s, dir, nQueries), "q_id")
+    // Fused index side: list id (literal Lloyd centroids) and PQ codes
+    // (literal codebook) derive in ONE corpus-scan projection — the
+    // previous shape paid a second assignment scan plus an id join whose
+    // exchange carried the whole corpus just to attach `cluster`. Same
+    // integer math, same lists, same codes.
+    val (cents, _) = LloydOps.frozenCentroids(s, dir, LloydOps.K)
+    val cb = cbLit(frozenCodebook(s, dir))
+    val coded = Tables.embeddings(s, dir).select(
+      col("vec_id").as("c_id"),
+      LloydOps.clusterCol(cents)(
+        LloydOps.quantizeCol(col("embedding"))).as("cluster"),
+      codesCol(expr(QvSql), cb).as("codes"))
+    // Fused query side: probe lists and the ADC distance table from ONE
+    // tiny scan (was: probes frame ⨝ queryTables frame by q_id).
+    val qside = Tables.embeddings(s, dir).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(LloydOps.probeClustersCol(cents, nprobe)(
+          LloydOps.quantizeCol(col("embedding")))).as("cluster"),
+        dtabCol(expr(QvSql), cb).as("dtab"))
     rankByAdist(s,
       coded.join(broadcast(qside), Seq("cluster"))
         .filter(col("q_id") =!= col("c_id")),

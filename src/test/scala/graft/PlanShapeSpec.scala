@@ -118,14 +118,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"train side not carved in:\n$plan")
   }
 
-  test("PQ encode is a zero-shuffle map over the corpus (codebook broadcast)") {
+  test("PQ encode is a join-free single-scan map over the corpus") {
     val plan = executedPlan(graft.operators.PqOps.pqEncode(spark, sf))
-    // The single-row codebook arrives via a broadcast nested-loop join;
-    // encoding itself must introduce no exchange at all.
-    assert(plan.contains("BroadcastNestedLoopJoin"), s"codebook not broadcast in:\n$plan")
-    val exchanges = "Exchange (hash|range)partitioning".r
-      .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(exchanges.isEmpty, s"unexpected exchanges $exchanges in:\n$plan")
+    // The frozen codebook enters as a typed literal (a plan constant,
+    // the Lloyd-centroid pattern): encoding is ONE scan projection with
+    // no join and no exchange of any kind.
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+    assert("Scan parquet".r.findAllMatchIn(plan).size == 1,
+      s"expected exactly one scan in:\n$plan")
   }
 
   test("PQ search broadcasts queries+tables; only the bounded top-k shuffles") {

@@ -128,6 +128,35 @@ class PqSpec extends AnyFunSuite {
     assert(ref >= adc, s"refine recall $ref below ADC $adc")
   }
 
+  test("literal-codebook encode equals the aggregation-built codebook form") {
+    // r17 optimization guard: pqEncode now reads the frozen codebook as a
+    // typed literal (one scan, no join). This replays the PREVIOUS
+    // construction — collect_list codebook frame + broadcast cross join +
+    // element_at HOF argmin — and requires byte-identical codes.
+    import org.apache.spark.sql.functions._
+    val xq = Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
+        .as("qv"))
+    val cbOld = xq.filter(col("vec_id") < PqOps.CodebookK)
+      .agg(array_sort(collect_list(struct(
+        col("vec_id").cast("int").as("j"), col("qv").as("cqv")))).as("cb"))
+    val subDist =
+      """aggregate(sequence(1, 8), CAST(0 AS BIGINT),
+        | (a, d) -> a + (element_at(qv, m * 8 + d) - element_at(e.cqv, m * 8 + d))
+        |              * (element_at(qv, m * 8 + d) - element_at(e.cqv, m * 8 + d)))""".stripMargin
+    val codesSql =
+      s"""transform(sequence(0, 7), m ->
+         | aggregate(
+         |  transform(cb, e -> named_struct('d', $subDist, 'j', e.j)),
+         |  named_struct('d', CAST(9223372036854775807 AS BIGINT), 'j', -1),
+         |  (acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END).j)""".stripMargin
+    val old = xq.crossJoin(broadcast(cbOld))
+      .select(col("vec_id"), expr(codesSql).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val neu = codes.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(neu == old)
+  }
+
   test("ADC equals a local replay of table lookups from the encoded corpus") {
     // Rebuild the distance tables locally from the quantized exemplars and
     // replay adist for every returned pair — pins the element_at index
