@@ -65,6 +65,12 @@ object PerfProbe {
       case "tri" =>
         t("triangle_count")(GraphOps.triangleCount(s, dir))
         t("clustering_coeff")(LinkOps.clusteringCoeff(s, dir))
+      case "edges" =>
+        t("edges.build")(GraphOps.edges(s, dir))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-edges-probe")
+        GraphOps.edges(s, dir).write.mode("overwrite").parquet(tmp.toString)
+        t("edges.storedRead")(s.read.parquet(tmp.toString))
+        t("degrees.viaBuild")(GraphOps.degrees(s, dir))
       case other =>
         println(s"unknown family: $other")
     }
