@@ -71,6 +71,27 @@ object PerfProbe {
         GraphOps.edges(s, dir).write.mode("overwrite").parquet(tmp.toString)
         t("edges.storedRead")(s.read.parquet(tmp.toString))
         t("degrees.viaBuild")(GraphOps.degrees(s, dir))
+      case "mid" =>
+        import org.apache.spark.sql.functions._
+        t("profile_columns")(ProfileOps.profileColumns(s, dir))
+        t("quantiles_density")(WindowOps.quantilesDensityByFlag(s, dir))
+        t("median_density")(WindowOps.medianDensityByFlag(s, dir))
+        t("hist.asIs") {
+          graft.Tables.lineitem(s, dir)
+            .select(col("l_returnflag"),
+              floor(col("l_extendedprice") / (col("l_quantity") + lit(1)) * 1000 + 0.5)
+                .cast("long").as("density_milli"))
+            .groupBy("l_returnflag", "density_milli")
+            .agg(count(lit(1)).as("c"))
+        }
+        t("hist.parallelized") {
+          graft.Tables.parallelized(graft.Tables.lineitem(s, dir))
+            .select(col("l_returnflag"),
+              floor(col("l_extendedprice") / (col("l_quantity") + lit(1)) * 1000 + 0.5)
+                .cast("long").as("density_milli"))
+            .groupBy("l_returnflag", "density_milli")
+            .agg(count(lit(1)).as("c"))
+        }
       case other =>
         println(s"unknown family: $other")
     }

@@ -186,12 +186,17 @@ object WindowOps {
     val cum = hist
       .withColumn("cum", sum("c").over(wCum))
       .withColumn("cnt", sum("c").over(Window.partitionBy("l_returnflag")))
-    // Lower and upper middle ranks; equal when cnt is odd.
-    val lo = cum.filter(expr("cum >= (cnt + 1) div 2"))
-      .groupBy("l_returnflag").agg(min("density_milli").as("v_lo"))
-    val hi = cum.filter(expr("cum >= cnt div 2 + 1"))
-      .groupBy("l_returnflag").agg(min("density_milli").as("v_hi"))
-    lo.join(hi, "l_returnflag")
+    // Lower and upper middle ranks (equal when cnt is odd) in ONE
+    // aggregate pass: `min(when(cond, v))` over the cumulative histogram
+    // is exactly `filter(cond) → min(v)` — the previous two-branch
+    // filter/agg/join shape re-computed the whole histogram+window
+    // subtree once per branch (measured ~2× the query).
+    cum.groupBy("l_returnflag")
+      .agg(
+        min(when(expr("cum >= (cnt + 1) div 2"), col("density_milli")))
+          .as("v_lo"),
+        min(when(expr("cum >= cnt div 2 + 1"), col("density_milli")))
+          .as("v_hi"))
       .select(col("l_returnflag"),
         expr("(v_lo + v_hi) div 2").as("median_density_milli"))
       .orderBy("l_returnflag")
@@ -223,16 +228,17 @@ object WindowOps {
     val cum = hist
       .withColumn("cum", sum("c").over(wCum))
       .withColumn("cnt", sum("c").over(Window.partitionBy("l_returnflag")))
-    val probes = cum
-      .withColumn("p", explode(array(QuantilesPermille.map(lit): _*)))
-      .filter(col("cum") >= expr("greatest((p * cnt + 999) div 1000, 1)"))
-      .groupBy("l_returnflag")
-      .pivot("p", QuantilesPermille.map(_.toString))
-      .agg(min("density_milli"))
-    probes
-      .select(
-        col("l_returnflag") +:
-          QuantilesPermille.map(p => col(p.toString).as(s"p${p}_milli")): _*)
+    // All probes in ONE aggregate pass: per probe p, `min(when(cum >=
+    // rank_p, v))` is exactly the explode→filter→pivot chain's value
+    // (the type-1 quantile: first histogram value whose cumulative count
+    // reaches rank_p), without multiplying the cumulative frame ×|probes|
+    // or paying the pivot's two-phase aggregation.
+    val probeCols = QuantilesPermille.map(p =>
+      min(when(
+        col("cum") >= expr(s"greatest(($p * cnt + 999) div 1000, 1)"),
+        col("density_milli"))).as(s"p${p}_milli"))
+    cum.groupBy("l_returnflag")
+      .agg(probeCols.head, probeCols.tail: _*)
       .orderBy("l_returnflag")
   }
 
