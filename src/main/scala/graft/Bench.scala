@@ -182,7 +182,15 @@ object Bench {
       "connected_components", "components_conv", "kcore", "kcore_conv",
       "clusters_conv", "dedup_clusters", "graph_assortativity",
       "link_prediction", "triangle_count", "knn_graph", "clustering_coeff",
-      "markov_stationary", "graph_degrees")
+      "markov_stationary", "graph_degrees", "scc_components",
+      // r17: the remaining per-round-materializing loop queries, same
+      // class and same aged-JVM sensitivity as the rest of the family
+      // (betweenness_landmark measured 9.7 s isolated vs 15.5 s from the
+      // regular section's aged session on identical code) — they belong
+      // in the fresh-JVM slot the family exists for.
+      "percolation_audit", "betweenness_landmark", "harmonic_centrality",
+      "graph_distance_histogram", "entity_clusters", "entity_clusters_conv",
+      "community_lpa", "community_stats")
 
     // The shingle-dedup family persists (and eagerly materializes) the
     // frames that carry essentially ALL of its work — shingle sets, the

@@ -74,6 +74,31 @@ object PerfProbe {
       case "mid" =>
         import org.apache.spark.sql.functions._
         t("profile_columns")(ProfileOps.profileColumns(s, dir))
+        t("profile.paraCountDistinct") {
+          val ev = graft.Tables.parallelized(
+            graft.Tables.events(s, dir).select(
+              col("event_id"), col("ts_us"), col("user_id"),
+              col("event_type"), col("value"), col("props")))
+          ev.agg(count(lit(1)).as("total"),
+            countDistinct(col("event_id")).as("nd1"),
+            countDistinct(col("ts_us")).as("nd2"),
+            countDistinct(col("user_id")).as("nd3"),
+            countDistinct(col("event_type")).as("nd4"),
+            countDistinct(col("value")).as("nd5"),
+            countDistinct(col("props")).as("nd6"))
+        }
+        t("profile.serialCountDistinct") {
+          val ev = graft.Tables.events(s, dir).select(
+            col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          ev.agg(count(lit(1)).as("total"),
+            countDistinct(col("event_id")).as("nd1"),
+            countDistinct(col("ts_us")).as("nd2"),
+            countDistinct(col("user_id")).as("nd3"),
+            countDistinct(col("event_type")).as("nd4"),
+            countDistinct(col("value")).as("nd5"),
+            countDistinct(col("props")).as("nd6"))
+        }
         t("quantiles_density")(WindowOps.quantilesDensityByFlag(s, dir))
         t("median_density")(WindowOps.medianDensityByFlag(s, dir))
         t("hist.asIs") {
@@ -92,6 +117,43 @@ object PerfProbe {
             .groupBy("l_returnflag", "density_milli")
             .agg(count(lit(1)).as("c"))
         }
+      case "plans_before_quantiles" =>
+        // Faithful replay of the r16 median/quantile constructions (the
+        // code replaced in r17 §10) so their BEFORE plans can be
+        // regenerated for plans/r17 — verbatim old expressions.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val density = graft.Tables.lineitem(s, dir)
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") / (col("l_quantity") + lit(1)) * 1000 + 0.5)
+              .cast("long").as("density_milli"))
+        val hist = density.groupBy("l_returnflag", "density_milli")
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("l_returnflag").orderBy("density_milli")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cum", sum("c").over(wCum))
+          .withColumn("cnt", sum("c").over(Window.partitionBy("l_returnflag")))
+        val lo = cum.filter(expr("cum >= (cnt + 1) div 2"))
+          .groupBy("l_returnflag").agg(min("density_milli").as("v_lo"))
+        val hi = cum.filter(expr("cum >= cnt div 2 + 1"))
+          .groupBy("l_returnflag").agg(min("density_milli").as("v_hi"))
+        println("===== median_density_by_flag (r16 form) =====")
+        lo.join(hi, "l_returnflag")
+          .select(col("l_returnflag"),
+            expr("(v_lo + v_hi) div 2").as("median_density_milli"))
+          .orderBy("l_returnflag").explain("formatted")
+        val probes = cum
+          .withColumn("p", explode(array(WindowOps.QuantilesPermille.map(lit): _*)))
+          .filter(col("cum") >= expr("greatest((p * cnt + 999) div 1000, 1)"))
+          .groupBy("l_returnflag")
+          .pivot("p", WindowOps.QuantilesPermille.map(_.toString))
+          .agg(min("density_milli"))
+        println("===== quantiles_density_by_flag (r16 form) =====")
+        probes.select(
+          col("l_returnflag") +:
+            WindowOps.QuantilesPermille.map(p => col(p.toString).as(s"p${p}_milli")): _*)
+          .orderBy("l_returnflag").explain("formatted")
       case other =>
         println(s"unknown family: $other")
     }
